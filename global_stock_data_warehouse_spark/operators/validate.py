@@ -1,0 +1,71 @@
+"""Per-entity data-quality gates + quarantine (A8/A9 + the wmy SKIP gates).
+
+The reference validates each symbol's series before resampling and silently
+skips failures (downloader_wmy.py:94-122):
+  gate 2: any(close <= 0)                      -> invalid_price
+  gate 3: max date-gap since 2024-01-01 > 14d  -> gap_too_large
+  gate 4: any(close > high or close < low)     -> ohlc_violation  (post-resample)
+(gate 1, empty file, is vacuous in a table-scan world: no rows, no group.)
+
+Spark-first: gates are ONE grouped aggregation producing a per-entity
+verdict dim; quarantine is a broadcast anti-join of facts against the failed
+set. At scale the verdict table is tiny (one row per symbol), so the
+anti-join broadcasts — no second shuffle of the fact table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def gate_summary(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("symbol",),
+    date_col: str = "date",
+    close_col: str = "close",
+    high_col: str = "high",
+    low_col: str = "low",
+    gap_since: str = "2024-01-01",
+    max_gap_days: int = 14,
+) -> DataFrame:
+    """One row per entity with boolean gate columns and a pass verdict."""
+    w = Window.partitionBy(*key_cols).orderBy(date_col)
+    gap = F.when(
+        F.col(date_col) >= F.lit(gap_since),
+        F.datediff(F.col(date_col), F.lag(F.col(date_col)).over(w)),
+    )
+    with_gap = df.withColumn("_gap", gap)
+    agg = with_gap.groupBy(*key_cols).agg(
+        F.max(F.when(F.col(close_col) <= 0, 1).otherwise(0)).cast("boolean").alias("invalid_price"),
+        F.coalesce(F.max("_gap") > max_gap_days, F.lit(False)).alias("gap_too_large"),
+        F.max(
+            F.when((F.col(close_col) > F.col(high_col)) | (F.col(close_col) < F.col(low_col)), 1).otherwise(0)
+        )
+        .cast("boolean")
+        .alias("ohlc_violation"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.withColumn(
+        "passed",
+        ~F.col("invalid_price") & ~F.col("gap_too_large") & ~F.col("ohlc_violation"),
+    )
+
+
+def quarantine(
+    facts: DataFrame,
+    verdicts: DataFrame,
+    key_cols: Sequence[str] = ("symbol",),
+) -> tuple[DataFrame, DataFrame]:
+    """Split facts into (clean, quarantined) by the verdict dim.
+
+    The verdict side is per-entity (small) -> broadcast semi/anti join,
+    which AQE would pick anyway but we pin it for plan stability.
+    """
+    failed = broadcast(verdicts.filter(~F.col("passed")).select(*key_cols))
+    clean = facts.join(failed, list(key_cols), "left_anti")
+    bad = facts.join(failed, list(key_cols), "left_semi")
+    return clean, bad
