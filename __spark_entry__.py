@@ -31,8 +31,20 @@ from global_stock_data_warehouse_spark.operators.joins import (
     broadcast_lookup,
     semi_active,
 )
+from global_stock_data_warehouse_spark.operators.dedup import (
+    dedup_exact,
+    minhash_neardup,
+    ngram_jaccard_pairs,
+    simhash_neardup,
+)
 from global_stock_data_warehouse_spark.operators.resample import ohlc_resample
 from global_stock_data_warehouse_spark.operators.returns import with_date_gap, with_period_return
+from global_stock_data_warehouse_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup,
+    lsh_topk,
+)
+from global_stock_data_warehouse_spark.operators.text import text_stats
 from global_stock_data_warehouse_spark.operators.upsert import dedup_last_writer
 
 
@@ -330,6 +342,172 @@ def q_summary_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("status", status_flag("coverage", 80.0))
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text battery: token counts, quality ratios, lang-ID, fingerprint."""
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalized-text md5 fingerprint."""
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-Jaccard near-dup pairs via inverted-index join."""
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard (approximate recall
+    by design -> rows-only check, no oracle)."""
+    return minhash_neardup(
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=16, threshold=0.5
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 near-dup pairs (chunk-blocked; rows-only check)."""
+    return simhash_neardup(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 8 vectors as queries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (scale path; rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_topk(emb, queries_df, dim=64, k=5, planes=6)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
+    return embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_STOP = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "los", "de", "y"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_TEXT_STATS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS toks,
+         length(text) AS n_chars_actual
+  FROM documents
+), ratios AS (
+  SELECT doc_id, text, toks, n_chars_actual,
+         len(toks) AS n_tokens,
+         CASE WHEN n_chars_actual > 0
+              THEN (n_chars_actual - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+                   * 1.0 / n_chars_actual
+              ELSE 0.0 END AS praw,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains({_sql_list(_STOP['en'])}, t)))
+                   * 1.0 / len(toks)
+              ELSE 0.0 END AS sraw,
+         len(list_filter(toks, t -> list_contains({_sql_list(_STOP['de'])}, t))) AS h_de,
+         len(list_filter(toks, t -> list_contains({_sql_list(_STOP['en'])}, t))) AS h_en,
+         len(list_filter(toks, t -> list_contains({_sql_list(_STOP['es'])}, t))) AS h_es,
+         len(list_filter(toks, t -> list_contains({_sql_list(_STOP['fr'])}, t))) AS h_fr,
+         len(list_filter(toks, t -> list_contains({_sql_list(_STOP['zh'])}, t))) AS h_zh
+  FROM base
+)
+SELECT doc_id, n_chars_actual, n_tokens,
+       round(praw, 4) AS punct_ratio,
+       round(sraw, 4) AS stopword_ratio,
+       round((least(n_chars_actual / 500.0, 1.0)
+              + 1.0 - least(praw * 5.0, 1.0)
+              + least(sraw * 4.0, 1.0)) / 3.0, 4) AS quality,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+            WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+            WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM ratios
+"""
+
+_NGRAM_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+              ELSE [] END AS s
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(s) AS n FROM sh
+)
+SELECT id_a, id_b, n_common, jaccard FROM (
+  SELECT id_a, id_b, n_common,
+         round(n_common * 1.0 / (x.n + y.n - n_common), 6) AS jaccard
+  FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id)
+WHERE jaccard >= 0.2
+"""
+
+_ANN_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qvec, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)
+           AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine_sim
+FROM (SELECT query_id, neighbor_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+_EMB_NEARDUP_ORACLE = """
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+           AS cosine_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+WHERE cosine_sim >= 0.4
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wmy_weekly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "W"),
@@ -353,6 +531,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_limit_topk": q_sort_limit_topk,
         "filter_date_range": q_filter_date_range,
         "summary_coverage": q_summary_coverage,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -486,4 +672,15 @@ LEFT JOIN per_cust ON c_custkey = o_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,
+        "text_stats": _TEXT_STATS_ORACLE,
+        "dedup_exact": """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+        "ngram_jaccard_neardup": _NGRAM_JACCARD_ORACLE,
+        "ann_topk": _ANN_TOPK_ORACLE,
+        "embedding_neardup": _EMB_NEARDUP_ORACLE,
+        # minhash_neardup / simhash_neardup / ann_lsh_topk: approximate by
+        # design -> no SQL oracle; driver records rows-only checks.
     }

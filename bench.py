@@ -29,6 +29,10 @@ def main() -> None:
     spark = get_spark("gsdw-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Generic warmup: JVM/codegen/parquet-reader init, not the benched queries.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()

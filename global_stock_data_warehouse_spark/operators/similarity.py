@@ -1,0 +1,245 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- **brute-force cosine top-k** (the exactness baseline): the query set is
+  small by contract — it is broadcast to executors and each corpus
+  partition is scored with one BLAS matmul inside ``mapInPandas`` (Arrow
+  batches, no per-row Python). Each batch emits only its local top-k per
+  query, so the final global top-k window sees k x partitions x queries
+  rows, not |corpus| x |queries|.
+- **LSH-bucketed (random hyperplane)**: corpus and queries hash to
+  sign-pattern buckets (one matmul against a deterministic hyperplane
+  matrix); only same-bucket pairs are scored. Sub-linear candidates at
+  100 TB, recall tunable via plane count (fewer planes = bigger buckets).
+
+Scalar expression helpers (``dot``/``l2_norm``/``cosine``) stay available
+for composing cosine into plain DataFrame plans; the operators below use
+numpy because per-pair ``zip_with`` folds materialize a 64-element array
+per comparison — fine per row, ruinous across 10^7+ pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# expression helpers (composable in pure DataFrame plans)
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two numeric arrays (fold over zip_with; double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels
+# ---------------------------------------------------------------------------
+
+
+def _stack(series: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries`` must carry (query_id_col, vec_col) and be small (it is
+    collected and broadcast, like the build side of a broadcast join).
+    Deterministic: ties broken by neighbor id.
+    """
+    spark = corpus.sparkSession
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(_stack(pd.Series([r[1] for r in q_rows])))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            sims = _normalize(_stack(pdf[vec_col])) @ mat_q.T  # |batch| x |q|
+            for qi, qid in enumerate(ids_q):
+                col = sims[:, qi]
+                mask = c_ids != qid
+                cand_ids, cand_sims = c_ids[mask], col[mask]
+                if cand_ids.size == 0:
+                    continue
+                # local top-k: global top-k is a subset of batch top-ks
+                take = min(k, cand_ids.size)
+                idx = np.argpartition(-cand_sims, take - 1)[:take]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: qid,
+                        "neighbor_id": cand_ids[idx],
+                        "cosine_sim": np.round(cand_sims[idx], 6),
+                    }
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} long, neighbor_id long, cosine_sim double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def embedding_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    Exact all-pairs baseline: the corpus matrix is broadcast (like a
+    broadcast join build side) and each partition computes one
+    |batch| x |corpus| matmul, emitting only above-threshold pairs. Valid
+    up to ~10^6 vectors; beyond that swap candidate generation for the LSH
+    bucket join (``lsh_topk``'s bucketing) — same verify step.
+    """
+    spark = corpus.sparkSession
+    rows = corpus.select(id_col, vec_col).collect()
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    all_mat = _normalize(_stack(pd.Series([r[1] for r in rows])))
+    bc = spark.sparkContext.broadcast((all_ids, all_mat))
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_c, mat_c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            sims = _normalize(_stack(pdf[vec_col])) @ mat_c.T
+            rounded = np.round(sims, 6)
+            ai, bj = np.nonzero((rounded >= threshold) & (b_ids[:, None] < ids_c[None, :]))
+            if ai.size:
+                yield pd.DataFrame(
+                    {"id_a": b_ids[ai], "id_b": ids_c[bj], "cosine_sim": rounded[ai, bj]}
+                )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        pairs, schema="id_a long, id_b long, cosine_sim double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH: random-hyperplane sign buckets
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic hyperplane matrix — regenerated identically on every
+    executor from the seed; nothing to ship."""
+    return np.random.default_rng(seed).standard_normal((planes, dim))
+
+
+def _bucket_of(mat: np.ndarray, hp: np.ndarray) -> np.ndarray:
+    signs = (mat @ hp.T) >= 0  # |rows| x planes
+    weights = (1 << np.arange(hp.shape[0], dtype=np.int64))
+    return (signs.astype(np.int64) * weights).sum(axis=1)
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    planes: int = 10,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+    seed: int = 42,
+) -> DataFrame:
+    """Attach the sign-pattern LSH bucket id (bigint) to every row."""
+
+    def add_bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hp = _hyperplanes(planes, dim, seed)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf.copy()
+            out[out_col] = _bucket_of(_stack(pdf[vec_col]), hp)
+            yield out
+
+    # Fresh StructType: StructType.add() mutates in place, and mutating
+    # df.schema's cached object corrupts df.columns.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+    return df.mapInPandas(add_bucket, schema=schema)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket. At scale run multiple tables (different seeds) and union."""
+    cb = with_lsh_bucket(corpus.select(id_col, vec_col), dim, planes, vec_col, "bucket", seed)
+    qb = with_lsh_bucket(
+        queries.select(query_id_col, vec_col), dim, planes, vec_col, "bucket", seed
+    ).select(query_id_col, F.col(vec_col).alias("_qvec"), "bucket")
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_sim")
+    )

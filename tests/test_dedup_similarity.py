@@ -1,0 +1,112 @@
+"""Tests for dedup (exact / jaccard / minhash / simhash) and similarity ops."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from global_stock_data_warehouse_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_candidates,
+    minhash_neardup,
+    ngram_jaccard_pairs,
+    simhash_neardup,
+)
+from global_stock_data_warehouse_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_neardup,
+)
+from global_stock_data_warehouse_spark.operators.text import text_stats
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "THE  quick   brown fox jumps over the lazy dog"),  # exact dup of 1 (normalized)
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_normalizes(spark):
+    out = dedup_exact(_docs(spark)).collect()
+    by_keep = {r.keep_id: r.n_dups for r in out}
+    assert by_keep[1] == 2  # docs 1 and 4 share a fingerprint
+    assert by_keep[2] == 1 and by_keep[3] == 1
+
+
+def test_ngram_jaccard_finds_neardup(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # identical shingle sets
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert not any({3, 5} & {a, b} for (a, b) in pairs)
+
+
+def test_minhash_agrees_with_exact_on_high_sim(spark):
+    docs = _docs(spark)
+    got = {(r.id_a, r.id_b) for r in minhash_neardup(docs, num_hashes=32, bands=16, threshold=0.5).collect()}
+    # near-certain recall at jaccard>=0.75 with 16 bands of r=2
+    assert (1, 4) in got
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert got <= exact  # verification step guarantees precision
+
+
+def test_simhash_close_for_neardups(spark):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_neardup(_docs(spark), max_hamming=10).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0  # same token multiset
+    assert (1, 2) in pairs  # one-token difference -> few bits
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame([(1,)], "x int").select(
+        cosine(F.array(F.lit(1.0), F.lit(0.0)), F.array(F.lit(0.6), F.lit(0.8))).alias("c")
+    )
+    assert math.isclose(df.collect()[0].c, 0.6, rel_tol=1e-9)
+
+
+def test_brute_force_topk_ordering(spark):
+    vecs = _vecs(spark)
+    q = vecs.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    got = brute_force_topk(vecs, q, k=3).collect()
+    assert [r.neighbor_id for r in got] == [2, 3, 4]
+    assert [r.rank for r in got] == [1, 2, 3]
+    assert got[0].cosine_sim > 0.99 and got[2].cosine_sim == -1.0
+
+
+def test_embedding_neardup_threshold(spark):
+    got = {(r.id_a, r.id_b) for r in embedding_neardup(_vecs(spark), threshold=0.95).collect()}
+    assert got == {(1, 2)}
+
+
+def test_text_stats_battery(spark):
+    out = {r.doc_id: r for r in text_stats(_docs(spark)).collect()}
+    assert out[1].n_tokens == 9
+    assert out[1].lang_pred == "en"
+    assert out[5].n_tokens == 0 and out[5].lang_pred == "und"
+    assert out[1].fingerprint == out[4].fingerprint  # normalization
+    assert 0.0 <= out[1].quality <= 1.0
+
+
+def test_minhash_lsh_bucket_join_is_selective(spark):
+    # docs with no shared content should not be candidates
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(_docs(spark), num_hashes=32, bands=8).collect()
+    }
+    assert (1, 3) not in cands and (2, 3) not in cands
