@@ -1,0 +1,99 @@
+"""Structured Streaming formalization of the reference's batch idioms.
+
+SURVEY.md §2.9 mapping:
+- incremental-sync gate (MAX(date) < today, main.py:101-112) ->
+  ``Trigger.AvailableNow`` file-source ingest: exactly-once offsets replace
+  the hand-rolled freshness check;
+- tumbling calendar buckets (downloader_wmy.py:44-51) -> windowed agg with
+  watermark for late data;
+- PK upsert on re-download (downloader_tw.py:118-120) -> ``foreachBatch``
+  + keyed last-writer-wins upsert (idempotent sink).
+
+All stateful processing keys on the entity id, so state-store partitioning
+matches the batch pipeline's shuffle key; watermark bounds state size at
+100 TB stream scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from global_stock_data_warehouse_spark.operators.upsert import upsert_keyed
+
+
+def read_bar_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory (explicit schema —
+    streaming sources never infer)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def windowed_ohlc(
+    stream: DataFrame,
+    window: str = "7 days",
+    watermark: str = "14 days",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("symbol",),
+    value_col: str = "close",
+) -> DataFrame:
+    """Tumbling-window OHLC aggregate with late-data watermark.
+
+    The watermark mirrors the reference's 14-day gap tolerance: bars later
+    than that are dropped rather than reopening closed buckets.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.window(ts_col, window).alias("win"))
+        .agg(
+            F.min_by(F.col(value_col), F.col(ts_col)).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), F.col(ts_col)).alias("close"),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+        .select(
+            *key_cols,
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_bars",
+        )
+    )
+
+
+def upsert_sink(
+    stream: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    checkpoint: str,
+    available_now: bool = True,
+) -> DataStreamWriter:
+    """foreachBatch keyed-upsert sink: each micro-batch MERGEs into the
+    target (Delta) or window-dedups + overwrites (parquet fallback) —
+    idempotent under replay, the streaming equivalent of INSERT OR
+    REPLACE."""
+
+    def do_upsert(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        upsert_keyed(batch.sparkSession, batch, path, key_cols)
+
+    writer = stream.writeStream.foreachBatch(do_upsert).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer

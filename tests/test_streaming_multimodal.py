@@ -1,0 +1,138 @@
+"""Tests: streaming availableNow pipeline, upsert sink idempotency, and
+multimodal feature-extraction plumbing with an injected fake decoder."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from global_stock_data_warehouse_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+)
+from global_stock_data_warehouse_spark.operators.upsert import upsert_keyed
+from global_stock_data_warehouse_spark.streaming.pipeline import (
+    read_bar_stream,
+    upsert_sink,
+    windowed_ohlc,
+)
+
+BAR_SCHEMA = "ts timestamp, symbol string, close double"
+
+
+def _write_bars(spark, path, rows, mode="overwrite"):
+    spark.createDataFrame(rows, BAR_SCHEMA).coalesce(1).write.mode(mode).parquet(path)
+
+
+def test_streaming_windowed_ohlc_available_now(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    import datetime as dt
+
+    def run_once():
+        stream = read_bar_stream(spark, src, BAR_SCHEMA)
+        assert stream.isStreaming
+        agg = windowed_ohlc(stream, window="7 days", watermark="0 seconds")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows = [
+        (dt.datetime(2024, 1, 1 + d, 12, 0), "A", 100.0 + d) for d in range(10)
+    ]
+    _write_bars(spark, src, rows)
+    run_once()
+    # In append mode a window only emits once the watermark passes its end.
+    # Batch 1 sets the watermark to Jan 10; a second availableNow pass with a
+    # later bar advances it and flushes the first (epoch-aligned) window
+    # [Dec 28, Jan 4) deterministically.
+    _write_bars(spark, src, [(dt.datetime(2024, 1, 30, 12, 0), "A", 200.0)], mode="append")
+    run_once()
+    got = {r.window_start.date().isoformat(): r for r in spark.read.parquet(out).collect()}
+    w1 = got["2023-12-28"]  # holds Jan 1-3 bars
+    assert w1.n_bars == 3
+    assert (w1.open, w1.high, w1.low, w1.close) == (100.0, 102.0, 100.0, 102.0)
+
+
+def test_streaming_upsert_sink_idempotent(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    tgt = str(tmp_path / "tgt")
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1), "A", 1.0),
+        (dt.datetime(2024, 1, 1), "A", 2.0),  # same key: last writer wins
+        (dt.datetime(2024, 1, 2), "B", 3.0),
+    ]
+    _write_bars(spark, src, rows)
+    stream = read_bar_stream(spark, src, BAR_SCHEMA)
+    q = upsert_sink(stream, tgt, ("ts", "symbol"), str(tmp_path / "ck1")).start()
+    q.awaitTermination(120)
+    first = spark.read.parquet(tgt)
+    assert first.count() == 2  # (Jan1,A) deduped, (Jan2,B)
+    # re-run the same data through a NEW stream (replay) -> still 2 rows
+    q2 = upsert_sink(read_bar_stream(spark, src, BAR_SCHEMA), tgt, ("ts", "symbol"), str(tmp_path / "ck2")).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(tgt).count() == 2
+
+
+def test_upsert_keyed_parquet_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "upsert_tbl")
+    df1 = spark.createDataFrame(
+        [("2024-01-01", "A", 1.0, 1), ("2024-01-02", "B", 2.0, 1)],
+        "date string, symbol string, close double, v int",
+    )
+    upsert_keyed(spark, df1, path, ("date", "symbol"), order_col="v")
+    df2 = spark.createDataFrame(
+        [("2024-01-01", "A", 9.0, 2), ("2024-01-03", "C", 3.0, 2)],
+        "date string, symbol string, close double, v int",
+    )
+    upsert_keyed(spark, df2, path, ("date", "symbol"), order_col="v")
+    got = {(r.date, r.symbol): r.close for r in spark.read.parquet(path).collect()}
+    assert got == {
+        ("2024-01-01", "A"): 9.0,  # updated
+        ("2024-01-02", "B"): 2.0,  # untouched
+        ("2024-01-03", "C"): 3.0,  # inserted
+    }
+
+
+def _media_df(spark):
+    rows = [
+        (1, "image", bytearray(b"\x01\x02\x03\x04"), '{"w": 2, "h": 2}'),
+        (2, "audio", bytearray(b"\x05\x06"), '{"sr": 16000}'),
+        (3, "video", bytearray(b"\x07" * 8), '{"n_frames": 25}'),
+        (4, "image", None, "{}"),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, meta string"
+    )
+
+
+def test_multimodal_stub_raises_without_decoder(spark):
+    with pytest.raises(Exception) as ei:
+        extract_features(_media_df(spark)).collect()
+    assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+
+def test_multimodal_fake_decoder_plumbing(spark):
+    def fake_decode(raw: bytes, mtype: str) -> np.ndarray:
+        return np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+
+    out = {r.media_id: r for r in extract_features(_media_df(spark), decode=fake_decode, feature_dim=4).collect()}
+    assert out[1].n_bytes == 4 and len(out[1].feature) == 4
+    assert out[1].feature == [1.0, 2.0, 3.0, 4.0]  # mean-pool of 4 bytes into 4 buckets
+    assert out[4].n_bytes == 0 and out[4].feature == [0.0, 0.0, 0.0, 0.0]
+    assert out[3].media_type == "video"
+
+
+def test_frame_sample_plan(spark):
+    got = frame_sample_plan(_media_df(spark), every_n=10).collect()
+    assert [(r.media_id, r.frame_idx) for r in got] == [(3, 0), (3, 10), (3, 20)]
