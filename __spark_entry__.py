@@ -28,6 +28,7 @@ from global_stock_data_warehouse_spark.functions.normalize import (
 )
 from global_stock_data_warehouse_spark.operators.joins import (
     anti_missing,
+    asof_join,
     broadcast_lookup,
     semi_active,
 )
@@ -342,6 +343,130 @@ def q_summary_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("status", status_flag("coverage", 80.0))
 
 
+def q_asof_join_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine extension): each event matched to the latest
+    weekly bar whose period_end <= the event date, per user. Union +
+    running-last window — one shuffle, no range-join pair explosion."""
+    ev = _event_bars(spark, sf_dir).select("user_id", "event_id", "d", "value")
+    bars = _wmy_resample_returns(spark, sf_dir, "W").select(
+        "user_id", "period_end", F.col("close").alias("bar_close")
+    )
+    out = asof_join(ev, bars, on="user_id", left_ts="d", right_ts="period_end")
+    return out.select(
+        "user_id",
+        "event_id",
+        "d",
+        "value",
+        F.col("r_bar_close").alias("bar_close"),
+        F.col("r_period_end").alias("bar_period_end"),
+    )
+
+
+def q_win_rolling_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frames: 7-row rolling mean (ROWS BETWEEN) and
+    14-day trailing sum (RANGE BETWEEN on days-since-epoch)."""
+    ev = _event_bars(spark, sf_dir)
+    rows_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    range_w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.datediff("d", F.lit("1970-01-01")))
+        .rangeBetween(-13, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(rows_w), 4).alias("avg_7row"),
+        F.round(F.sum("value").over(range_w), 4).alias("sum_14day"),
+    )
+
+
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over nation x mktsegment with grouping_id —
+    map-side partial agg + one shuffle; Catalyst expands the sets."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"), "c_acctbal"
+    )
+    return (
+        joined.cube("nation", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.grouping_id().alias("gid"),
+        )
+        # sentinel instead of NULL grouping cells: drivers' order-insensitive
+        # hashers often can't totally order NULLs; gid still disambiguates
+        .select(
+            F.coalesce("nation", F.lit("(all)")).alias("nation"),
+            F.coalesce("segment", F.lit("(all)")).alias("segment"),
+            "n_customers",
+            "sum_acctbal",
+            "gid",
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL multiset semantics, tagged and unioned."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersectAll(s).withColumn("op", F.lit("intersect"))
+    only_c = c.exceptAll(s).withColumn("op", F.lit("except"))
+    return (
+        both.unionByName(only_c)
+        .groupBy("op", "nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list (no extra distinct-scan job):
+    order counts per priority x status."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+def q_window_tumbling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling window: epoch-aligned 7-day
+    buckets per user via F.window (same semantics as streaming/pipeline)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.window("ts", "7 days").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("window_start"), "n_events", "sum_value"
+        )
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 scale path: HyperLogLog++ approx distinct vs exact, per
+    returnflag (sketch-based -> rows-only check, no SQL oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -531,6 +656,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_limit_topk": q_sort_limit_topk,
         "filter_date_range": q_filter_date_range,
         "summary_coverage": q_summary_coverage,
+        "asof_join_bars": q_asof_join_bars,
+        "win_rolling_frame": q_win_rolling_frame,
+        "cube_rollup": q_cube_rollup,
+        "set_ops": q_set_ops,
+        "pivot_status": q_pivot_status,
+        "window_tumbling_7d": q_window_tumbling_7d,
+        "approx_distinct": q_approx_distinct,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
@@ -671,6 +803,64 @@ FROM customer
 LEFT JOIN per_cust ON c_custkey = o_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+""",
+        "asof_join_bars": f"""
+WITH bars AS (
+  SELECT user_id,
+         CAST(ts AS DATE) + CAST((5 - isodow(CAST(ts AS DATE)) + 7) % 7 AS INTEGER)
+           AS period_end,
+         last(value ORDER BY ts, event_id) AS bar_close
+  FROM events GROUP BY 1, 2
+)
+SELECT e.user_id, e.event_id, CAST(e.ts AS DATE) AS d, e.value,
+       b.bar_close, b.period_end AS bar_period_end
+FROM events e
+ASOF LEFT JOIN bars b
+  ON e.user_id = b.user_id AND CAST(e.ts AS DATE) >= b.period_end
+""",
+        "win_rolling_frame": """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7row,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                              RANGE BETWEEN 13 PRECEDING AND CURRENT ROW), 4) AS sum_14day
+FROM events
+""",
+        "cube_rollup": """
+SELECT coalesce(n_name, '(all)') AS nation,
+       coalesce(c_mktsegment, '(all)') AS segment,
+       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal,
+       GROUPING(n_name, c_mktsegment) AS gid
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, c_mktsegment)
+""",
+        "set_ops": """
+WITH both_k AS (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL SELECT s_nationkey FROM supplier
+), only_c AS (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL SELECT s_nationkey FROM supplier
+), tagged AS (
+  SELECT 'intersect' AS op, nationkey FROM both_k
+  UNION ALL SELECT 'except' AS op, nationkey FROM only_c
+)
+SELECT op, nationkey, count(*) AS n FROM tagged GROUP BY op, nationkey
+""",
+        "pivot_status": """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders GROUP BY o_orderpriority
+""",
+        "window_tumbling_7d": """
+SELECT user_id,
+       time_bucket(INTERVAL '7 days', ts, TIMESTAMP '1970-01-01') AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
 """,
         "text_stats": _TEXT_STATS_ORACLE,
         "dedup_exact": """

@@ -35,6 +35,82 @@ def broadcast_lookup(
     return out
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_days: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the latest right row whose
+    ``right_ts`` <= ``left_ts`` within the same key (ties: equal timestamps
+    DO match, like DuckDB/pandas ``ASOF``/``merge_asof`` defaults).
+
+    Implemented as **union + running last-non-null window**, not a range
+    join: tag both sides, union them, and within each key take
+    ``last(right_payload, ignorenulls=True)`` over rows ordered by
+    (ts, side) with right rows sorting first at equal ts. One shuffle on
+    the join key, O(n log n) sort per key, zero pair explosion — a naive
+    ``l.ts >= r.ts`` range join would materialize O(|L|·|R|) rows per key
+    before aggregation, which is exactly what kills at 100 TB.
+
+    Right payload columns are prefixed ``r_``; ``tolerance_days`` nulls out
+    matches staler than the given number of days (the reference's
+    freshness-gate intent, main.py:101-112).
+    """
+    from pyspark.sql import Window
+
+    keys = [on] if isinstance(on, str) else list(on)
+    lpay = [c for c in left.columns if c not in keys and c != left_ts]
+    rpay = [c for c in right.columns if c not in keys and c != right_ts]
+
+    lu = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *lpay,
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"r_{c}") for c in rpay],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(f"r_{right_ts}"),
+    )
+    ru = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lpay],
+        *[F.col(c).alias(f"r_{c}") for c in rpay],
+        F.col(right_ts).alias(f"r_{right_ts}"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = lu.unionByName(ru).select(
+        "*",
+        *[
+            F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in [*rpay, right_ts]
+        ],
+    )
+    out = (
+        matched.filter(F.col("_is_left") == 1)
+        .select(
+            *keys,
+            F.col("_ts").alias(left_ts),
+            *lpay,
+            *[F.col(f"_m_{c}").alias(f"r_{c}") for c in [*rpay, right_ts]],
+        )
+    )
+    if tolerance_days is not None:
+        stale = F.datediff(F.col(left_ts), F.col(f"r_{right_ts}")) > tolerance_days
+        for c in [*rpay, right_ts]:
+            out = out.withColumn(
+                f"r_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"r_{c}"))
+            )
+    return out
+
+
 def anti_missing(dim: DataFrame, facts: DataFrame, on: str | Sequence[str]) -> DataFrame:
     """Dim rows with NO matching facts (coverage gaps / fail_list)."""
     keys = [on] if isinstance(on, str) else list(on)

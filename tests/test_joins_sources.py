@@ -1,0 +1,87 @@
+"""Tests: as-of join semantics (ties, misses, tolerance) and the injected
+fan-out fetch source with dead-letter quarantine."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from global_stock_data_warehouse_spark.operators.joins import asof_join
+from global_stock_data_warehouse_spark.sources.fetch import fetch_timeseries, split_quarantine
+
+
+@pytest.fixture()
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            ("A", "2024-01-01", 1.0),   # before any bar -> null
+            ("A", "2024-01-05", 2.0),   # == bar date -> matches that bar
+            ("A", "2024-01-09", 3.0),   # between bars -> Jan 5 bar
+            ("A", "2024-03-01", 4.0),   # far after last bar
+            ("B", "2024-01-06", 5.0),   # other key
+        ],
+        "k string, d string, v double",
+    ).withColumn("d", F.to_date("d"))
+    right = spark.createDataFrame(
+        [
+            ("A", "2024-01-05", 100.0),
+            ("A", "2024-01-12", 110.0),
+            ("B", "2024-01-05", 200.0),
+        ],
+        "k string, bd string, px double",
+    ).withColumn("bd", F.to_date("bd"))
+    return left, right
+
+
+def test_asof_join_backward_with_ties(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        (r.k, r.d.isoformat()): (r.r_px, r.r_bd.isoformat() if r.r_bd else None)
+        for r in asof_join(left, right, on="k", left_ts="d", right_ts="bd").collect()
+    }
+    assert out[("A", "2024-01-01")] == (None, None)
+    assert out[("A", "2024-01-05")] == (100.0, "2024-01-05")  # equal ts matches
+    assert out[("A", "2024-01-09")] == (100.0, "2024-01-05")
+    assert out[("A", "2024-03-01")] == (110.0, "2024-01-12")
+    assert out[("B", "2024-01-06")] == (200.0, "2024-01-05")
+
+
+def test_asof_join_tolerance(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        (r.k, r.d.isoformat()): r.r_px
+        for r in asof_join(
+            left, right, on="k", left_ts="d", right_ts="bd", tolerance_days=7
+        ).collect()
+    }
+    assert out[("A", "2024-01-09")] == 100.0  # 4 days stale: kept
+    assert out[("A", "2024-03-01")] is None  # 49 days stale: nulled
+
+
+FETCH_SCHEMA = "date string, close double, symbol string, _fetch_error string"
+
+
+def test_fetch_timeseries_fanout_and_quarantine(spark):
+    # defined in-function so cloudpickle ships it by value to executors
+    def _fake_fetch(sym: str) -> pd.DataFrame:
+        if sym == "BOOM":
+            raise RuntimeError("upstream 500")
+        if sym == "EMPTY":
+            return pd.DataFrame(columns=["date", "close"])
+        return pd.DataFrame(
+            {"date": ["2024-01-01", "2024-01-02"], "close": [float(len(sym)), float(len(sym)) + 1]}
+        )
+
+    syms = spark.createDataFrame([("AAPL",), ("BOOM",), ("EMPTY",), ("TW",)], "symbol string")
+    fetched = fetch_timeseries(
+        syms, _fake_fetch, FETCH_SCHEMA, max_concurrency=2, max_retries=1
+    )
+    ok, dead = split_quarantine(fetched)
+    ok_rows = {(r.symbol, r.date): r.close for r in ok.collect()}
+    assert ok_rows[("AAPL", "2024-01-01")] == 4.0
+    assert ok_rows[("TW", "2024-01-02")] == 3.0
+    assert len(ok_rows) == 4  # 2 symbols x 2 bars; EMPTY skipped
+    dead_rows = dead.collect()
+    assert len(dead_rows) == 1
+    assert dead_rows[0].symbol == "BOOM" and "upstream 500" in dead_rows[0]._fetch_error

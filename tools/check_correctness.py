@@ -44,8 +44,10 @@ def _norm_cell(v):
 
 
 def _normalize(rows, cols):
+    # NULL-safe total order: sort on the repr of each normalized cell.
     return sorted(
-        tuple(_norm_cell(v) for v in row) for row in rows
+        (tuple(_norm_cell(v) for v in row) for row in rows),
+        key=lambda r: tuple(repr(v) for v in r),
     ), sorted(c.lower() for c in cols)
 
 
