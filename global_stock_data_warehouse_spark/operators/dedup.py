@@ -119,19 +119,21 @@ def ngram_jaccard_pairs(
     needed when even verification arrays get hot at extreme corpus scale).
     """
     if strategy == "auto":
-        stats = (
-            df.select(F.explode(shingles(text_col, n)).alias("s"), F.col(id_col))
-            .agg(
-                F.approx_count_distinct("s").alias("vocab"),
-                F.approx_count_distinct(id_col).alias("docs"),
+        # Planner-stats probe folded into the artifact the dense path needs
+        # anyway: materialize the distinct-shingle vocab once; its count
+        # decides the strategy and the cached vocab is reused for the dense
+        # bitmap build (no separate sketch pass over the corpus).
+        vocab = (
+            df.select(F.explode(shingles(text_col, n)).alias("s")).distinct().cache()
+        )
+        n_vocab = vocab.count()
+        n_docs = df.count()  # parquet metadata count — no scan
+        if n_vocab <= dense_max_vocab and n_docs <= dense_max_docs:
+            return _ngram_jaccard_dense(
+                df, text_col, id_col, n, threshold, block_size, vocab=vocab
             )
-            .first()
-        )
-        strategy = (
-            "dense"
-            if stats.vocab <= dense_max_vocab and stats.docs <= dense_max_docs
-            else "sparse"
-        )
+        vocab.unpersist()
+        strategy = "sparse"
     if strategy == "dense":
         return _ngram_jaccard_dense(df, text_col, id_col, n, threshold, block_size)
 
@@ -190,6 +192,7 @@ def _ngram_jaccard_dense(
     n: int,
     threshold: float,
     block_size: int,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Dense-regime exact Jaccard: blocked binary-matrix multiply.
 
@@ -221,11 +224,10 @@ def _ngram_jaccard_dense(
     inv = sh.select("id", F.explode("sh").alias("s"))
     # Exact contiguous vocab ids; single-partition window is safe because
     # the dense regime precondition bounds the vocab.
-    vocab = (
-        inv.select("s")
-        .distinct()
-        .coalesce(1)
-        .withColumn("vix", F.row_number().over(Window.orderBy("s")) - 1)
+    if vocab is None:
+        vocab = inv.select("s").distinct()
+    vocab = vocab.coalesce(1).withColumn(
+        "vix", F.row_number().over(Window.orderBy("s")) - 1
     )
     blocks = (
         inv.join(F.broadcast(vocab), "s")
@@ -378,25 +380,80 @@ def minhash_neardup(
     bands: int = 8,
     ngram: int = 2,
     threshold: float = 0.5,
+    verify: str = "estimate",
 ) -> DataFrame:
-    """LSH candidates verified with exact shingle Jaccard (standard
-    generate-then-verify: recall from LSH, precision exact)."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, ngram)
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, ngram).alias("sh"))
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
-                6,
-            ),
+    """Banded-LSH near-dup pairs with pluggable verification.
+
+    ``verify='estimate'`` (default, single-pass): signatures ride along the
+    band join as packed arrays; candidate pairs are scored by the MinHash
+    estimator itself — fraction of matching signature positions, unbiased
+    for Jaccard with stderr ~ sqrt(t(1-t)/k). ONE shuffle join + one pair
+    group; no re-join against full shingle arrays. This is the true LSH
+    scale path: at 100 TB the shingle arrays are the thing you cannot
+    afford to move twice, the 32x8B signature is the thing you can.
+
+    ``verify='exact'``: candidates re-joined to full shingle sets and
+    scored with exact ``array_intersect`` Jaccard (precision-exact, two
+    extra shuffles). Output column is ``jaccard`` either way; with
+    'estimate' it is the k-sample estimate, not the exact value.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    if verify == "exact":
+        cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, ngram)
+        sh = df.select(F.col(id_col).alias("id"), shingles(text_col, ngram).alias("sh"))
+        a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        return (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
+
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
+    packed = sig.select(
+        "id", F.array(*[F.col(f"mh{k}") for k in range(num_hashes)]).alias("sig")
+    )
+    banded = packed.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(F.slice("sig", bi * r + 1, r)).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    x, y = banded.alias("x"), banded.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.first(F.col("x.sig")).alias("sig_a"), F.first(F.col("y.sig")).alias("sig_b"))
+    )
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda v: v))
+    return (
+        pairs.withColumn("jaccard", F.round(matches / F.lit(num_hashes), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
