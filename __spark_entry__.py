@@ -59,7 +59,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type in ("bigint", "long"):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer DIV, not /1000: float division of ~1.7e18 nanos loses
+        # sub-microsecond precision (53-bit mantissa) and shifts timestamps
+        # by ±1us vs the oracle
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 
@@ -80,7 +83,11 @@ def _event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _wmy_resample_returns(spark: SparkSession, sf_dir: str, freq: str) -> DataFrame:
-    bars = _event_bars(spark, sf_dir)
+    # One explicit hash partition on the entity key: HashPartitioning(user_id)
+    # satisfies ClusteredDistribution(user_id, bucket) for the resample agg
+    # AND the lag window's requirement, so the whole resample->returns chain
+    # runs on a single exchange instead of two (verified via explain).
+    bars = _event_bars(spark, sf_dir).repartition("user_id")
     r = ohlc_resample(
         bars,
         freq,
@@ -457,6 +464,38 @@ def q_window_tumbling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a >2-day quiet
+    period per user. Running-sum-over-flags window pattern; one shuffle."""
+    ev = _event_bars(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap_sec.isNull() | (gap_sec > 2 * 86400), 1).otherwise(0)
+    sessions = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation, sample stddev/variance, exact
+    interpolated median and p75 per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.median("l_extendedprice"), 6).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", 0.75), 6).alias("p75_price"),
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 scale path: HyperLogLog++ approx distinct vs exact, per
     returnflag (sketch-based -> rows-only check, no SQL oracle)."""
@@ -662,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "pivot_status": q_pivot_status,
         "window_tumbling_7d": q_window_tumbling_7d,
+        "sessionize": q_sessionize,
+        "stats_moments": q_stats_moments,
         "approx_distinct": q_approx_distinct,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
@@ -861,6 +902,35 @@ SELECT user_id,
        count(*) AS n_events,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) > 2 * 86400
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), tagged AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 4) AS sum_value
+FROM tagged GROUP BY user_id, session_id
+""",
+        "stats_moments": """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(stddev_samp(l_discount), 6) AS sd_discount,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(median(l_extendedprice), 6) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+FROM lineitem GROUP BY l_returnflag
 """,
         "text_stats": _TEXT_STATS_ORACLE,
         "dedup_exact": """

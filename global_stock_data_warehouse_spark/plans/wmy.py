@@ -50,6 +50,11 @@ def wmy_pipeline(
     period_return — the reference's W/M/Y parquet schema (FIXTURES.md §B4).
     verdicts: one row per symbol with gate booleans (feeds the audit table).
     """
+    # Single hash partition on the symbol: HashPartitioning(symbol) satisfies
+    # the clustering requirement of the gate aggregation AND every per-freq
+    # resample agg (grouping keys are supersets of the partition key), so
+    # the whole validate->resample fan-out shares one exchange.
+    bars = bars.repartition(key_col)
     verdicts = gate_summary(
         bars,
         key_cols=(key_col,),
