@@ -535,12 +535,25 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: correlation, sample stddev/variance, exact
     interpolated median and p75 per group."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
-        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.round(F.median("l_extendedprice"), 6).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", 0.75), 6).alias("p75_price"),
+    # one percentile(col, array(...)) = one sort-agg for both quantiles,
+    # instead of separate median + percentile sort-aggregates
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.75)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            pcts.alias("_pcts"),
+        )
+        .select(
+            "l_returnflag",
+            "corr_qty_price",
+            "sd_discount",
+            "var_qty",
+            F.round(F.col("_pcts")[0], 6).alias("median_price"),
+            F.round(F.col("_pcts")[1], 6).alias("p75_price"),
+        )
     )
 
 

@@ -441,21 +441,27 @@ def minhash_neardup(
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     x, y = banded.alias("x"), banded.alias("y")
-    pairs = (
+    # estimate computed IN the join output and filtered before the pair
+    # dedup: only passing pairs reach the distinct's shuffle.
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("x.sig"), F.col("y.sig"), lambda a, b: a == b), lambda v: v
+        )
+    )
+    return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.id") < F.col("y.id")),
         )
-        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .agg(F.first(F.col("x.sig")).alias("sig_a"), F.first(F.col("y.sig")).alias("sig_b"))
-    )
-    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda v: v))
-    return (
-        pairs.withColumn("jaccard", F.round(matches / F.lit(num_hashes), 6))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.round(matches / F.lit(num_hashes), 6).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .distinct()
     )
 
 
@@ -547,22 +553,23 @@ def simhash_neardup(
     ).select("id", "sh", "c.chunk_idx", "c.chunk")
     x = chunks.alias("x")
     y = chunks.alias("y")
-    pairs = (
+    # Hamming predicate INSIDE the join: far pairs die in the join stage
+    # instead of being shuffled into the dedup exchange — on dense corpora
+    # the chunk buckets generate millions of far pairs, and this is the
+    # difference between shuffling all of them and shuffling only hits.
+    hamming = F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh")))
+    return (
         x.join(
             y,
             (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
             & (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.id") < F.col("y.id")),
+            & (F.col("x.id") < F.col("y.id"))
+            & (hamming <= max_hamming),
         )
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.col("x.sh").alias("sh_a"),
-            F.col("y.sh").alias("sh_b"),
+            hamming.alias("hamming"),
         )
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
     )
