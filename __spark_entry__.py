@@ -577,6 +577,20 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: score -> quality-gate -> exact
+    dedup keep-one. One scan, one narrow projection chain, one window on
+    the fingerprint — the minimal-shuffle shape of a corpus-cleaning job."""
+    st = text_stats(_t(spark, sf_dir, "documents"))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        st.filter(F.col("quality") >= 0.5)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens", "lang_pred", "quality")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by normalized-text md5 fingerprint."""
     return dedup_exact(_t(spark, sf_dir, "documents"))
@@ -768,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_moments": q_stats_moments,
         "approx_distinct": q_approx_distinct,
         "text_stats": q_text_stats,
+        "corpus_clean": q_corpus_clean,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
         "minhash_neardup": q_minhash_neardup,
@@ -1022,6 +1037,14 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """,
         "text_stats": _TEXT_STATS_ORACLE,
+        "corpus_clean": f"""
+WITH stats AS ({_TEXT_STATS_ORACLE})
+SELECT doc_id, n_tokens, lang_pred, quality FROM (
+  SELECT doc_id, n_tokens, lang_pred, quality,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM stats WHERE quality >= 0.5)
+WHERE rn = 1
+""",
         "dedup_exact": """
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
        min(doc_id) AS keep_id, count(*) AS n_dups
