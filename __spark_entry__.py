@@ -43,6 +43,7 @@ from global_stock_data_warehouse_spark.operators.returns import with_date_gap, w
 from global_stock_data_warehouse_spark.operators.similarity import (
     brute_force_topk,
     embedding_neardup,
+    ivf_topk,
     lsh_topk,
 )
 from global_stock_data_warehouse_spark.operators.text import text_stats
@@ -632,6 +633,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries_df, dim=64, k=5, planes=6)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5: sample-trained coarse quantizer, probe 4 of 16 cells
+    (~25% scan fraction; rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=4)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
     return embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
@@ -789,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
     }
 

@@ -110,3 +110,27 @@ def test_minhash_lsh_bucket_join_is_selective(spark):
         for r in minhash_lsh_candidates(_docs(spark), num_hashes=32, bands=8).collect()
     }
     assert (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark, sf_dir):
+    import os
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.rank): r.neighbor_id for r in brute_force_topk(emb, qs, k=3).collect()}
+    # probing every cell makes IVF exhaustive -> must equal brute force
+    ivf_all = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(emb, qs, k=3, n_cells=8, n_probe=8).collect()
+    }
+    assert ivf_all == exact
+    # partial probe returns a full result set (k rows per query)
+    ivf_part = ivf_topk(emb, qs, k=3, n_cells=8, n_probe=2).collect()
+    assert len(ivf_part) == 12 and all(1 <= r.rank <= 3 for r in ivf_part)
