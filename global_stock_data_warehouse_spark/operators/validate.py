@@ -55,6 +55,30 @@ def gate_summary(
     )
 
 
+def freshness_watermark(
+    df: DataFrame,
+    date_col: str = "date",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """MAX(date) freshness watermark (A2 / main.py:101-112 intent) —
+    overall, or per key when ``key_cols`` given. The driver-side
+    incremental gate: skip (or bound) the ingest job when the watermark is
+    already current. One aggregate; on a date-partitioned table Catalyst
+    answers it from partition metadata without scanning rows."""
+    if key_cols:
+        return df.groupBy(*key_cols).agg(F.max(date_col).alias("watermark"))
+    return df.agg(F.max(date_col).alias("watermark"))
+
+
+def needs_update(df: DataFrame, as_of, date_col: str = "date") -> bool:
+    """True if the table's watermark is strictly behind ``as_of``. Empty
+    table -> True (never synced). NOT swallowed on error — a broken scan
+    must fail the run, unlike the reference's bare ``except: return True``
+    (main.py:112), which silently re-ran a possibly-corrupt pipeline."""
+    row = freshness_watermark(df, date_col).first()
+    return row is None or row.watermark is None or row.watermark < as_of
+
+
 def quarantine(
     facts: DataFrame,
     verdicts: DataFrame,

@@ -90,3 +90,22 @@ def test_anti_semi(spark):
     facts = spark.createDataFrame([("A",), ("A",), ("C",)], "symbol string")
     assert {r.symbol for r in anti_missing(dim, facts, "symbol").collect()} == {"B"}
     assert {r.symbol for r in semi_active(dim, facts, "symbol").collect()} == {"A", "C"}
+
+
+def test_freshness_gate(spark):
+    import datetime as dt
+    from global_stock_data_warehouse_spark.operators.validate import (
+        freshness_watermark,
+        needs_update,
+    )
+
+    df = spark.createDataFrame(
+        [("A", dt.date(2024, 1, 5)), ("B", dt.date(2024, 1, 9))], "symbol string, date date"
+    )
+    assert freshness_watermark(df).first().watermark == dt.date(2024, 1, 9)
+    per_key = {r.symbol: r.watermark for r in freshness_watermark(df, key_cols=("symbol",)).collect()}
+    assert per_key == {"A": dt.date(2024, 1, 5), "B": dt.date(2024, 1, 9)}
+    assert needs_update(df, dt.date(2024, 1, 10)) is True
+    assert needs_update(df, dt.date(2024, 1, 9)) is False
+    empty = spark.createDataFrame([], "symbol string, date date")
+    assert needs_update(empty, dt.date(2024, 1, 1)) is True
