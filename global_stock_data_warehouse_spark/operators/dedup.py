@@ -221,7 +221,9 @@ def _ngram_jaccard_dense(
     n_blocks = max(1, math.ceil(n_docs / max(1, block_size)))
 
     sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-    inv = sh.select("id", F.explode("sh").alias("s"))
+    # cached: read twice (vocab build unless pre-supplied + bitmap build),
+    # and re-tokenizing/shingling the corpus is the expensive part
+    inv = sh.select("id", F.explode("sh").alias("s")).cache()
     # Exact contiguous vocab ids; single-partition window is safe because
     # the dense regime precondition bounds the vocab.
     if vocab is None:

@@ -1,0 +1,39 @@
+"""Driver-contract smoke: every queries() entry must run and produce a
+stable schema; oracle_sql() keys must be a subset of queries() keys.
+
+This is the cheap tripwire for contract breaks — full value parity vs the
+DuckDB oracle runs in tools/check_correctness.py at sf0.01.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    assert oracles <= qs, f"oracles without queries: {oracles - qs}"
+    # every non-oracle query is a documented approximate/sketch op
+    approx_ok = {"minhash_neardup", "simhash_neardup", "ann_lsh_topk", "ann_ivf_topk", "approx_distinct"}
+    assert qs - oracles <= approx_ok, f"missing oracles: {qs - oracles - approx_ok}"
+
+
+def test_entry_runs_and_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.columns == [
+        "user_id", "period_end", "open", "high", "low", "close", "sum_value", "period_return",
+    ]
+    assert df.count() > 0
+
+
+def test_every_query_runs_at_sf0001(spark, sf_dir):
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            assert n >= 0 and len(df.columns) > 0
+        except Exception as exc:  # collect all breaks, report once
+            failures[name] = f"{type(exc).__name__}: {exc}"
+    assert not failures, failures
