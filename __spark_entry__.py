@@ -513,6 +513,52 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view -> click -> purchase): each stage is the
+    min event time AFTER the previous stage, per user; one row of stage
+    counts. Staged min-aggregates + broadcast-joined tiny per-user dims."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.select(F.lit(1).alias("_one"), "user_id")
+        .groupBy("_one")
+        .agg(F.countDistinct("user_id").alias("n_viewed"))
+        .join(
+            s2.select(F.lit(1).alias("_one"), "user_id")
+            .groupBy("_one")
+            .agg(F.countDistinct("user_id").alias("n_clicked")),
+            "_one",
+            "left",
+        )
+        .join(
+            s3.select(F.lit(1).alias("_one"), "user_id")
+            .groupBy("_one")
+            .agg(F.countDistinct("user_id").alias("n_purchased")),
+            "_one",
+            "left",
+        )
+        .select("n_viewed", "n_clicked", "n_purchased")
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts after a >2-day quiet
     period per user. Running-sum-over-flags window pattern; one shuffle."""
@@ -789,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_tumbling_7d": q_window_tumbling_7d,
         "shipping_priority": q_shipping_priority,
         "regional_revenue": q_regional_revenue,
+        "funnel_3step": q_funnel_3step,
         "sessionize": q_sessionize,
         "stats_moments": q_stats_moments,
         "approx_distinct": q_approx_distinct,
@@ -1018,6 +1065,22 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
+""",
+        "funnel_3step": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT (SELECT count(DISTINCT user_id) FROM s1) AS n_viewed,
+       (SELECT count(DISTINCT user_id) FROM s2) AS n_clicked,
+       (SELECT count(DISTINCT user_id) FROM s3) AS n_purchased
 """,
         "sessionize": """
 WITH flagged AS (
