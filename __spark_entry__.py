@@ -137,6 +137,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return _wmy_resample_returns(spark, "/root/testdata/sf0.001", "W")
 
 
+def q_wmy_gold_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL flagship plan (plans/wmy.py): validation gates -> broadcast
+    anti-join quarantine -> W+M resample -> per-(stock,freq) returns, as
+    one oracle-checked query (events mapped to bars: value = OHLC)."""
+    from global_stock_data_warehouse_spark.plans.wmy import wmy_pipeline
+
+    bars = _event_bars(spark, sf_dir).select(
+        F.col("user_id").alias("symbol"),
+        F.col("d").alias("date"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.col("value").alias("open"),
+        F.col("value").alias("high"),
+        F.col("value").alias("low"),
+        F.col("value").alias("close"),
+        F.col("value").alias("volume"),
+    )
+    gold, _ = wmy_pipeline(
+        bars,
+        time_col="date",
+        key_col="symbol",
+        freqs=("W", "M"),
+        gap_since="2024-01-01",
+        max_gap_days=14,
+        tiebreak_cols=("ts", "event_id"),
+    )
+    return gold.select(
+        F.col("stock_id").alias("user_id"),
+        "freq",
+        "period_end",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round("volume", 4).alias("sum_value"),
+        "period_return",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Operator queries (SURVEY.md §2) over the driver tables
 # ---------------------------------------------------------------------------
@@ -806,6 +845,7 @@ WHERE cosine_sim >= 0.4
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "wmy_gold_pipeline": q_wmy_gold_pipeline,
         "wmy_weekly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "W"),
         "wmy_monthly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "M"),
         "wmy_yearly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "Y"),
@@ -854,6 +894,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "wmy_gold_pipeline": """
+WITH bars AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, value FROM events
+), gapped AS (
+  SELECT user_id, value,
+         CASE WHEN d >= DATE '2024-01-01'
+              THEN date_diff('day', lag(d) OVER (PARTITION BY user_id ORDER BY d), d)
+         END AS gap
+  FROM bars
+), gates AS (
+  SELECT user_id,
+         max(CASE WHEN value <= 0 THEN 1 ELSE 0 END) = 1 AS invalid_price,
+         coalesce(max(gap) > 14, FALSE) AS gap_too_large
+  FROM gapped GROUP BY user_id
+), clean AS (
+  SELECT b.* FROM bars b JOIN gates g ON b.user_id = g.user_id
+  WHERE NOT g.invalid_price AND NOT g.gap_too_large
+), res AS (
+  SELECT user_id, 'W' AS freq,
+         d + CAST((5 - isodow(d) + 7) % 7 AS INTEGER) AS period_end,
+         first(value ORDER BY ts, event_id) AS open,
+         max(value) AS high, min(value) AS low,
+         last(value ORDER BY ts, event_id) AS close,
+         sum(value) AS sum_value
+  FROM clean GROUP BY 1, 3
+  UNION ALL
+  SELECT user_id, 'M', last_day(d), first(value ORDER BY ts, event_id), max(value),
+         min(value), last(value ORDER BY ts, event_id), sum(value)
+  FROM clean GROUP BY 1, 3
+)
+SELECT user_id, freq, period_end, open, high, low, close,
+       round(sum_value, 4) AS sum_value,
+       round(close / lag(close) OVER (PARTITION BY user_id, freq ORDER BY period_end) - 1, 4)
+         AS period_return
+FROM res
+""",
         "wmy_weekly_resample_returns": _wmy_oracle("W"),
         "wmy_monthly_resample_returns": _wmy_oracle("M"),
         "wmy_yearly_resample_returns": _wmy_oracle("Y"),
