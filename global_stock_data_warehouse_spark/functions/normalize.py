@@ -84,3 +84,26 @@ DERIVATIVE_NAME_PATTERN = "WARRANT|RIGHT|PREFERRED|UNIT|ETF|INDEX"
 
 def is_derivative_name(col: Column | str) -> Column:
     return F.upper(_c(col)).rlike(DERIVATIVE_NAME_PATTERN)
+
+
+# P3: the reference's bilingual gold schema (downloader_wmy.py:29-33 rename
+# map + :57,111-117 added columns). The engine computes in English and
+# applies this mapping only at the export edge.
+WMY_I18N_RENAME = {
+    "period_end": "日期",
+    "open": "開盤",
+    "high": "最高",
+    "low": "最低",
+    "close": "收盤",
+    "volume": "成交量",
+    "period_return": "漲跌幅",
+    "stock_id": "StockID",
+}
+
+
+def rename_i18n(df, mapping: dict[str, str] | None = None):
+    """Rename engine columns to the reference's published (zh) schema.
+    Columns absent from ``df`` are ignored, so it composes with any
+    projection of the gold table."""
+    m = {k: v for k, v in (mapping or WMY_I18N_RENAME).items() if k in df.columns}
+    return df.withColumnsRenamed(m)

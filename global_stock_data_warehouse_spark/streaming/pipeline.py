@@ -76,6 +76,36 @@ def windowed_ohlc(
     )
 
 
+def sessionized_activity(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("symbol",),
+    value_col: str = "close",
+) -> DataFrame:
+    """Dynamic-gap session windows (``F.session_window``): a session closes
+    after ``gap`` of inactivity per key. Spark merges overlapping window
+    state natively; the watermark both admits bounded lateness and lets
+    closed sessions leave the state store — the state-size guarantee that
+    matters on an unbounded stream."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.session_window(ts_col, gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            *key_cols,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def upsert_sink(
     stream: DataFrame,
     path: str,

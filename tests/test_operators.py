@@ -109,3 +109,17 @@ def test_freshness_gate(spark):
     assert needs_update(df, dt.date(2024, 1, 9)) is False
     empty = spark.createDataFrame([], "symbol string, date date")
     assert needs_update(empty, dt.date(2024, 1, 1)) is True
+
+
+def test_rename_i18n_export_edge(spark):
+    from global_stock_data_warehouse_spark.functions.normalize import rename_i18n
+
+    df = spark.createDataFrame(
+        [("2024-01-05", 1.0, 2.0, 0.5, 1.5, 100, 0.01, "2330")],
+        "period_end string, open double, high double, low double, close double, "
+        "volume bigint, period_return double, stock_id string",
+    )
+    out = rename_i18n(df)
+    assert out.columns == ["日期", "開盤", "最高", "最低", "收盤", "成交量", "漲跌幅", "StockID"]
+    # partial projections compose
+    assert rename_i18n(df.select("close", "stock_id")).columns == ["收盤", "StockID"]

@@ -136,3 +136,53 @@ def test_multimodal_fake_decoder_plumbing(spark):
 def test_frame_sample_plan(spark):
     got = frame_sample_plan(_media_df(spark), every_n=10).collect()
     assert [(r.media_id, r.frame_idx) for r in got] == [(3, 0), (3, 10), (3, 20)]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    import datetime as dt
+    from global_stock_data_warehouse_spark.streaming.pipeline import sessionized_activity
+
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ck")
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        # burst 1: 3 events within 10 min -> one session
+        (base, "A", 1.0),
+        (base + dt.timedelta(minutes=5), "A", 2.0),
+        (base + dt.timedelta(minutes=10), "A", 3.0),
+        # 2h quiet -> burst 2
+        (base + dt.timedelta(hours=2), "A", 4.0),
+        # late-watermark flusher event far in the future
+        (base + dt.timedelta(days=1), "A", 9.0),
+    ]
+    _write_bars(spark, src, rows)
+    stream = read_bar_stream(spark, src, BAR_SCHEMA)
+    q = (
+        sessionized_activity(stream, gap="30 minutes", watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # second pass flushes whatever the advanced watermark closed
+    _write_bars(spark, src, [(base + dt.timedelta(days=2), "A", 0.0)], mode="append")
+    q2 = (
+        sessionized_activity(read_bar_stream(spark, src, BAR_SCHEMA), gap="30 minutes", watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {r.session_start.isoformat(): r for r in spark.read.parquet(out).collect()}
+    s1 = got["2024-01-01T09:00:00"]
+    assert s1.n_events == 3 and s1.sum_value == 6.0
+    assert s1.session_end.isoformat() == "2024-01-01T09:40:00"  # last event + gap
+    s2 = got["2024-01-01T11:00:00"]
+    assert s2.n_events == 1 and s2.sum_value == 4.0
