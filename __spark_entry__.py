@@ -46,7 +46,11 @@ from global_stock_data_warehouse_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
-from global_stock_data_warehouse_spark.operators.text import text_stats
+from global_stock_data_warehouse_spark.operators.text import (
+    chunk_documents,
+    text_stats,
+    winnow_fingerprints,
+)
 from global_stock_data_warehouse_spark.operators.upsert import dedup_last_writer
 
 
@@ -663,6 +667,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline chunking: 32-token windows, 8-token overlap. Map-only
+    (split + sequence + explode), no shuffle."""
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): min-hash of
+    each sliding window of k-shingle hashes. Hash values are
+    xxhash64-specific -> rows-only check, no SQL oracle."""
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, window=4)
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline: score -> quality-gate -> exact
     dedup keep-one. One scan, one narrow projection chain, one window on
@@ -880,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_moments": q_stats_moments,
         "approx_distinct": q_approx_distinct,
         "text_stats": q_text_stats,
+        "chunk_documents": q_chunk_documents,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "corpus_clean": q_corpus_clean,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
@@ -1188,6 +1209,27 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """,
         "text_stats": _TEXT_STATS_ORACLE,
+        "chunk_documents": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS t
+  FROM documents
+), bounds AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) > 32
+              THEN CAST(floor((len(t) - 8 - 1) / 24.0) AS BIGINT) * 24 + 1
+              ELSE 1 END AS last_start
+  FROM toks
+), expanded AS (
+  SELECT doc_id, t, unnest(range(1, last_start + 1, 24)) AS s
+  FROM bounds
+)
+SELECT doc_id,
+       CAST((s - 1) / 24 AS INTEGER) AS chunk_idx,
+       len(list_slice(t, s, s + 31)) AS n_chunk_tokens,
+       array_to_string(list_slice(t, s, s + 31), ' ') AS chunk_text
+FROM expanded
+""",
         "corpus_clean": f"""
 WITH stats AS ({_TEXT_STATS_ORACLE})
 SELECT doc_id, n_tokens, lang_pred, quality FROM (

@@ -114,6 +114,82 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the canonical LLM
+    training-data preprocessing step. Pure expressions: one token split,
+    one index `sequence`, one `explode`; stride = chunk_tokens - overlap.
+    Emits (doc_id, chunk_idx, n_chunk_tokens, chunk_text). Short docs
+    produce one chunk; the final partial chunk is kept (training pipelines
+    pad it). Narrow map-only plan — no shuffle, scales with the scan."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col, lowercase=False)
+    n = F.size(toks)
+    # starts: 1, 1+stride, ... while start <= n (1-based slice indexing);
+    # a doc with n <= chunk_tokens yields exactly one start.
+    last_start = F.when(n > chunk_tokens, ((n - F.lit(overlap) - 1) / stride).cast("long") * stride + 1).otherwise(F.lit(1))
+    starts = F.sequence(F.lit(1).cast("long"), last_start.cast("long"), F.lit(stride).cast("long"))
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"), F.posexplode(starts).alias("chunk_idx", "_start"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.slice("_toks", F.col("_start").cast("int"), chunk_tokens).alias("_chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("_chunk").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "_chunk").alias("chunk_text"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
+    every k-token shingle (rolling set), keep the MIN hash of each sliding
+    window of ``window`` consecutive shingle hashes, emit the distinct
+    selected hashes. Guarantees: any shared run of >= window+k-1 tokens
+    between two documents yields at least one shared fingerprint, while
+    storing ~2/(window+1) of all shingle hashes. All array expressions;
+    each intermediate array is materialized as its own projection so the
+    transform lambdas reference a bound column, not a re-evaluated
+    subexpression (inlining the split inside the lambda makes codegen
+    re-tokenize per element — O(n^2))."""
+    stage = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    m = F.size("_toks") - (k - 1)  # number of shingles
+    stage = stage.select(
+        id_col,
+        m.alias("_m"),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, k))),
+        ).alias("_sh"),
+    )
+    n_windows = F.greatest(F.col("_m") - (window - 1), F.lit(1))
+    picks = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice("_sh", i, window)),
+    )
+    fp = F.when(F.col("_m") >= 1, F.array_distinct(picks)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return stage.select(F.col(id_col), F.explode(fp).alias("fingerprint"))
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per document with the full stats battery."""
     return df.select(

@@ -134,3 +134,50 @@ def test_ivf_topk_exact_when_probing_all_cells(spark, sf_dir):
     # partial probe returns a full result set (k rows per query)
     ivf_part = ivf_topk(emb, qs, k=3, n_cells=8, n_probe=2).collect()
     assert len(ivf_part) == 12 and all(1 <= r.rank <= 3 for r in ivf_part)
+
+
+def test_winnow_fingerprints_properties(spark):
+    from global_stock_data_warehouse_spark.operators.text import winnow_fingerprints
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared_run),
+            (2, shared_run),  # identical -> identical fingerprint set
+            (3, "completely different words here nothing matches at all"),
+            (4, "prefix words then " + shared_run + " then suffix words"),
+            (5, "x"),  # fewer tokens than k -> empty set
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] == by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    # a shared run of >= window+k-1 = 6 tokens guarantees >= 1 shared pick
+    assert by_doc[1] & by_doc[4]
+    assert 5 not in by_doc
+    # winnowing is a sub-selection: |picks| <= n_shingles = 8-3+1
+    assert len(by_doc[1]) <= 6
+
+
+def test_chunk_documents_shapes(spark):
+    from global_stock_data_warehouse_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    d1 = sorted((r.chunk_idx, r.chunk_text) for r in out if r.doc_id == 1)
+    # stride 3: starts 1,4,7 — the last chunk reaches the end exactly, so
+    # no degenerate trailing chunk is emitted
+    assert [c for _, c in d1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert d1[0][1].split()[-1] == d1[1][1].split()[0]
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "a b c" and d2[0].n_chunk_tokens == 3

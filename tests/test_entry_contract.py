@@ -15,7 +15,7 @@ def test_oracle_keys_subset_of_queries():
     oracles = set(entrymod.oracle_sql())
     assert oracles <= qs, f"oracles without queries: {oracles - qs}"
     # every non-oracle query is a documented approximate/sketch op
-    approx_ok = {"minhash_neardup", "simhash_neardup", "ann_lsh_topk", "ann_ivf_topk", "approx_distinct"}
+    approx_ok = {"minhash_neardup", "simhash_neardup", "ann_lsh_topk", "ann_ivf_topk", "approx_distinct", "winnow_fingerprints"}
     assert qs - oracles <= approx_ok, f"missing oracles: {qs - oracles - approx_ok}"
 
 
