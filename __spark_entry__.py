@@ -51,6 +51,11 @@ from global_stock_data_warehouse_spark.operators.text import (
     text_stats,
     winnow_fingerprints,
 )
+from global_stock_data_warehouse_spark.operators.timeseries import (
+    daily_close,
+    drawdown_stats,
+    tech_indicators,
+)
 from global_stock_data_warehouse_spark.operators.upsert import dedup_last_writer
 
 
@@ -556,6 +561,72 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part 0.2*avg qty)
+    decorrelated into a grouped agg + join. The selective brand filter is
+    applied BEFORE the per-part average (semi-join pushdown): the avg is
+    computed only over the ~1/25th of lineitem that can matter, and both
+    the part dim and the tiny avg table broadcast."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    avgq = li_b.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        li_b.join(F.broadcast(avgq), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-HAVING semi-join (orders whose total quantity
+    exceeds 250) re-joined to customer + orders + lineitem, top-100 by
+    price. The HAVING aggregate runs map-side-partial on l_orderkey; the
+    surviving key set is tiny and broadcasts into the main join; ordering
+    tie-broken by unique o_orderkey for determinism."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_tech_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market indicator battery over event ticks: daily close -> EWMA(20),
+    20-day volatility of log returns, RSI(14), Bollinger(20,2). One
+    shuffle for the whole chain (HashPartitioning(user_id) satisfies the
+    daily groupBy AND every window)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return tech_indicators(ev)
+
+
+def q_drawdown_cumret(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity max drawdown (min close/running-peak - 1) and total
+    cumulative return — running-max window + one final agg, one shuffle."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return drawdown_stats(daily_close(ev))
+
+
 def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-step funnel (view -> click -> purchase): each stage is the
     min event time AFTER the previous stage, per user; one row of stage
@@ -895,6 +966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "regional_revenue": q_regional_revenue,
         "funnel_3step": q_funnel_3step,
+        "small_qty_revenue": q_small_qty_revenue,
+        "big_orders": q_big_orders,
+        "tech_indicators": q_tech_indicators,
+        "drawdown_cumret": q_drawdown_cumret,
         "sessionize": q_sessionize,
         "stats_moments": q_stats_moments,
         "approx_distinct": q_approx_distinct,
@@ -1178,6 +1253,82 @@ WITH s1 AS (
 SELECT (SELECT count(DISTINCT user_id) FROM s1) AS n_viewed,
        (SELECT count(DISTINCT user_id) FROM s2) AS n_clicked,
        (SELECT count(DISTINCT user_id) FROM s3) AS n_purchased
+""",
+        "small_qty_revenue": """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey)
+""",
+        "big_orders": """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+        "tech_indicators": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events GROUP BY 1, 2
+), diffs AS (
+  SELECT user_id, d, close,
+         close - lag(close) OVER pk AS diff,
+         CASE WHEN close > 0 AND lag(close) OVER pk > 0
+              THEN ln(close / lag(close) OVER pk) END AS lr
+  FROM daily
+  WINDOW pk AS (PARTITION BY user_id ORDER BY d)
+), gl AS (
+  SELECT *,
+         CASE WHEN diff > 0 THEN diff WHEN diff IS NOT NULL THEN 0.0 END AS gain,
+         CASE WHEN diff < 0 THEN -diff WHEN diff IS NOT NULL THEN 0.0 END AS loss
+  FROM diffs
+), win AS (
+  SELECT user_id, d, close,
+         list(close) OVER w20 AS vals,
+         avg(close) OVER w20 AS boll_mid,
+         stddev_samp(close) OVER w20 AS sd20,
+         stddev_samp(lr) OVER w20 AS vol20,
+         avg(gain) OVER w14 AS ag,
+         avg(loss) OVER w14 AS al
+  FROM gl
+  WINDOW w20 AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         w14 AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, d,
+       round(close, 6) AS close,
+       round(list_sum(list_transform(vals, (x, i) -> x * pow(0.9, len(vals) - i)))
+             / ((1 - pow(0.9, len(vals))) / 0.1), 6) AS ewma20,
+       round(vol20, 6) AS vol20,
+       round(CASE WHEN al = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi14,
+       round(boll_mid, 6) AS boll_mid,
+       round(boll_mid + 2.0 * sd20, 6) AS boll_up,
+       round(boll_mid - 2.0 * sd20, 6) AS boll_dn
+FROM win
+""",
+        "drawdown_cumret": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT user_id, d, close,
+         close / max(close) OVER (PARTITION BY user_id ORDER BY d
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0
+           AS drawdown
+  FROM daily
+)
+SELECT user_id,
+       round(min(drawdown), 6) AS max_drawdown,
+       round(last(close ORDER BY d) / first(close ORDER BY d) - 1.0, 6) AS cum_return
+FROM dd GROUP BY user_id
 """,
         "sessionize": """
 WITH flagged AS (

@@ -1,0 +1,197 @@
+"""Market time-series indicators: EWMA, rolling volatility, RSI,
+Bollinger bands, drawdown / cumulative return.
+
+These are the queries a stock data warehouse exists to serve (the
+reference stops at period returns, `downloader_wmy.py:54-58`; this module
+is the natural extension of that surface — W1's lag-return generalized to
+the standard indicator battery).
+
+Scale design:
+
+- ONE shuffle for the whole battery: callers `repartition(key)` once;
+  `HashPartitioning(key)` satisfies the daily-bar `groupBy(key, day)`
+  (subset clustering) AND every per-key window that follows, so the
+  entire chain — daily close -> diffs -> four indicator frames — runs
+  without another exchange.
+- All bounded ROWS frames (20/14 rows), so per-row state is O(frame),
+  never O(partition): no skew amplification for long histories.
+- Pure native expressions (window aggs + one `aggregate` lambda for the
+  EWMA dot product over a collected frame) — whole-stage codegen, no
+  Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def daily_close(
+    bars: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    tiebreak_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Last value per (key, calendar day): the close of each daily bar.
+
+    `max_by` with a struct tiebreak makes "last" deterministic (bare
+    F.last is order-nondeterministic under parallel aggregation).
+    """
+    return (
+        bars.repartition(key_col)
+        .groupBy(F.col(key_col), F.to_date(time_col).alias("d"))
+        .agg(F.max_by(value_col, F.struct(*tiebreak_cols)).alias("close"))
+    )
+
+
+def _frame(key_col: str, n: int) -> Window:
+    return Window.partitionBy(key_col).orderBy("d").rowsBetween(-(n - 1), 0)
+
+
+def with_ewma(
+    df: DataFrame,
+    alpha: float = 0.1,
+    window: int = 20,
+    key_col: str = "user_id",
+    value_col: str = "close",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average over a bounded ROWS frame.
+
+    ewma_t = sum_j decay^j * x_{t-j} / sum_j decay^j  (j = 0..window-1,
+    decay = 1 - alpha). The frame values are collected oldest->newest and
+    reduced with one ``aggregate`` lambda (weights decay^(n-1-i)); the
+    denominator has the closed form (1 - decay^n) / alpha. Bounded frame
+    keeps it numerically stable (no decay^-t rescaling blowup) and O(1)
+    state per row.
+    """
+    decay = 1.0 - alpha
+    df = df.withColumn("_vals", F.collect_list(value_col).over(_frame(key_col, window)))
+    n = F.size("_vals")
+    num = F.aggregate(
+        "_vals",
+        F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("i")),
+        lambda acc, x: F.struct(
+            (acc["s"] + x * F.pow(F.lit(decay), (n - 1 - acc["i"]).cast("double"))).alias("s"),
+            (acc["i"] + 1).alias("i"),
+        ),
+        lambda acc: acc["s"],
+    )
+    den = (1.0 - F.pow(F.lit(decay), n.cast("double"))) / F.lit(alpha)
+    return df.withColumn(out_col, num / den).drop("_vals")
+
+
+def with_log_return(
+    df: DataFrame, key_col: str = "user_id", value_col: str = "close"
+) -> DataFrame:
+    w = Window.partitionBy(key_col).orderBy("d")
+    prev = F.lag(value_col).over(w)
+    lr = F.when(
+        (F.col(value_col) > 0) & (prev > 0), F.log(F.col(value_col) / prev)
+    )
+    return df.withColumn("log_return", lr)
+
+
+def with_rolling_volatility(
+    df: DataFrame, window: int = 20, key_col: str = "user_id", out_col: str = "volatility"
+) -> DataFrame:
+    """Sample stddev of log returns over a bounded frame (needs
+    ``with_log_return`` upstream); null until 2 returns exist."""
+    return df.withColumn(
+        out_col, F.stddev_samp("log_return").over(_frame(key_col, window))
+    )
+
+
+def with_rsi(
+    df: DataFrame,
+    period: int = 14,
+    key_col: str = "user_id",
+    value_col: str = "close",
+    out_col: str = "rsi",
+) -> DataFrame:
+    """Relative Strength Index (simple-average variant): 100 - 100/(1+RS),
+    RS = avg gain / avg loss over the last `period` diffs. First row's
+    diff is null and is skipped by avg on both engines; zero avg loss
+    pins RSI to 100."""
+    w = Window.partitionBy(key_col).orderBy("d")
+    diff = F.col(value_col) - F.lag(value_col).over(w)
+    # null-safe split: null diff stays null (not zero) so avg skips it
+    gain = F.when(diff > 0, diff).otherwise(F.when(diff.isNotNull(), F.lit(0.0)))
+    loss = F.when(diff < 0, -diff).otherwise(F.when(diff.isNotNull(), F.lit(0.0)))
+    fr = _frame(key_col, period)
+    ag, al = F.avg(gain).over(fr), F.avg(loss).over(fr)
+    rsi = F.when(al == 0, F.lit(100.0)).otherwise(100.0 - 100.0 / (1.0 + ag / al))
+    return df.withColumn(out_col, rsi)
+
+
+def with_bollinger(
+    df: DataFrame,
+    window: int = 20,
+    k: float = 2.0,
+    key_col: str = "user_id",
+    value_col: str = "close",
+) -> DataFrame:
+    """Bollinger bands: mid = rolling mean, bands = mid +/- k * rolling
+    sample stddev (null until the frame has 2 rows)."""
+    fr = _frame(key_col, window)
+    mid = F.avg(value_col).over(fr)
+    sd = F.stddev_samp(value_col).over(fr)
+    return (
+        df.withColumn("boll_mid", mid)
+        .withColumn("boll_up", mid + k * sd)
+        .withColumn("boll_dn", mid - k * sd)
+    )
+
+
+def tech_indicators(
+    bars: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    tiebreak_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """The composed battery over raw ticks: daily close -> EWMA(20, a=.1),
+    20-day volatility, RSI(14), Bollinger(20, 2). One shuffle total."""
+    d = daily_close(bars, time_col, key_col, value_col, tiebreak_cols)
+    d = with_ewma(d, alpha=0.1, window=20, key_col=key_col)
+    d = with_log_return(d, key_col=key_col)
+    d = with_rolling_volatility(d, window=20, key_col=key_col)
+    d = with_rsi(d, period=14, key_col=key_col)
+    d = with_bollinger(d, window=20, k=2.0, key_col=key_col)
+    return d.select(
+        key_col,
+        "d",
+        F.round("close", 6).alias("close"),
+        F.round("ewma", 6).alias("ewma20"),
+        F.round("volatility", 6).alias("vol20"),
+        F.round("rsi", 6).alias("rsi14"),
+        F.round("boll_mid", 6).alias("boll_mid"),
+        F.round("boll_up", 6).alias("boll_up"),
+        F.round("boll_dn", 6).alias("boll_dn"),
+    )
+
+
+def drawdown_stats(
+    daily: DataFrame, key_col: str = "user_id", value_col: str = "close"
+) -> DataFrame:
+    """Per key: maximum drawdown (min of close/running-peak - 1) and
+    total cumulative return (last close / first close - 1). The running
+    max is an unbounded-preceding window — O(1) state — and the final
+    aggregate reuses the same hash partitioning: no extra shuffle."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = F.col(value_col) / F.max(value_col).over(w) - 1.0
+    return (
+        daily.withColumn("_dd", dd)
+        .groupBy(key_col)
+        .agg(
+            F.round(F.min("_dd"), 6).alias("max_drawdown"),
+            F.round(
+                F.max_by(value_col, "d") / F.min_by(value_col, "d") - 1.0, 6
+            ).alias("cum_return"),
+        )
+    )
