@@ -53,6 +53,7 @@ from global_stock_data_warehouse_spark.operators.text import (
     text_stats,
     winnow_fingerprints,
 )
+from global_stock_data_warehouse_spark.operators.graph import dedup_groups
 from global_stock_data_warehouse_spark.operators.timeseries import (
     daily_close,
     drawdown_stats,
@@ -813,6 +814,21 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> dedup groups (keep min
+    doc per cluster). Iterative min-label propagation, checkpointed per
+    round; converges in diameter rounds (near-dup clusters are cliques)."""
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    groups = dedup_groups(pairs)
+    return groups.select(
+        "keep_id",
+        "group_size",
+        F.expr("array_join(transform(members, x -> cast(x as string)), ',')").alias(
+            "members"
+        ),
+    )
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard (approximate recall
     by design -> rows-only check, no oracle)."""
@@ -1017,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+        "dedup_components": q_dedup_components,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
@@ -1464,6 +1481,46 @@ SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
 FROM documents GROUP BY 1
 """,
         "ngram_jaccard_neardup": _NGRAM_JACCARD_ORACLE,
+        "dedup_components": f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+              ELSE [] END AS s
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(s) AS n FROM sh
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(n_common * 1.0 / (x.n + y.n - n_common), 6) AS jaccard
+    FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id)
+  WHERE jaccard >= 0.2
+), sym AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s
+), comp AS (
+  SELECT a AS id, min(b) AS comp FROM reach GROUP BY a
+)
+SELECT min(id) AS keep_id,
+       count(*) AS group_size,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+FROM comp GROUP BY comp
+""",
         "ann_topk": _ANN_TOPK_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
         # minhash_neardup / simhash_neardup / ann_lsh_topk: approximate by
