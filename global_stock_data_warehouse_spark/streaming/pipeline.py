@@ -127,3 +127,48 @@ def upsert_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in the state store only
+    until the watermark passes it, so state is O(keys per watermark
+    horizon), not O(all keys ever) — the difference between a dedup that
+    survives an unbounded stream and one that OOMs the state store. The
+    streaming twin of A7's keyed dedup (INSERT OR REPLACE semantics,
+    downloader_tw.py:118-120)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def enrich_stream_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: right events joined to left events with
+    the SAME key whose timestamp lands in [left_ts, left_ts + within).
+
+    Both sides carry a watermark and the join condition bounds the time
+    skew, which is what lets Spark evict buffered rows from the join state
+    store — an unbounded-condition stream-stream join buffers both streams
+    forever. This is the streaming twin of ``range_join`` (same half-open
+    interval semantics, state-store eviction instead of bucketization)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] < lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond).drop(rw[on])
