@@ -53,7 +53,9 @@ from global_stock_data_warehouse_spark.operators.text import (
     text_stats,
     winnow_fingerprints,
 )
+from global_stock_data_warehouse_spark.operators.cdc import snapshot_diff
 from global_stock_data_warehouse_spark.operators.graph import dedup_groups
+from global_stock_data_warehouse_spark.operators.profile import profile_table
 from global_stock_data_warehouse_spark.operators.timeseries import (
     daily_close,
     drawdown_stats,
@@ -614,6 +616,36 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between two keyed snapshots: full-outer join on the
+    PK, null-safe compare, insert/update/delete classification; unchanged
+    rows die in the join stage. Snapshots are deterministic slices of
+    lineitem (ln<=4 vs ln>=2 with quantity bumped on returned rows)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    old = li.filter(F.col("l_linenumber") <= 4).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    new = li.filter(F.col("l_linenumber") >= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity") + 5)
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+    )
+    return snapshot_diff(old, new, ("l_orderkey", "l_linenumber"))
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan data-quality profile of orders: per-column null count,
+    distinct count, min/max — single wide aggregation + stack unpivot."""
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
 def q_range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join at scale: shipments whose ship date falls in the
     7-day window after an URGENT order. Bucketized equi-join (one bucket
@@ -1022,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders": q_big_orders,
         "range_join_shipments": q_range_join_shipments,
         "multi_res_rollup": q_multi_res_rollup,
+        "snapshot_diff": q_snapshot_diff,
+        "profile_table": q_profile_table,
         "tech_indicators": q_tech_indicators,
         "drawdown_cumret": q_drawdown_cumret,
         "sessionize": q_sessionize,
@@ -1326,6 +1360,54 @@ JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
+""",
+        "snapshot_diff": """
+WITH old_s AS (
+  SELECT l_orderkey, l_linenumber, l_quantity
+  FROM lineitem WHERE l_linenumber <= 4
+), new_s AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_returnflag = 'R' THEN l_quantity + 5 ELSE l_quantity END AS l_quantity
+  FROM lineitem WHERE l_linenumber >= 2
+)
+SELECT * FROM (
+  SELECT coalesce(o.l_orderkey, n.l_orderkey) AS l_orderkey,
+         coalesce(o.l_linenumber, n.l_linenumber) AS l_linenumber,
+         CASE WHEN o.l_orderkey IS NULL THEN 'insert'
+              WHEN n.l_orderkey IS NULL THEN 'delete'
+              WHEN o.l_quantity IS DISTINCT FROM n.l_quantity THEN 'update'
+         END AS change_type,
+         o.l_quantity AS old_l_quantity,
+         n.l_quantity AS new_l_quantity
+  FROM old_s o FULL OUTER JOIN new_s n
+    ON o.l_orderkey = n.l_orderkey AND o.l_linenumber = n.l_linenumber)
+WHERE change_type IS NOT NULL
+""",
+        "profile_table": """
+WITH w AS (
+  SELECT count(*) AS n_rows,
+         count(*) FILTER (o_orderkey IS NULL) AS nulls_k,
+         count(DISTINCT o_orderkey) AS dist_k,
+         CAST(min(o_orderkey) AS VARCHAR) AS min_k, CAST(max(o_orderkey) AS VARCHAR) AS max_k,
+         count(*) FILTER (o_custkey IS NULL) AS nulls_c,
+         count(DISTINCT o_custkey) AS dist_c,
+         CAST(min(o_custkey) AS VARCHAR) AS min_c, CAST(max(o_custkey) AS VARCHAR) AS max_c,
+         count(*) FILTER (o_orderstatus IS NULL) AS nulls_s,
+         count(DISTINCT o_orderstatus) AS dist_s,
+         min(o_orderstatus) AS min_s, max(o_orderstatus) AS max_s,
+         count(*) FILTER (o_totalprice IS NULL) AS nulls_t,
+         count(DISTINCT o_totalprice) AS dist_t,
+         CAST(min(o_totalprice) AS VARCHAR) AS min_t, CAST(max(o_totalprice) AS VARCHAR) AS max_t,
+         count(*) FILTER (o_orderpriority IS NULL) AS nulls_p,
+         count(DISTINCT o_orderpriority) AS dist_p,
+         min(o_orderpriority) AS min_p, max(o_orderpriority) AS max_p
+  FROM orders
+)
+SELECT 'o_orderkey' AS column_name, n_rows, nulls_k AS n_nulls, dist_k AS n_distinct, min_k AS min_value, max_k AS max_value FROM w
+UNION ALL SELECT 'o_custkey', n_rows, nulls_c, dist_c, min_c, max_c FROM w
+UNION ALL SELECT 'o_orderstatus', n_rows, nulls_s, dist_s, min_s, max_s FROM w
+UNION ALL SELECT 'o_totalprice', n_rows, nulls_t, dist_t, min_t, max_t FROM w
+UNION ALL SELECT 'o_orderpriority', n_rows, nulls_p, dist_p, min_p, max_p FROM w
 """,
         "range_join_shipments": """
 SELECT o_orderkey,

@@ -1,0 +1,32 @@
+"""CDC snapshot diff classification + one-pass profiler."""
+
+from global_stock_data_warehouse_spark.operators.cdc import snapshot_diff
+from global_stock_data_warehouse_spark.operators.profile import profile_table
+
+
+def test_snapshot_diff_classes(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, 25.0), (3, None), (4, 40.0), (5, 50.0)], "k long, v double"
+    )
+    got = {r.k: (r.change_type, r.old_v, r.new_v) for r in
+           snapshot_diff(old, new, ("k",)).collect()}
+    # k=3 null==null (null-safe -> unchanged), k=4 equal -> both absent
+    assert got == {
+        1: ("delete", 10.0, None),
+        2: ("update", 20.0, 25.0),
+        5: ("insert", None, 50.0),
+    }
+
+
+def test_profile_table_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "id long, s string"
+    )
+    got = {r.column_name: r for r in profile_table(df).collect()}
+    assert got["id"].n_rows == 3
+    assert (got["id"].n_nulls, got["id"].n_distinct) == (0, 2)
+    assert (got["id"].min_value, got["id"].max_value) == ("1", "2")
+    assert (got["s"].n_nulls, got["s"].n_distinct) == (1, 2)
