@@ -38,6 +38,7 @@ from global_stock_data_warehouse_spark.operators.dedup import (
     dedup_exact,
     minhash_neardup,
     ngram_jaccard_pairs,
+    sample_per_group,
     simhash_neardup,
 )
 from global_stock_data_warehouse_spark.operators.resample import ohlc_resample
@@ -50,6 +51,7 @@ from global_stock_data_warehouse_spark.operators.similarity import (
 )
 from global_stock_data_warehouse_spark.operators.text import (
     chunk_documents,
+    repetition_stats,
     text_stats,
     winnow_fingerprints,
 )
@@ -846,6 +848,21 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: distinct-bigram share and
+    top-bigram share per doc (exploded two-level agg, doc_id-keyed)."""
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 100 events per event_type by md5
+    order of the id — engine-portable pseudo-randomness (rand()/TABLESAMPLE
+    streams are not reproducible across engines; md5 order is)."""
+    return sample_per_group(
+        _t(spark, sf_dir, "events"), group_col="event_type", k=100, id_col="event_id"
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> connected components -> dedup groups (keep min
     doc per cluster). Iterative min-label propagation, checkpointed per
@@ -1068,6 +1085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
         "dedup_components": q_dedup_components,
+        "repetition_stats": q_repetition_stats,
+        "sample_per_group": q_sample_per_group,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
@@ -1563,6 +1582,35 @@ SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
 FROM documents GROUP BY 1
 """,
         "ngram_jaccard_neardup": _NGRAM_JACCARD_ORACLE,
+        "repetition_stats": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                     ELSE [] END) AS g
+  FROM toks
+), per_gram AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(c) AS n_grams,
+       count(*) AS n_distinct_grams,
+       round(count(*) * 1.0 / sum(c), 6) AS distinct_share,
+       round(max(c) * 1.0 / sum(c), 6) AS top_gram_share
+FROM per_gram GROUP BY doc_id
+""",
+        "sample_per_group": """
+SELECT event_type, event_id, rn FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events)
+WHERE rn <= 100
+""",
         "dedup_components": f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS t

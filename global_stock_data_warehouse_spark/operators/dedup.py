@@ -575,3 +575,24 @@ def simhash_neardup(
         )
         .distinct()
     )
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: exactly min(k, |group|) rows per
+    group, chosen by md5 order of the id — a stable pseudo-random order
+    that any engine reproduces bit-for-bit (unlike TABLESAMPLE/rand(),
+    whose RNG streams differ per engine/partitioning). One shuffle on the
+    group key; the window's top-k never sorts more than each group."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), id_col
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(group_col, id_col, "rn")
+    )

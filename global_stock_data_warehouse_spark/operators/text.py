@@ -202,3 +202,37 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signals per document: total / distinct
+    n-gram counts, distinct share, and the share held by the single most
+    frequent n-gram (boilerplate and loop-generated text score high).
+
+    Exploded-ngram two-level aggregation: explode -> count per (doc, gram)
+    -> one grouped agg per doc. Both shuffles key on doc_id (uniform);
+    at corpus scale this beats per-row O(len^2) array self-counting."""
+    # tokens bound to a column first — inlining the split inside the
+    # transform lambda re-tokenizes per element (O(len^2) codegen)
+    staged = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    m = F.size("_toks") - (n - 1)
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    exploded = staged.select(F.col(id_col), F.explode(grams).alias("g"))
+    per_gram = exploded.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_share"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_gram_share"),
+    )

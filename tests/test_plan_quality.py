@@ -1,0 +1,63 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, codegen.
+
+These assert the *shape* of the plan, not results — the properties that
+decide whether a query survives a 100x scale-up: filters reaching the
+parquet scan, scans reading only the projected columns, dim joins
+broadcasting instead of shuffling the fact side.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > "1997-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    # ReadSchema carries only the projected columns (+ the filter column)
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(entry.q_regional_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # region/nation dims must never shuffle the fact side through a
+    # sort-merge join
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(entry.q_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_clean_single_scan_whole_stage_codegen(spark, sf_dir):
+    plan = _plan(entry.q_corpus_clean(spark, sf_dir))
+    # the whole score -> gate -> dedup pipeline: one scan of documents and
+    # exactly one exchange (the fingerprint window) — nothing else shuffles
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") == 1
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"
