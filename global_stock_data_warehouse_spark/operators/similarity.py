@@ -131,37 +131,122 @@ def embedding_neardup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+    """EXACT embedding-cosine near-duplicate pairs (id_a < id_b,
+    round(cos, 6) >= threshold) — fully distributed, NO driver collect.
 
-    Exact all-pairs baseline: the corpus matrix is broadcast (like a
-    broadcast join build side) and each partition computes one
-    |batch| x |corpus| matmul, emitting only above-threshold pairs. Valid
-    up to ~10^6 vectors; beyond that swap candidate generation for the LSH
-    bucket join (``lsh_topk``'s bucketing) — same verify step.
+    Blocked all-pairs: every vector hashes to one of ``n_blocks`` blocks;
+    the n*(n+1)/2 unordered block pairs form a tiny broadcast dim; each
+    corpus row is replicated into the block-pair groups where it plays the
+    A side (its block == pa) or the B side (its block == pb), and each
+    (pa, pb) group computes ONE |A| x |B| BLAS matmul inside
+    ``applyInPandas``, emitting only above-threshold pairs. Replication is
+    ~n_blocks x and per-task memory is O((|corpus|/n_blocks)^2 / dim)
+    scores — size n_blocks so a block fits executor memory; the O(n^2)
+    score count is inherent to EXACT all-pairs (for sub-quadratic scale
+    use ``embedding_neardup_lsh``, which trades recall for candidates).
     """
     spark = corpus.sparkSession
-    rows = corpus.select(id_col, vec_col).collect()
-    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    all_mat = _normalize(_stack(pd.Series([r[1] for r in rows])))
-    bc = spark.sparkContext.broadcast((all_ids, all_mat))
+    src = corpus.select(id_col, vec_col)
+    blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    pairs_dim = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "pa int, pb int"
+    )
+    as_a = src.withColumn("pa", blk).join(F.broadcast(pairs_dim), "pa").withColumn(
+        "side", F.lit("A")
+    )
+    # diagonal groups (pa == pb) self-pair from the A side alone; only
+    # off-diagonal groups need the B-side copy
+    as_b = (
+        src.withColumn("pb", blk)
+        .join(F.broadcast(pairs_dim.filter(F.col("pa") != F.col("pb"))), "pb")
+        .withColumn("side", F.lit("B"))
+    )
+    staged = as_a.select("pa", "pb", "side", id_col, vec_col).unionByName(
+        as_b.select("pa", "pb", "side", id_col, vec_col)
+    )
 
-    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_c, mat_c = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            sims = _normalize(_stack(pdf[vec_col])) @ mat_c.T
-            rounded = np.round(sims, 6)
-            ai, bj = np.nonzero((rounded >= threshold) & (b_ids[:, None] < ids_c[None, :]))
-            if ai.size:
-                yield pd.DataFrame(
-                    {"id_a": b_ids[ai], "id_b": ids_c[bj], "cosine_sim": rounded[ai, bj]}
-                )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+        {"id_a": np.int64, "id_b": np.int64, "cosine_sim": np.float64}
+    )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        pairs, schema="id_a long, id_b long, cosine_sim double"
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        # each unordered cross-block pair {x, y} meets in EXACTLY one group
+        # (min(bx,by), max(bx,by)) with x and y on opposite sides, so
+        # emitting every above-threshold hit with (min_id, max_id) yields
+        # each pair once; diagonal groups self-pair (id_a < id_b dedups)
+        diag = pdf["pa"].iat[0] == pdf["pb"].iat[0]
+        a = pdf[pdf["side"] == "A"]
+        b = a if diag else pdf[pdf["side"] == "B"]
+        if a.empty or b.empty:
+            return empty
+        a_ids = a[id_col].to_numpy(dtype=np.int64)
+        b_ids = b[id_col].to_numpy(dtype=np.int64)
+        sims = _normalize(_stack(a[vec_col])) @ _normalize(_stack(b[vec_col])).T
+        rounded = np.round(sims, 6)
+        mask = rounded >= threshold
+        if diag:
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bj = np.nonzero(mask)
+        if ai.size == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a_ids[ai], b_ids[bj]),
+                "id_b": np.maximum(a_ids[ai], b_ids[bj]),
+                "cosine_sim": rounded[ai, bj],
+            }
+        )
+
+    return staged.groupBy("pa", "pb").applyInPandas(
+        score, schema="id_a long, id_b long, cosine_sim double"
+    )
+
+
+def embedding_neardup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs: LSH-bucketed candidate generation +
+    exact cosine verify — the sub-quadratic scale path.
+
+    ``tables`` independent hyperplane tables (different seeds) each bucket
+    the corpus; candidates are same-bucket pairs in ANY table (union +
+    distinct), verified with the exact zip_with cosine and thresholded.
+    Recall ~= 1 - (1 - p^planes)^tables with p = 1 - theta/pi; more tables
+    -> higher recall, more candidates. Candidate volume is sum of squared
+    bucket sizes — sub-quadratic for spread-out corpora — and the verify
+    is per-candidate, so nothing is ever all-pairs.
+    """
+    cand = None
+    for t in range(tables):
+        b = with_lsh_bucket(
+            corpus.select(id_col, vec_col), dim, planes, vec_col, "bucket", seed=42 + t
+        )
+        left = b.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
+        )
+        right = b.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket"
+        )
+        pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b")).drop(
+            "bucket"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    # a pair can collide in several tables -> keep one copy per (id_a,id_b)
+    dedup = cand.dropDuplicates(["id_a", "id_b"])
+    return (
+        dedup.withColumn(
+            "cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
     )
 
 

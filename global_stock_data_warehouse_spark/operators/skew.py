@@ -35,12 +35,22 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the left side's hot keys spread over ``factor``
-    salt partitions and the right side replicated to match."""
+    salt partitions and the right side replicated to match.
+
+    The salt must differ WITHIN a hot key's rows — hashing non-key columns
+    does that; when the left side has only key columns, hashing the keys
+    would give every row of a hot key the SAME salt (no spreading, pure
+    replication overhead), so we fall back to a per-partition row index
+    (deterministic given a fixed input partitioning: task retries re-read
+    the same partition in the same order, unlike rand() salting).
+    """
     keys = [on] if isinstance(on, str) else list(on)
     non_key = [c for c in left.columns if c not in keys]
-    salted_l = left.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in (non_key or keys)]), F.lit(factor))
-    )
+    if non_key:
+        salt = F.pmod(F.hash(*[F.col(c) for c in non_key]), F.lit(factor))
+    else:
+        salt = F.pmod(F.spark_partition_id() * 104729 + F.monotonically_increasing_id(), F.lit(factor))
+    salted_l = left.withColumn("_salt", salt)
     salted_r = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
     )

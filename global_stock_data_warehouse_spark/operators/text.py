@@ -230,9 +230,11 @@ def repetition_stats(
     ).otherwise(F.array().cast("array<bigint>"))
     exploded = staged.select(F.col(id_col), F.explode(grams).alias("g"))
     per_gram = exploded.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    # shares as (a * 1.0) / b — the oracle's exact expression order; a/b
+    # promoted-int division can differ in the last ulp before rounding
     return per_gram.groupBy(id_col).agg(
         F.sum("c").alias("n_grams"),
         F.count(F.lit(1)).alias("n_distinct_grams"),
-        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_share"),
-        F.round(F.max("c") / F.sum("c"), 6).alias("top_gram_share"),
+        F.round(F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("distinct_share"),
+        F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top_gram_share"),
     )

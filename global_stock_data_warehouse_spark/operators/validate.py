@@ -32,12 +32,19 @@ def gate_summary(
     gap_since: str = "2024-01-01",
     max_gap_days: int = 14,
 ) -> DataFrame:
-    """One row per entity with boolean gate columns and a pass verdict."""
+    """One row per entity with boolean gate columns and a pass verdict.
+
+    Gap semantics mirror the reference exactly (downloader_wmy.py:103-107):
+    the series is FIRST restricted to dates >= ``gap_since`` and gaps are
+    diffs WITHIN that subset — the boundary gap from the last pre-cutoff
+    bar is never counted, and a subset with <2 rows yields no gap at all.
+    Because dates are monotone under the window order, "previous row is
+    also post-cutoff" (lag(date) >= gap_since) selects exactly the
+    subset-internal diffs without a second pass over the data.
+    """
     w = Window.partitionBy(*key_cols).orderBy(date_col)
-    gap = F.when(
-        F.col(date_col) >= F.lit(gap_since),
-        F.datediff(F.col(date_col), F.lag(F.col(date_col)).over(w)),
-    )
+    prev = F.lag(F.col(date_col)).over(w)
+    gap = F.when(prev >= F.lit(gap_since), F.datediff(F.col(date_col), prev))
     with_gap = df.withColumn("_gap", gap)
     agg = with_gap.groupBy(*key_cols).agg(
         F.max(F.when(F.col(close_col) <= 0, 1).otherwise(0)).cast("boolean").alias("invalid_price"),

@@ -13,21 +13,25 @@ Re-expresses the reference's per-file thread-pool pipeline
 
 Semantics order matters and matches the reference: returns are computed
 AFTER quarantine, per (stock, freq), on the resampled series
-(downloader_wmy.py:111-117). The OHLC-violation gate is a pre-check on raw
-bars here (close>high | close<low can only hold post-resample if it held on
-some raw row, since high=max, low=min, close=one of the raw closes — so the
-raw-level check subsumes the reference's post-resample check).
+(downloader_wmy.py:111-117), and the OHLC-violation gate runs on the
+RESAMPLED frames (downloader_wmy.py:118-122), not the raw bars — a raw-level
+check would be strictly stronger (resampled close>max(high) implies some raw
+close>high, not vice versa) and would quarantine symbols the reference
+keeps. A symbol violating in ANY frequency frame is dropped from ALL
+frequencies, like the reference's whole-file skip.
 
 Scale: one shuffle on (symbol) for gates, one hash-agg shuffle per freq on
-(symbol, bucket) with map-side partials, window on (stock_id, freq) for
-returns. The verdict join broadcasts. No driver-side loops.
+(symbol, bucket) with map-side partials, one window shuffle on (symbol) for
+the post-resample OHLC gate which the returns window then reuses
+(HashPartitioning(stock_id) satisfies ClusteredDistribution(stock_id, freq)).
+The verdict join broadcasts. No driver-side loops.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from global_stock_data_warehouse_spark.operators.resample import ohlc_resample
@@ -55,14 +59,19 @@ def wmy_pipeline(
     # resample agg (grouping keys are supersets of the partition key), so
     # the whole validate->resample fan-out shares one exchange.
     bars = bars.repartition(key_col)
-    verdicts = gate_summary(
+    raw_verdicts = gate_summary(
         bars,
         key_cols=(key_col,),
         date_col=time_col,
         gap_since=gap_since,
         max_gap_days=max_gap_days,
     )
-    clean, _ = quarantine(bars, verdicts, key_cols=(key_col,))
+    # pre-resample gates only (empty/price/gap); OHLC is checked on the
+    # resampled frames below, matching the reference's gate order
+    pre = raw_verdicts.withColumn(
+        "passed", ~F.col("invalid_price") & ~F.col("gap_too_large")
+    )
+    clean, _ = quarantine(bars, pre, key_cols=(key_col,))
 
     resampled = None
     for freq in freqs:
@@ -75,9 +84,43 @@ def wmy_pipeline(
         )
         resampled = r if resampled is None else resampled.unionByName(r)
 
+    # post-resample OHLC gate (downloader_wmy.py:118-122): any violating
+    # bucket in ANY freq drops the symbol everywhere. Whole-partition max
+    # over a window keyed on the symbol — computed in the same pass as the
+    # resample output, no second scan of the raw bars.
+    ohlc_bad = F.max(
+        F.when(
+            (F.col("close") > F.col("high")) | (F.col("close") < F.col("low")), 1
+        ).otherwise(0)
+    ).over(Window.partitionBy(key_col))
+    kept = (
+        resampled.withColumn("_ohlc_viol", ohlc_bad)
+        .filter(F.col("_ohlc_viol") == 0)
+        .drop("_ohlc_viol")
+    )
+
     gold = with_period_return(
-        resampled.withColumnRenamed(key_col, "stock_id"),
+        kept.withColumnRenamed(key_col, "stock_id"),
         key_cols=("stock_id", "freq"),
+    )
+
+    # verdict dim (monitoring path): fold the post-resample OHLC verdict in;
+    # quarantined symbols were never resampled -> ohlc_violation = False,
+    # exactly like the reference (gate 4 only runs past gates 1-3)
+    post = resampled.groupBy(key_col).agg(
+        F.max(
+            F.when(
+                (F.col("close") > F.col("high")) | (F.col("close") < F.col("low")), 1
+            ).otherwise(0)
+        )
+        .cast("boolean")
+        .alias("ohlc_violation")
+    )
+    verdicts = (
+        pre.drop("ohlc_violation")
+        .join(post, key_col, "left")
+        .withColumn("ohlc_violation", F.coalesce("ohlc_violation", F.lit(False)))
+        .withColumn("passed", F.col("passed") & ~F.col("ohlc_violation"))
     )
     return gold, verdicts
 
@@ -93,7 +136,7 @@ def audit_record(verdicts: DataFrame, market_id: str) -> DataFrame:
         F.count(F.lit(1)).alias("total_files"),
         F.sum(F.col("passed").cast("long")).alias("success_count"),
         F.sum((~F.col("passed")).cast("long")).alias("skip_count"),
-        F.round(F.sum(F.col("passed").cast("long")) / F.count(F.lit(1)) * 100, 2).alias(
+        F.round(F.sum(F.col("passed").cast("long")) * 100.0 / F.count(F.lit(1)), 2).alias(
             "success_rate"
         ),
     ).withColumn(

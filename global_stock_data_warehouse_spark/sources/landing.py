@@ -41,7 +41,9 @@ def scan_json(
     """
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
-    schema_q = schema.add("_corrupt_record", "string")
+    # copy before adding: StructType.add() mutates in place, so appending to
+    # a caller-supplied schema would permanently grow their object
+    schema_q = StructType(list(schema.fields)).add("_corrupt_record", "string")
     df = (
         spark.read.schema(schema_q)
         .option("mode", "PERMISSIVE")

@@ -44,8 +44,14 @@ def detect_gaps_stateful(
         for pdf in pdfs:
             col = pd.to_datetime(pdf[date_col])
             dates.extend(d.date() for d in col)
+        # the stored watermark only moves FORWARD: a late micro-batch whose
+        # dates all precede last_date must not regress state (that would
+        # re-emit or fabricate gaps on the next batch); dates at or before
+        # the watermark are ignored rather than diffed backwards
         for d in sorted(set(dates)):
             if prev is not None:
+                if d <= prev:
+                    continue
                 gd = (d - prev).days
                 if gd > max_gap_days:
                     gaps.append((key[0], prev, d, gd))

@@ -15,8 +15,26 @@ def test_oracle_keys_subset_of_queries():
     oracles = set(entrymod.oracle_sql())
     assert oracles <= qs, f"oracles without queries: {oracles - qs}"
     # every non-oracle query is a documented approximate/sketch op
-    approx_ok = {"minhash_neardup", "simhash_neardup", "ann_lsh_topk", "ann_ivf_topk", "approx_distinct", "winnow_fingerprints"}
+    approx_ok = {
+        "minhash_neardup",
+        "simhash_neardup",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "approx_distinct",
+        "winnow_fingerprints",
+        "embedding_neardup_lsh",
+    }
     assert qs - oracles <= approx_ok, f"missing oracles: {qs - oracles - approx_ok}"
+
+
+def test_oracled_queries_lead_the_dict():
+    """The driver checks the FIRST 50 queries() entries; every oracled
+    query must sit inside that window (rows-only ops go after)."""
+    qs = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    leading = set(qs[: len(oracles)])
+    assert oracles == leading, f"oracled queries outside the checked window: {oracles - leading}"
+    assert len(oracles) <= 50, "more oracled queries than the driver checks"
 
 
 def test_entry_runs_and_returns_rows(spark):

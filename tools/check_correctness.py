@@ -23,6 +23,9 @@ import __spark_entry__ as entrymod
 from global_stock_data_warehouse_spark.session import get_spark
 
 SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+# CHECK_EXACT=1: bit-exact float comparison (mirrors the driver's value
+# hash, which has NO tolerance); default rounds to ~9 significant digits.
+EXACT = os.environ.get("CHECK_EXACT", "0") == "1"
 
 
 def _norm_cell(v):
@@ -30,11 +33,17 @@ def _norm_cell(v):
         return None
     if isinstance(v, bool):
         return v
+    if isinstance(v, int) and EXACT:
+        # driver-parity: DuckDB HUGEINT/int vs Spark bigint both land here;
+        # floats must stay floats (int 5 != float 5.0 under a value hash)
+        return v
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         if v == 0:
             return 0.0
+        if EXACT:
+            return v
         # ~9 significant digits: loose enough for double-sum drift,
         # tight enough to catch real bugs.
         return round(v, 9 - int(math.floor(math.log10(abs(v)))) - 1)
@@ -79,6 +88,18 @@ def main(names: list[str]) -> int:
             print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
+            if EXACT:
+                # the driver materializes the oracle through pandas, where
+                # HUGEINT (DuckDB's integer-sum result type) becomes float64
+                # and hash-mismatches Spark's bigint even for equal values —
+                # flag any oracle emitting one
+                desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+                huge = [r[0] for r in desc if "HUGEINT" in str(r[1]).upper()]
+                if huge:
+                    failures.append(name)
+                    print(f"FAIL {name}: oracle emits HUGEINT columns {huge} "
+                          "(float64 under the driver's pandas fetch)")
+                    continue
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
