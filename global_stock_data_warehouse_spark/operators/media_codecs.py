@@ -1,0 +1,129 @@
+"""Pure-numpy media codecs: PPM (P6) images and WAV (PCM16) audio.
+
+The container ships no image/audio libraries, but these two formats need
+none — PPM is a whitespace-delimited header + raw RGB bytes, WAV is RIFF
+chunks + little-endian PCM — so the multimodal pipeline's decode kernel
+(operators/multimodal.py) can run END-TO-END on real bytes instead of an
+injected fake. ``default_decode`` sniffs the magic and dispatches; unknown
+payloads fail loudly (a silent zero-vector for an undecodable blob would
+poison downstream similarity search).
+
+Everything is numpy-vectorized — these run inside Arrow-batched
+``mapInPandas`` workers, so per-byte Python loops are off the table.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6): image
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM bytes."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) image, got {a.shape}")
+    h, w = a.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM bytes -> (h, w, 3) uint8. Handles comments and arbitrary
+    whitespace in the header, per the netpbm spec."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # tokenize the header: magic, width, height, maxval; '#' starts a
+    # comment running to end-of-line; ONE whitespace byte follows maxval
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(data[start:pos])
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    need = w * h * 3
+    if len(data) - pos < need:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(data, dtype=np.uint8, count=need, offset=pos).reshape(h, w, 3)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index gather — pure numpy, O(out pixels)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF / PCM16): audio
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float samples in [-1, 1] (or int16) -> mono PCM16 WAV bytes."""
+    a = np.asarray(samples)
+    if a.dtype != np.int16:
+        a = np.clip(np.asarray(a, dtype=np.float64), -1.0, 1.0)
+        a = (a * 32767.0).round().astype(np.int16)
+    payload = a.tobytes()
+    byte_rate = sample_rate * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(payload)) + payload
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    """WAV bytes -> float64 samples in [-1, 1] (channels interleaved as-is).
+    Walks RIFF chunks (fmt may not be first), supports PCM16 only."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, bits, n_channels, payload = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_channels = struct.unpack("<HH", body[0:4])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if audio_fmt != 1:
+                raise ValueError(f"only PCM supported, got format {audio_fmt}")
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if bits != 16 or payload is None:
+        raise ValueError("expected a PCM16 data chunk")
+    return np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def default_decode(payload: bytes, media_type: str) -> np.ndarray:
+    """Magic-sniffing decode used as ``extract_features``'s default kernel.
+    ``media_type`` is advisory (the bytes win); unknown formats raise."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    raise ValueError(
+        f"undecodable media payload (media_type={media_type!r}, "
+        f"magic={payload[:4]!r}); supported: PPM P6, WAV PCM16"
+    )

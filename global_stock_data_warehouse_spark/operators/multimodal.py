@@ -5,11 +5,13 @@ Contract: media travels as an opaque ``binary`` column plus typed metadata
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages so the
 bytes never round-trip through Python row-at-a-time.
 
-The actual codec work requires image/audio libraries that are NOT in this
-environment, so the decode kernel is stubbed: ``decode=None`` raises
-``NotImplementedError`` (clearly marked), and tests inject a deterministic
-fake decoder. Everything Spark-side — schema, partition sizing, UDF
-signature, batch shape — is real and tested.
+The default decode kernel is REAL for the two formats decodable without
+external libraries — PPM (P6) images and WAV (PCM16) audio, implemented in
+pure numpy in ``media_codecs.py`` — and fails loudly on anything else
+(JPEG/MP3/H.264 need codecs this container lacks; inject one via
+``decode=`` when available). Everything Spark-side — schema, partition
+sizing, UDF signature, batch shape — is real and tested end-to-end on
+actual encoded bytes.
 
 Scale notes: binary blobs make partition sizing about BYTES, not rows —
 ``target_rows_per_batch`` caps Arrow batch memory; repartition upstream by
@@ -57,11 +59,7 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _not_implemented_decode(payload: bytes, media_type: str) -> np.ndarray:
-    raise NotImplementedError(
-        "media decode requires image/audio codecs not present in this "
-        "environment; inject a decoder via extract_features(decode=...)"
-    )
+from global_stock_data_warehouse_spark.operators.media_codecs import default_decode
 
 
 def extract_features(
@@ -76,11 +74,12 @@ def extract_features(
     """Decode + featurize media blobs in Arrow batches.
 
     ``decode(payload_bytes, media_type) -> np.ndarray`` is the pluggable
-    kernel (STUBBED by default — raises NotImplementedError). The returned
-    array is mean-pooled into ``feature_dim`` buckets as a stand-in
-    feature vector, preserving the real pipeline shape end-to-end.
+    kernel; the default (``media_codecs.default_decode``) really decodes
+    PPM images and PCM16 WAV audio and raises on formats needing external
+    codecs. The returned array is mean-pooled into ``feature_dim`` buckets
+    as a stand-in feature vector, preserving the pipeline shape end-to-end.
     """
-    decode_fn = decode or _not_implemented_decode
+    decode_fn = decode or default_decode
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch))
 

@@ -1,0 +1,69 @@
+"""Small-files compaction (the reference's VACUUM intent, Spark-native).
+
+The reference VACUUMs every SQLite shard after every sync (main.py:192,
+downloader_tw.py:126) to reclaim space and keep scans fast. The lakehouse
+analog is the SMALL-FILES problem: incremental appends and streaming
+micro-batches leave thousands of KB-sized parquet files, and at 100 TB the
+per-file open/footer cost comes to dominate scan time. On Delta this is
+``OPTIMIZE`` (+ ``VACUUM`` for dead files); on plain parquet it is a
+periodic rewrite job — this module.
+
+Scale notes: the rewrite is one distributed read + repartition + write; the
+file-count target derives from total bytes / target file size so output
+files land near the parquet sweet spot (~128 MB). The swap is
+rename-based, which is atomic on a real filesystem; object stores should
+compact partition-by-partition or move to a table format with a manifest.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of the parquet table at ``path``."""
+    files = spark.read.parquet(path).inputFiles()
+    total = 0
+    for f in files:
+        local = f.removeprefix("file:")
+        try:
+            total += os.path.getsize(local)
+        except OSError:
+            pass
+    return len(files), total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Rewrite the table at ``path`` into ~``target_file_bytes`` files.
+
+    No-op (returns the stats) when the table is already at or below the
+    computed file count. Returns {"files_before", "files_after", "bytes"}.
+    """
+    n_files, total = table_file_stats(spark, path)
+    want = max(1, math.ceil(total / target_file_bytes))
+    if n_files < min_files_to_compact or n_files <= want:
+        return {"files_before": n_files, "files_after": n_files, "bytes": total}
+
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    # mergeSchema: compaction must not silently drop columns added by
+    # schema evolution after the oldest files were written
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    df.repartition(want).write.mode("overwrite").parquet(tmp)
+
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+    after, _ = table_file_stats(spark, path)
+    return {"files_before": n_files, "files_after": after, "bytes": total}

@@ -58,6 +58,31 @@ def test_corpus_clean_single_scan_whole_stage_codegen(spark, sf_dir):
     assert plan.count("Exchange") == 1
 
 
+def test_profile_approx_has_no_expand(spark, sf_dir):
+    """Exact multi-countDistinct compiles to an Expand that replicates the
+    scan N_cols times; the approx (HLL++) profile must not — that's the
+    entire point of the scale path."""
+    from global_stock_data_warehouse_spark.operators.profile import profile_table
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    assert "Expand" in _plan(profile_table(df, cols))  # exact mode: Expand expected
+    approx_plan = _plan(profile_table(df, cols, approx=True))
+    assert "Expand" not in approx_plan, approx_plan
+
+
+def test_range_join_preaggregates_fact_side(spark):
+    """The interval join must consume per-day partial aggregates, not raw
+    lineitem rows: a HashAggregate keyed on l_shipdate sits BELOW the
+    join in the plan."""
+    plan = _plan(entry.q_range_join_shipments(spark, "/root/testdata/sf0.001"))
+    join_at = plan.find("Join")
+    agg_at = plan.find("HashAggregate(keys=[l_shipdate")
+    assert join_at != -1 and agg_at != -1
+    # executedPlan prints top-down: the pre-agg appears after (=below) the join
+    assert agg_at > join_at, plan
+
+
 @pytest.fixture(scope="module")
 def sf_dir():
     return "/root/testdata/sf0.001"

@@ -116,10 +116,12 @@ def _media_df(spark):
     )
 
 
-def test_multimodal_stub_raises_without_decoder(spark):
+def test_multimodal_default_decoder_rejects_unknown_formats(spark):
+    # fixture payloads are junk bytes (no PPM/WAV magic): the default
+    # decoder must fail LOUDLY, never emit a silent zero feature
     with pytest.raises(Exception) as ei:
         extract_features(_media_df(spark)).collect()
-    assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+    assert "undecodable" in str(ei.value) or "decode" in str(ei.value)
 
 
 def test_multimodal_fake_decoder_plumbing(spark):
