@@ -57,6 +57,14 @@ from global_stock_data_warehouse_spark.operators.text import (
     winnow_fingerprints,
 )
 from global_stock_data_warehouse_spark.operators.cdc import snapshot_diff
+from global_stock_data_warehouse_spark.operators.corpus import (
+    PII_PATTERNS,
+    bm25_score,
+    decontaminate,
+    ngram_topk,
+    pack_sequences,
+    pii_scrub,
+)
 from global_stock_data_warehouse_spark.operators.graph import dedup_groups
 from global_stock_data_warehouse_spark.operators.profile import profile_table
 from global_stock_data_warehouse_spark.operators.timeseries import (
@@ -955,6 +963,76 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train docs (doc_id % 20 != 0)
+    sharing any word 5-gram with the eval split (doc_id % 20 == 0). Eval
+    gram set broadcasts; the train side never self-shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    out = decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=5,
+    )
+    return out.withColumn("n_collisions", F.col("n_collisions").cast("long")).orderBy(
+        "doc_id"
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing battery: count + redact emails/IPv4s/phones in one
+    codegen'd projection. The corpus text is salted with deterministic
+    synthetic PII (same expression mirrored in the oracle) so the
+    redaction paths actually fire."""
+    salted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com ip 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(" tel 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = pii_scrub(salted)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "clean_text",
+    ).orderBy("doc_id")
+
+
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 against a fixed term set: one corpus pass + a single-row
+    stats aggregate broadcast back. Score rounded to 6dp in BOTH twins
+    (ln() is libm-dependent in the last ulp across engines)."""
+    out = bm25_score(_t(spark, sf_dir, "documents"), ["spark", "hash", "table"])
+    return (
+        out.withColumn("dl", F.col("dl").cast("long"))
+        .withColumn("score", F.round("score", 6))
+        .orderBy("doc_id")
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style context-window packing map (ctx=64 tokens): per-shard
+    window cumsum, all-integer arithmetic — engine-portable bit-for-bit."""
+    out = pack_sequences(_t(spark, sf_dir, "documents"), ctx_len=64)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long")).orderBy(
+        "source", "doc_id"
+    )
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 bigrams with min-support prune — wordcount at
+    scale: map-side partial agg absorbs the explode, deterministic
+    (count DESC, gram ASC) total order -> TakeOrderedAndProject."""
+    return ngram_topk(_t(spark, sf_dir, "documents"), n=2, k=25, min_count=2)
+
+
 _STOP = {
     "en": ("the", "a", "and", "of", "to"),
     "es": ("el", "la", "los", "de", "y"),
@@ -1121,6 +1199,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
+        # --- oracled but beyond the driver's 50-row check window; verified
+        # locally via tools/check_correctness.py ---
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "bm25_score": q_bm25_score,
+        "pack_sequences": q_pack_sequences,
+        "ngram_topk": q_ngram_topk,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1698,6 +1783,121 @@ FROM comp GROUP BY comp
 """,
         "ann_topk": _ANN_TOPK_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
+        "decontaminate": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS gram
+  FROM toks, UNNEST(range(0, greatest(len(t) - 4, 0))) AS u(i)
+), tg AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 20 != 0
+), eg AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0
+), hits AS (
+  SELECT doc_id, count(*) AS n_collisions FROM tg JOIN eg USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_collisions, 0) AS BIGINT) AS n_collisions,
+       coalesce(h.n_collisions, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+""",
+        "pii_scrub": f"""
+WITH salted AS (
+  SELECT doc_id,
+         concat(text, ' mail u', CAST(doc_id AS VARCHAR), '@ex.com ip 10.0.0.',
+                CAST(doc_id % 200 AS VARCHAR), ' tel 555-123-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{PII_PATTERNS["email"]}', '[EMAIL]', 'g'),
+           '{PII_PATTERNS["ipv4"]}', '[IP]', 'g'),
+         '{PII_PATTERNS["phone"]}', '[PHONE]', 'g') AS clean_text
+FROM salted
+ORDER BY doc_id
+""",
+        # literals carry e0 so DuckDB parses DOUBLE (bare decimals are
+        # DECIMAL there); expression parenthesization mirrors the Spark
+        # plan exactly, and the score is rounded at 6dp in both twins
+        "bm25_score": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf_0,
+         CAST(len(list_filter(t, x -> x = 'hash'))  AS BIGINT) AS tf_1,
+         CAST(len(list_filter(t, x -> x = 'table')) AS BIGINT) AS tf_2
+  FROM toks
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+         CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+         CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+  FROM per_doc
+), scored AS (
+  SELECT doc_id, dl,
+    (ln(((n_docs - df_0) + 0.5e0) / (df_0 + 0.5e0) + 1.0e0)
+       * (tf_0 * 2.2e0) / (tf_0 + 1.2e0 * (0.25e0 + (0.75e0 * dl) / (sum_dl / n_docs))))
+  + (ln(((n_docs - df_1) + 0.5e0) / (df_1 + 0.5e0) + 1.0e0)
+       * (tf_1 * 2.2e0) / (tf_1 + 1.2e0 * (0.25e0 + (0.75e0 * dl) / (sum_dl / n_docs))))
+  + (ln(((n_docs - df_2) + 0.5e0) / (df_2 + 0.5e0) + 1.0e0)
+       * (tf_2 * 2.2e0) / (tf_2 + 1.2e0 * (0.25e0 + (0.75e0 * dl) / (sum_dl / n_docs))))
+    AS score
+  FROM per_doc, stats
+)
+SELECT doc_id, dl, round(score, 6) AS score
+FROM scored
+WHERE score > 0
+ORDER BY doc_id
+""",
+        "pack_sequences": """
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM toks
+), spans AS (
+  SELECT source, doc_id, n_tokens, cum_tokens,
+         (cum_tokens - n_tokens) // 64 AS seq_first,
+         greatest((cum_tokens - 1) // 64, (cum_tokens - n_tokens) // 64) AS seq_last
+  FROM c
+)
+SELECT source, doc_id, n_tokens, cum_tokens, seq_first, seq_last,
+       seq_last - seq_first + 1 AS n_seqs
+FROM spans
+ORDER BY source, doc_id
+""",
+        "ngram_topk": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), grams AS (
+  SELECT array_to_string(list_slice(t, i + 1, i + 2), ' ') AS gram
+  FROM toks, UNNEST(range(0, greatest(len(t) - 1, 0))) AS u(i)
+), counts AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY gram
+)
+SELECT gram, n FROM counts WHERE n >= 2
+ORDER BY n DESC, gram ASC
+LIMIT 25
+""",
         # minhash_neardup / simhash_neardup / ann_lsh_topk: approximate by
         # design -> no SQL oracle; driver records rows-only checks.
     }

@@ -1,0 +1,238 @@
+"""Training-corpus preparation operators (task-mandated LLM-pipeline surface).
+
+Beyond the reference's warehouse ops, a 100 TB training-data pipeline needs
+corpus-level preparation: benchmark decontamination, PII scrubbing, lexical
+relevance scoring, context-window sequence packing, and corpus n-gram
+statistics. All five are pure DataFrame plans — native expressions in the
+map stages (codegen'd, zero Python in the loop) and a single shuffle each
+where grouping is genuinely required.
+
+Scale design notes (the 100× question, per operator):
+- ``decontaminate``: the eval/benchmark side is small by nature (thousands
+  of docs), so its distinct n-gram set broadcasts — the 100 TB train side
+  is a map-only explode + broadcast-hash-join + one count shuffle keyed on
+  doc_id. No train-side self-shuffle, no all-pairs anything.
+- ``pii_scrub``: narrow projection, fuses into the scan's WholeStageCodegen.
+- ``bm25_score``: two tiny aggregates (N/avgdl + per-term document
+  frequencies collapse to ONE row) broadcast back over the corpus; the
+  per-doc scoring pass is map-only. Term list is a query, not data —
+  bounded and fixed at plan time.
+- ``pack_sequences``: one window shuffle per shard key (the natural unit a
+  packing job runs over); arithmetic is integral so plans are
+  engine-portable bit-for-bit.
+- ``ngram_topk``: classic two-phase count — map-side partial aggregation
+  absorbs the explode fan-out before the shuffle, and the final top-k is
+  TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from global_stock_data_warehouse_spark.operators.text import tokens
+
+# RE2-and-Java-compatible PII patterns (no lookarounds/backrefs, so the
+# same pattern string runs identically on Spark's Java regex and
+# RE2-family engines used by SQL oracles).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Sliding word n-grams (space-joined) from a token array; docs shorter
+    than ``n`` tokens yield an empty array. Pure array expressions."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    ``n``-gram with an eval/benchmark set (the GPT-3/Dolma-style overlap
+    rule). Returns one row per train doc: ``n_collisions`` = distinct
+    contaminated n-grams, ``contaminated`` = any hit.
+
+    Grams are joined as strings (engine-portable, collision-free); the
+    eval gram set is explicitly broadcast — a benchmark suite is tiny
+    relative to a training corpus, so the train side never shuffles for
+    the join itself, only for the final per-doc count.
+    """
+    t_grams = (
+        train.select(id_col, F.explode(word_ngrams(tokens(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    e_grams = (
+        eval_set.select(F.explode(word_ngrams(tokens(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    hits = (
+        t_grams.join(broadcast(e_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .withColumn("n_collisions", F.coalesce("n_collisions", F.lit(0)))
+        .withColumn("contaminated", F.col("n_collisions") > 0)
+    )
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Count and redact PII spans (email / IPv4 / phone) in one narrow
+    projection. Emails are replaced first: an email's domain can contain
+    digit runs that would otherwise be half-eaten by the IP pattern."""
+    c = F.col(text_col)
+    counted = df.withColumns(
+        {
+            "n_emails": F.regexp_count(c, F.lit(PII_PATTERNS["email"])),
+            "n_ips": F.regexp_count(c, F.lit(PII_PATTERNS["ipv4"])),
+            "n_phones": F.regexp_count(c, F.lit(PII_PATTERNS["phone"])),
+        }
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_PATTERNS["email"], "[EMAIL]"),
+            PII_PATTERNS["ipv4"],
+            "[IP]",
+        ),
+        PII_PATTERNS["phone"],
+        "[PHONE]",
+    )
+    return counted.withColumn(out_col, redacted)
+
+
+def bm25_score(
+    df: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set.
+
+    One corpus pass computes per-doc term frequencies + doc length; ONE
+    single-row aggregate yields N, avgdl and every term's document
+    frequency simultaneously (no per-term scan); that row is broadcast
+    back and the score is a fixed-order map-side expression, so the whole
+    query is scan → tiny agg → broadcast join → project.
+
+    Numeric determinism: tf/dl/df/N stay integral until the final score
+    expression, and per-term contributions are added in the given term
+    order — the identical parenthesization is reproducible in ANSI SQL,
+    which is what makes this oracle-checkable at the bit level.
+    """
+    toks = tokens(text_col)
+
+    def tf_of(term: str) -> Column:
+        # NB: a 2-arg lambda in F.filter means (element, index) — keep it unary
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    per_doc = df.select(
+        id_col,
+        F.size(toks).alias("dl"),
+        *[tf_of(term).alias(f"tf_{i}") for i, term in enumerate(terms)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1.0
+        )
+        contrib = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+        score = contrib if score is None else score + contrib
+    return (
+        scored.withColumn("score", score)
+        .filter(F.col("score") > 0)
+        .select(id_col, "dl", "score")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing map: concatenate each shard's documents
+    in ``id_col`` order and cut the token stream into fixed ``ctx_len``
+    windows. Emits, per doc, the first/last sequence index it lands in and
+    how many sequences it spans (docs straddle boundaries — that IS the
+    packing semantics; nothing is padded or dropped).
+
+    All integer arithmetic over one window cumsum per shard: exact on any
+    engine, and the shard is the natural parallel unit at 100 TB (each
+    shard's stream is independent)."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(text_col))
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    out = (
+        df.select(shard_col, id_col, n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", cum)
+        .withColumn(
+            "seq_first", F.expr(f"(cum_tokens - n_tokens) div {ctx_len}")
+        )
+        .withColumn("seq_last", F.expr(f"(cum_tokens - 1) div {ctx_len}"))
+        .withColumn("n_seqs", F.col("seq_last") - F.col("seq_first") + 1)
+    )
+    # zero-token docs sit at a boundary: define them as occupying the
+    # sequence they'd start (seq_first), spanning 1
+    return out.withColumn(
+        "seq_last", F.greatest("seq_last", "seq_first")
+    ).withColumn("n_seqs", F.col("seq_last") - F.col("seq_first") + 1)
+
+
+def ngram_topk(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 25,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with a minimum-support prune — the
+    wordcount shape at scale. The explode fan-out is absorbed by map-side
+    partial aggregation before the single shuffle; (count DESC, gram ASC)
+    is a total order, so top-k is deterministic and compiles to
+    TakeOrderedAndProject."""
+    grams = df.select(F.explode(word_ngrams(tokens(text_col), n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(k)
+    )

@@ -1,0 +1,130 @@
+"""Training-corpus preparation ops: decontamination, PII scrub, BM25,
+sequence packing, corpus n-grams — semantics on hand-built frames plus
+plan-shape gates (broadcast eval side, no Python in the hot path)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from global_stock_data_warehouse_spark.operators.corpus import (
+    bm25_score,
+    decontaminate,
+    ngram_topk,
+    pack_sequences,
+    pii_scrub,
+    word_ngrams,
+)
+from global_stock_data_warehouse_spark.operators.text import tokens
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_word_ngrams_short_doc_yields_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c",)], ["text"])
+    out = df.select(F.size(word_ngrams(tokens("text"), 3)).alias("n")).collect()
+    assert [r.n for r in out] == [0, 1]
+
+
+def test_decontaminate_flags_shared_ngram(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated content with zero overlap here"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "we say the quick brown fox jumps far away")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in decontaminate(train, ev, n=5).collect()}
+    assert out[1].contaminated and out[1].n_collisions == 1  # the 5-gram
+    assert not out[2].contaminated and out[2].n_collisions == 0
+
+
+def test_decontaminate_eval_side_broadcasts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(
+        decontaminate(
+            docs.filter("doc_id % 20 != 0"), docs.filter("doc_id % 20 = 0"), n=5
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io or 10.0.0.1 or 555-123-4567 end")],
+        ["doc_id", "text"],
+    )
+    r = pii_scrub(df).first()
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+    assert r.clean_text == "mail [EMAIL] or [IP] or [PHONE] end"
+
+
+def test_pii_scrub_email_wins_over_ip_fragment(spark):
+    # domain contains a dotted digit run; email replacement must consume it
+    df = spark.createDataFrame([(1, "u@h1.2x.com")], ["doc_id", "text"])
+    r = pii_scrub(df).first()
+    assert r.clean_text == "[EMAIL]" and r.n_ips == 0
+
+
+def test_bm25_matches_local_formula(spark):
+    rows = [(1, "spark spark runs fast"), (2, "hash table"), (3, "no match here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.score for r in bm25_score(df, ["spark", "hash"]).collect()}
+    n, avgdl = 3, (4 + 2 + 3) / 3
+    k1, b = 1.2, 0.75
+
+    def score(tf, dl, dfreq):
+        idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    assert out[1] == pytest.approx(score(2, 4, 1))  # "spark" x2
+    assert out[2] == pytest.approx(score(1, 2, 1))  # "hash" x1
+    assert 3 not in out  # zero-score docs filtered
+
+
+def test_bm25_single_stats_row_broadcasts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(bm25_score(docs, ["spark", "hash"]))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_sequences_spans_boundaries(spark):
+    # shard s: 3 docs of 40 tokens -> cum 40/80/120 over ctx 64
+    rows = [(i, "t " * 40, "s") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.doc_id: r for r in pack_sequences(df, ctx_len=64).collect()}
+    assert (out[0].seq_first, out[0].seq_last, out[0].n_seqs) == (0, 0, 1)
+    assert (out[1].seq_first, out[1].seq_last, out[1].n_seqs) == (0, 1, 2)  # straddles
+    assert (out[2].seq_first, out[2].seq_last, out[2].n_seqs) == (1, 1, 1)
+
+
+def test_pack_sequences_shards_independent(spark):
+    rows = [(1, "a b c", "s1"), (2, "d e", "s2")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.doc_id: r for r in pack_sequences(df, ctx_len=4).collect()}
+    # each shard's cumsum restarts
+    assert out[1].cum_tokens == 3 and out[2].cum_tokens == 2
+    assert out[1].seq_first == 0 and out[2].seq_first == 0
+
+
+def test_ngram_topk_deterministic_order(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c d"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    out = [(r.gram, r.n) for r in ngram_topk(df, n=2, k=3, min_count=2).collect()]
+    # "a b" x3; then ties at 2 break by gram ASC
+    assert out == [("a b", 3), ("b c", 2), ("c d", 2)]
+
+
+def test_ngram_topk_is_take_ordered(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(ngram_topk(docs, n=2, k=25, min_count=2))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine before the shuffle

@@ -28,13 +28,18 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_oracled_queries_lead_the_dict():
-    """The driver checks the FIRST 50 queries() entries; every oracled
-    query must sit inside that window (rows-only ops go after)."""
+    """The driver checks the FIRST 50 queries() entries: that window must
+    be 100% oracled, and every oracled query must precede every rows-only
+    one (oracled entries past 50 are verified locally by
+    tools/check_correctness.py — still ahead of the approximate tail)."""
     qs = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
-    leading = set(qs[: len(oracles)])
-    assert oracles == leading, f"oracled queries outside the checked window: {oracles - leading}"
-    assert len(oracles) <= 50, "more oracled queries than the driver checks"
+    window = qs[:50]
+    assert all(q in oracles for q in window), [q for q in window if q not in oracles]
+    n_oracled = len(oracles)
+    assert set(qs[:n_oracled]) == oracles, (
+        f"oracled queries after rows-only ones: {oracles - set(qs[:n_oracled])}"
+    )
 
 
 def test_entry_runs_and_returns_rows(spark):
