@@ -61,6 +61,7 @@ from global_stock_data_warehouse_spark.operators.corpus import (
     PII_PATTERNS,
     bm25_score,
     decontaminate,
+    duplicate_spans,
     ngram_topk,
     pack_sequences,
     pii_scrub,
@@ -1026,6 +1027,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeated 4-token spans (boilerplate detection): spans in
+    >=2 distinct docs ranked by spread, member lists capped+sorted."""
+    return duplicate_spans(
+        _t(spark, sf_dir, "documents"), n=4, min_docs=2, k=100, max_members=20
+    )
+
+
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-25 bigrams with min-support prune — wordcount at
     scale: map-side partial agg absorbs the explode, deterministic
@@ -1206,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_score": q_bm25_score,
         "pack_sequences": q_pack_sequences,
         "ngram_topk": q_ngram_topk,
+        "duplicate_spans": q_duplicate_spans,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1882,6 +1892,26 @@ SELECT source, doc_id, n_tokens, cum_tokens, seq_first, seq_last,
        seq_last - seq_first + 1 AS n_seqs
 FROM spans
 ORDER BY source, doc_id
+""",
+        "duplicate_spans": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 4), ' ') AS span
+  FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0))) AS u(i)
+), g AS (
+  SELECT span, CAST(count(*) AS BIGINT) AS n_docs,
+         array_to_string(
+           list_transform(list_slice(list_sort(list(doc_id)), 1, 20),
+                          x -> CAST(x AS VARCHAR)), ',') AS members
+  FROM grams GROUP BY span
+)
+SELECT span, n_docs, members FROM g
+WHERE n_docs >= 2
+ORDER BY n_docs DESC, span ASC
+LIMIT 100
 """,
         "ngram_topk": """
 WITH toks AS (

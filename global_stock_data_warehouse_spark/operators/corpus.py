@@ -228,6 +228,45 @@ def pack_sequences(
     ).withColumn("n_seqs", F.col("seq_last") - F.col("seq_first") + 1)
 
 
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 4,
+    min_docs: int = 2,
+    k: int = 100,
+    max_members: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-span detection (boilerplate / template
+    hunting, the spirit of suffix-array training-data dedup scoped to
+    fixed ``n``-token spans): spans appearing in >= ``min_docs`` DISTINCT
+    docs, ranked by spread.
+
+    Per-doc span dedup is local (array_distinct before explode), so the
+    single shuffle groups (span -> doc ids) with map-side partials; member
+    lists are capped at ``max_members`` (sorted, deterministic) because a
+    boilerplate span at corpus scale can hit millions of docs — the cap
+    bounds row width while ``n_docs`` keeps the true spread."""
+    spans = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(tokens(text_col), n))).alias("span"),
+    )
+    grouped = spans.groupBy("span").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.slice(F.sort_array(F.collect_set(id_col)), 1, max_members).alias("_members"),
+    )
+    return (
+        grouped.filter(F.col("n_docs") >= min_docs)
+        .withColumn(
+            "members",
+            F.concat_ws(",", F.transform(F.col("_members"), lambda x: x.cast("string"))),
+        )
+        .drop("_members")
+        .orderBy(F.col("n_docs").desc(), F.col("span").asc())
+        .limit(k)
+    )
+
+
 def ngram_topk(
     df: DataFrame,
     n: int = 2,

@@ -114,6 +114,34 @@ def test_pack_sequences_shards_independent(spark):
     assert out[1].seq_first == 0 and out[2].seq_first == 0
 
 
+def test_duplicate_spans_counts_distinct_docs(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import duplicate_spans
+
+    rows = [
+        (1, "copy right footer text here plus unique one"),
+        (2, "copy right footer text here plus unique two"),
+        (3, "copy right footer text here copy right footer text here"),  # internal repeat
+        (4, "completely different content"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.span: r for r in duplicate_spans(df, n=4, min_docs=2, k=10).collect()}
+    r = out["copy right footer text"]
+    # doc 3 repeats the span internally but counts ONCE
+    assert r.n_docs == 3 and r.members == "1,2,3"
+    assert all(r.n_docs >= 2 for r in out.values())
+
+
+def test_duplicate_spans_member_cap(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, "the same boilerplate span") for i in range(30)], ["doc_id", "text"]
+    )
+    r = duplicate_spans(df, n=4, min_docs=2, k=5, max_members=10).first()
+    assert r.n_docs == 30  # true spread kept
+    assert r.members == ",".join(str(i) for i in range(10))  # capped + sorted
+
+
 def test_ngram_topk_deterministic_order(spark):
     df = spark.createDataFrame(
         [(1, "a b a b c d"), (2, "a b c d")], ["doc_id", "text"]
