@@ -34,6 +34,19 @@ def main() -> None:
     # TIMESTAMP(NANOS) conversion path) so per-query timings measure the
     # queries, not one-time reader initialization.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # Warm the reusable Python UDF worker pool (fork + numpy/pandas import
+    # per worker — one-time cost that would otherwise land on whichever
+    # Arrow-batched query happens to run first).
+    def _warm_workers(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(256).repartition(n_cpus).mapInPandas(_warm_workers, "id long").count()
+
     for t in (
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",

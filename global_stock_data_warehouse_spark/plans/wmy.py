@@ -125,6 +125,46 @@ def wmy_pipeline(
     return gold, verdicts
 
 
+def incremental_wmy(
+    bars: DataFrame,
+    delta: DataFrame,
+    gold_prev: DataFrame,
+    verdicts_prev: DataFrame,
+    key_col: str = "symbol",
+    **wmy_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental gold refresh: recompute ONLY symbols present in the new
+    ``delta`` batch; splice everything else through from the previous run.
+
+    The reference re-runs the whole per-file conversion on every sync
+    (downloader_wmy.py:130-179 loops every input file); its only
+    incrementality is the driver-level watermark skip (main.py:101-112).
+    This plan makes incrementality symbol-grained: resample buckets,
+    period returns, and validation gates are all per-symbol functions of
+    that symbol's FULL history, so the changed-symbol set is the exact
+    recompute frontier — results are bit-identical to a full rerun
+    (asserted in tests/test_wmy_pipeline.py).
+
+    Scale: the changed-symbol dim is tiny (one row per touched symbol) ->
+    broadcast semi-join prunes the fact scan to changed partitions;
+    untouched gold/verdict rows pass through with an equally broadcast
+    anti-join. Work scales with the delta, not the table.
+    """
+    changed = delta.select(key_col).distinct()
+    changed_b = F.broadcast(changed)
+    gold_changed, verdicts_changed = wmy_pipeline(
+        bars.join(changed_b, key_col, "left_semi"), key_col=key_col, **wmy_kwargs
+    )
+    gold_kept = gold_prev.join(
+        changed_b.withColumnRenamed(key_col, "stock_id"), "stock_id", "left_anti"
+    )
+    verdicts_kept = verdicts_prev.join(changed_b, key_col, "left_anti")
+    return (
+        gold_kept.unionByName(gold_changed),
+        verdicts_kept.unionByName(verdicts_changed),
+    )
+
+
 def audit_record(verdicts: DataFrame, market_id: str) -> DataFrame:
     """One audit row from the verdict dim (K3 / wmy_conversion_audit).
 

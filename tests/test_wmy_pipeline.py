@@ -40,6 +40,37 @@ def _mk_bars(spark):
     )
 
 
+def test_incremental_wmy_matches_full_rerun(spark):
+    from global_stock_data_warehouse_spark.plans.wmy import incremental_wmy
+
+    base = _mk_bars(spark)
+    # delta: AAA gets two fresh March bars, plus a brand-new symbol DDD
+    delta = spark.createDataFrame(
+        [
+            ("AAA.TW", dt.date(2024, 3, 1), 142.0, 144.0, 141.0, 143.0, 1000),
+            ("AAA.TW", dt.date(2024, 3, 4), 143.0, 145.0, 142.0, 144.0, 1000),
+            ("DDD.TW", dt.date(2024, 2, 1), 20.0, 21.0, 19.0, 20.5, 300),
+            ("DDD.TW", dt.date(2024, 2, 2), 20.5, 21.5, 19.5, 21.0, 300),
+        ],
+        "symbol string, date date, open double, high double, low double, close double, volume long",
+    )
+    full = base.unionByName(delta)
+    gold_prev, verdicts_prev = wmy_pipeline(base)
+    inc_gold, inc_verdicts = incremental_wmy(full, delta, gold_prev, verdicts_prev)
+    full_gold, full_verdicts = wmy_pipeline(full)
+
+    def norm(df):
+        return sorted(map(tuple, df.collect()), key=lambda t: tuple(map(str, t)))
+
+    assert norm(inc_gold) == norm(full_gold)
+    assert norm(inc_verdicts) == norm(full_verdicts)
+    # untouched symbols were spliced through, not recomputed: BBB/CCC
+    # verdict rows must be present and unchanged
+    vp = {r.symbol: r for r in inc_verdicts.collect()}
+    assert not vp["BBB.TW"].passed and not vp["CCC.TW"].passed
+    assert vp["DDD.TW"].passed
+
+
 @pytest.fixture(scope="module")
 def gold_and_verdicts(spark):
     bars = _mk_bars(spark)
