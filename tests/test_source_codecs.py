@@ -1,0 +1,152 @@
+"""Stdlib-codec source scans: xlsx (zip+XML), HTML tables, SQLite shards.
+
+Each test builds REAL encoded artifacts (an actual xlsx zip, actual HTML,
+an actual .db file) — no mocks in the decode path — and drives the
+distributed scan end-to-end.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import zipfile
+
+import pytest
+
+from global_stock_data_warehouse_spark.sources.excel import (
+    parse_xlsx_grid,
+    scan_excel,
+)
+from global_stock_data_warehouse_spark.sources.html_table import (
+    parse_html_tables,
+    scan_html_table,
+)
+from global_stock_data_warehouse_spark.sources.landing import grid_to_records
+from global_stock_data_warehouse_spark.sources.sqlite_scan import (
+    list_tables,
+    migrate_sqlite_to_parquet,
+    scan_sqlite,
+    sqlite_table_schema,
+)
+
+_SHEET_XML = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<sheetData>
+<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+<row r="2"><c r="A2" t="s"><v>2</v></c><c r="C2"><v>42.5</v></c></row>
+<row r="3"><c r="A3" t="inlineStr"><is><t>inline</t></is></c><c r="B3" t="b"><v>1</v></c></row>
+</sheetData>
+</worksheet>"""
+
+_SHARED_XML = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+<si><t>Code</t></si><si><r><t>Na</t></r><r><t>me</t></r></si><si><t>2330</t></si>
+</sst>"""
+
+
+def _mk_xlsx(tmp_path, name="book.xlsx"):
+    p = tmp_path / name
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml", _SHEET_XML)
+        zf.writestr("xl/sharedStrings.xml", _SHARED_XML)
+    return str(p)
+
+
+def test_parse_xlsx_grid_cell_types(tmp_path):
+    path = _mk_xlsx(tmp_path)
+    grid = parse_xlsx_grid(open(path, "rb").read())
+    assert grid[0] == ["Code", "Name"]  # shared + rich-text runs joined
+    assert grid[1] == ["2330", None, "42.5"]  # skipped B2 padded with None
+    assert grid[2] == ["inline", "TRUE"]
+
+
+def test_parse_xlsx_missing_sheet_raises(tmp_path):
+    path = _mk_xlsx(tmp_path)
+    with pytest.raises(ValueError, match="sheet"):
+        parse_xlsx_grid(open(path, "rb").read(), sheet_index=3)
+
+
+def test_scan_excel_distributed(spark, tmp_path):
+    _mk_xlsx(tmp_path, "a.xlsx")
+    _mk_xlsx(tmp_path, "b.xlsx")
+    out = scan_excel(spark, f"{tmp_path}/*.xlsx").collect()
+    assert len(out) == 6  # 3 rows x 2 files
+    by_file = {}
+    for r in out:
+        by_file.setdefault(r.path.rsplit("/", 1)[-1], []).append(r)
+    grid = [r.cells for r in sorted(by_file["a.xlsx"], key=lambda r: r.row_idx)]
+    cols, data = grid_to_records(grid, required_tokens=["code", "name"])
+    assert cols == ["Code", "Name"] and data[0][0] == "2330"
+
+
+_HTML = """<html><body>
+<p>noise</p>
+<table>
+  <tr><th>Code</th><th> Name </th></tr>
+  <tr><td>005930</td><td>Samsung &amp; Co</td></tr>
+</table>
+<table><tr><td>outer<table><tr><td>inner</td></tr></table></td></tr></table>
+</body></html>"""
+
+
+def test_parse_html_tables_semantics():
+    tables = parse_html_tables(_HTML)
+    assert len(tables) == 3  # two top-level + one nested (emitted separately)
+    assert tables[0] == [["Code", "Name"], ["005930", "Samsung & Co"]]
+    assert ["inner"] in tables[1] or ["inner"] in tables[2]
+    # nested text never leaks into the parent cell
+    flat_parent = [c for t in tables[1:] for row in t for c in row]
+    assert "outerinner" not in "".join(flat_parent)
+
+
+def test_scan_html_table_distributed(spark, tmp_path):
+    (tmp_path / "kr.html").write_text(_HTML)
+    out = scan_html_table(spark, f"{tmp_path}/*.html")
+    first = (
+        out.filter("table_idx = 0").orderBy("row_idx").collect()
+    )
+    assert [r.cells for r in first] == [["Code", "Name"], ["005930", "Samsung & Co"]]
+
+
+def _mk_db(tmp_path):
+    p = str(tmp_path / "kr_stock_warehouse.db")
+    con = sqlite3.connect(p)
+    con.execute(
+        "CREATE TABLE stock_prices (date TEXT, symbol TEXT, close REAL, volume INTEGER)"
+    )
+    con.executemany(
+        "INSERT INTO stock_prices VALUES (?,?,?,?)",
+        [(f"2024-01-{d:02d}", s, 100.0 + d, 1000 + d) for d in range(1, 21) for s in ("A", "B")],
+    )
+    con.execute("CREATE TABLE stock_info (symbol TEXT PRIMARY KEY, name TEXT)")
+    con.executemany("INSERT INTO stock_info VALUES (?,?)", [("A", "Alpha"), ("B", "Beta")])
+    con.commit()
+    con.close()
+    return p
+
+
+def test_sqlite_schema_affinity(tmp_path):
+    db = _mk_db(tmp_path)
+    assert sqlite_table_schema(db, "stock_prices") == [
+        ("date", "string"), ("symbol", "string"), ("close", "double"), ("volume", "bigint"),
+    ]
+    with pytest.raises(ValueError):
+        sqlite_table_schema(db, "nope")
+
+
+def test_scan_sqlite_partitioned_complete(spark, tmp_path):
+    db = _mk_db(tmp_path)
+    df = scan_sqlite(spark, db, "stock_prices", num_partitions=4)
+    rows = df.collect()
+    assert len(rows) == 40  # all ranges covered, no seam gaps/overlaps
+    assert df.schema["volume"].dataType.simpleString() == "bigint"
+    assert {r.symbol for r in rows} == {"A", "B"}
+    assert sum(1 for r in rows if r.date == "2024-01-07") == 2
+
+
+def test_migrate_sqlite_to_parquet_roundtrip(spark, tmp_path):
+    db = _mk_db(tmp_path)
+    assert list_tables(db) == ["stock_info", "stock_prices"]
+    counts = migrate_sqlite_to_parquet(spark, db, str(tmp_path / "lake"))
+    assert counts == {"stock_info": 2, "stock_prices": 40}
+    back = spark.read.parquet(str(tmp_path / "lake" / "stock_prices.parquet"))
+    assert back.count() == 40 and back.schema["close"].dataType.simpleString() == "double"
