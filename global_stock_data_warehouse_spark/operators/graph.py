@@ -72,7 +72,83 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-labels travel ONE hop per round: a graph whose diameter
+        # exceeds max_iter would silently return split components — fail
+        # loudly and point at the logarithmic-round alternative.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter too large) — use connected_components_star"
+        )
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node_id, component) via alternating large-star/small-star rounds
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*, 2014).
+
+    Hash-to-min (``connected_components``) moves the min label one hop per
+    round — diameter rounds, perfect for clique-ish near-dup clusters but
+    wrong-by-timeout on long-path graphs. Star operations instead rewire
+    the graph toward its component-minimum star and converge in
+    O(log diameter) rounds: large-star hangs every larger neighbor off the
+    local minimum; small-star re-parents the smaller ones. Each round is
+    two grouped mins + two projections — same shuffle building blocks,
+    exponentially fewer rounds.
+
+    Convergence is detected structurally (edge multiset signature stable),
+    checkpointed per round to keep lineage flat. Isolated nodes don't
+    appear (no edges), matching ``connected_components``.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # --- large-star: ∀v ∈ Γ(u), v > u: (v, m) where m = min(Γ(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        joined = sym.join(mins, "u")
+        e = (
+            joined.filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star on oriented edges (u > v): ∀v ∈ Γ(u) ∪ {u} \ {m}: (v, m)
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = o.groupBy("u").agg(F.min("v").alias("m"))  # all v < u, so min(Γ ∪ {u}) = min(v)
+        e = (
+            o.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = tuple(e.agg(F.count(F.lit(1)), F.sum(F.xxhash64("u", "v"))).first())
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"star rounds did not converge in {max_iter} iterations")
+    # converged edges form stars (child -> component root); roots label themselves
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    roots = labels.select("comp").distinct().select(
+        F.col("comp").alias("id"), F.col("comp")
+    )
+    return labels.union(roots).distinct()
 
 
 def dedup_groups(

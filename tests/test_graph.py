@@ -1,7 +1,12 @@
 """Connected components / dedup groups: hand-checkable graphs."""
 
+import random
+
+import pytest
+
 from global_stock_data_warehouse_spark.operators.graph import (
     connected_components,
+    connected_components_star,
     dedup_groups,
 )
 
@@ -25,6 +30,36 @@ def test_cc_long_path_converges(spark):
     e = _edges(spark, [(i, i + 1) for i in range(12)])
     comp = {r.id: r.comp for r in connected_components(e).collect()}
     assert set(comp.values()) == {0} and len(comp) == 13
+
+
+def test_cc_raises_instead_of_wrong_labels_on_timeout(spark):
+    # a 12-path cannot converge in 3 hash-to-min rounds: silent split
+    # components would be a correctness bug — must raise
+    e = _edges(spark, [(i, i + 1) for i in range(12)])
+    with pytest.raises(RuntimeError, match="star"):
+        connected_components(e, max_iter=3)
+
+
+def test_star_long_path_logarithmic_rounds(spark):
+    # 40-path: diameter 40 — hash-to-min would need 40 rounds; star
+    # variants converge within the default 20 (O(log d))
+    e = _edges(spark, [(i, i + 1) for i in range(40)])
+    comp = {r.id: r.comp for r in connected_components_star(e).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 41
+
+
+def test_star_matches_hash_to_min_on_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(50 + 10 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        e = _edges(spark, edges)
+        a = {r.id: r.comp for r in connected_components(e, max_iter=80).collect()}
+        b = {r.id: r.comp for r in connected_components_star(e).collect()}
+        assert a == b, f"trial {trial}: {a} != {b}"
 
 
 def test_dedup_groups_shape(spark):
