@@ -129,6 +129,75 @@ def upsert_sink(
     return writer
 
 
+def incremental_gold_sink(
+    stream: DataFrame,
+    bars_path: str,
+    gold_path: str,
+    verdicts_path: str,
+    checkpoint: str,
+    key_cols: Sequence[str] = ("symbol", "date"),
+    available_now: bool = True,
+    **wmy_kwargs,
+) -> DataStreamWriter:
+    """Streaming end of the incremental refresh: each micro-batch of new
+    bars (1) lands idempotently into the bars store via keyed upsert, then
+    (2) refreshes gold + verdicts for ONLY the touched symbols
+    (`plans.wmy.incremental_wmy` splice — work scales with the batch, not
+    the table). First batch bootstraps with a full pipeline build.
+
+    Outputs are rewritten via write-to-temp + rename swap (the
+    `storage/compact.py` pattern): the refresh READS the previous gold
+    from the same path it replaces, so an in-place overwrite would clobber
+    its own input mid-plan. Replay-safe: re-running a batch upserts the
+    same bars and recomputes the same symbols.
+    """
+    import shutil
+    import uuid
+
+    from global_stock_data_warehouse_spark.plans.wmy import incremental_wmy, wmy_pipeline
+
+    def _swap_write(df: DataFrame, path: str) -> None:
+        import os
+
+        tmp = f"{path}__new_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, path)
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        upsert_keyed(spark, batch, bars_path, list(key_cols))
+        bars = spark.read.parquet(bars_path)
+        if os.path.exists(gold_path) and os.path.exists(verdicts_path):
+            gold, verdicts = incremental_wmy(
+                bars,
+                batch,
+                spark.read.parquet(gold_path),
+                spark.read.parquet(verdicts_path),
+                **wmy_kwargs,
+            )
+        else:
+            gold, verdicts = wmy_pipeline(bars, **wmy_kwargs)
+        _swap_write(gold, gold_path)
+        _swap_write(verdicts, verdicts_path)
+
+    writer = stream.writeStream.foreachBatch(refresh).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: Sequence[str],

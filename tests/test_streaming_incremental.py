@@ -1,0 +1,72 @@
+"""Streaming incremental gold refresh: micro-batches land in the bars
+store and splice-refresh gold/verdicts; end state must equal a batch
+rebuild over all bars."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from global_stock_data_warehouse_spark.plans.wmy import wmy_pipeline
+from global_stock_data_warehouse_spark.streaming.pipeline import (
+    incremental_gold_sink,
+    read_bar_stream,
+)
+
+SCHEMA = (
+    "symbol string, date date, open double, high double, low double, "
+    "close double, volume long"
+)
+
+
+def _bars(symbol, start, n, px0):
+    out = []
+    d = start
+    px = px0
+    i = 0
+    while i < n:
+        if d.weekday() < 5:
+            px += 1.0
+            out.append((symbol, d, px - 0.5, px + 1.0, px - 1.0, px, 1000))
+            i += 1
+        d += dt.timedelta(days=1)
+    return out
+
+
+def _run_pass(spark, src, paths):
+    stream = read_bar_stream(spark, src, SCHEMA)
+    q = incremental_gold_sink(stream, *paths).start()
+    q.awaitTermination(180)
+
+
+def test_streaming_incremental_matches_batch_rebuild(spark, tmp_path):
+    src = str(tmp_path / "src")
+    paths = tuple(
+        str(tmp_path / p) for p in ("bars", "gold", "verdicts", "ckpt")
+    )
+    base = _bars("AAA.TW", dt.date(2024, 1, 2), 30, 100.0) + _bars(
+        "BBB.TW", dt.date(2024, 1, 2), 30, 50.0
+    )
+    spark.createDataFrame(base, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run_pass(spark, src, paths)  # batch 1: bootstrap full build
+
+    gold1 = spark.read.parquet(paths[1])
+    assert {r.stock_id for r in gold1.select("stock_id").distinct().collect()} == {
+        "AAA.TW",
+        "BBB.TW",
+    }
+
+    # batch 2: fresh March bars for AAA only -> BBB rows spliced through
+    delta = _bars("AAA.TW", dt.date(2024, 3, 1), 5, 140.0)
+    spark.createDataFrame(delta, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run_pass(spark, src, paths)
+
+    bars_all = spark.read.parquet(paths[0])
+    assert bars_all.count() == len(base) + len(delta)
+
+    expect_gold, expect_verd = wmy_pipeline(spark.createDataFrame(base + delta, SCHEMA))
+
+    def norm(df):
+        return sorted(map(tuple, df.collect()), key=lambda t: tuple(map(str, t)))
+
+    assert norm(spark.read.parquet(paths[1])) == norm(expect_gold)
+    assert norm(spark.read.parquet(paths[2])) == norm(expect_verd)
