@@ -43,22 +43,37 @@ def compact_parquet(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Rewrite the table at ``path`` into ~``target_file_bytes`` files.
+
+    ``cluster_by`` additionally range-partitions + sorts the rewrite on
+    those columns (the OPTIMIZE ZORDER intent for the 1-D/lexicographic
+    case): each output file then covers a narrow min/max range of the
+    cluster keys, so parquet row-group statistics prune point/range scans
+    on them — data skipping without an index. Do this for the predicate
+    columns of the table's hot queries (e.g. ``["symbol", "date"]`` on the
+    bars store).
 
     No-op (returns the stats) when the table is already at or below the
     computed file count. Returns {"files_before", "files_after", "bytes"}.
     """
     n_files, total = table_file_stats(spark, path)
     want = max(1, math.ceil(total / target_file_bytes))
-    if n_files < min_files_to_compact or n_files <= want:
+    if n_files < min_files_to_compact or (n_files <= want and not cluster_by):
         return {"files_before": n_files, "files_after": n_files, "bytes": total}
 
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
     # mergeSchema: compaction must not silently drop columns added by
     # schema evolution after the oldest files were written
     df = spark.read.option("mergeSchema", "true").parquet(path)
-    df.repartition(want).write.mode("overwrite").parquet(tmp)
+    if cluster_by:
+        # repartitionByRange gives disjoint key ranges per file;
+        # sortWithinPartitions tightens row-group stats inside each
+        df = df.repartitionByRange(want, *cluster_by).sortWithinPartitions(*cluster_by)
+    else:
+        df = df.repartition(want)
+    df.write.mode("overwrite").parquet(tmp)
 
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)

@@ -90,6 +90,36 @@ def test_compact_reduces_file_count(spark, tmp_path):
     assert again["files_after"] == again["files_before"]
 
 
+def test_compact_cluster_by_gives_disjoint_file_ranges(spark, tmp_path):
+    """OPTIMIZE-ZORDER intent (1-D): after a clustered compaction each
+    output file covers a disjoint key range, so row-group min/max stats
+    prune point lookups."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "clustered")
+    # interleave keys across append files so pre-compaction every file
+    # spans the whole key space (worst case for skipping)
+    for i in range(4):
+        rows = [(k, i * 1000 + k) for k in range(0, 40, 1)]
+        spark.createDataFrame(rows, "k bigint, v bigint").write.mode("append").parquet(path)
+
+    stats = compact_parquet(
+        spark, path, target_file_bytes=2048, cluster_by=["k"]
+    )
+    assert stats["files_after"] >= 2
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) >= 2
+    ranges = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges  # disjoint (boundary key may repeat)
+    assert spark.read.parquet(path).count() == 160
+
+
 def test_delta_merge_contract(spark, tmp_path, monkeypatch):
     """delta-spark is absent here, so the MERGE branch is exercised via a
     recording fake: upsert_keyed must route to DeltaTable.merge with the
