@@ -1,1 +1,2 @@
-"""Physical-layout utilities: bucketed tables for co-located joins."""
+"""Physical-layout utilities: bucketed tables for co-located joins,
+additive schema evolution, and clustered small-files compaction."""
