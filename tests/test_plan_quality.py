@@ -83,6 +83,23 @@ def test_range_join_preaggregates_fact_side(spark):
     assert agg_at > join_at, plan
 
 
+def test_no_plan_antipatterns_in_any_query(spark):
+    """Global physical-plan gate over EVERY declared query: no
+    CartesianProduct (an unconstrained pair blowup at scale) and no
+    BatchEvalPython (row-at-a-time Python UDF in a hot path — the only
+    sanctioned Python is Arrow-batched map/apply-InPandas, which prints as
+    different nodes). Catches regressions anywhere in the surface, not
+    just the queries with bespoke plan tests."""
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, sf))
+        hits = [p for p in ("CartesianProduct", "BatchEvalPython") if p in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
+
+
 @pytest.fixture(scope="module")
 def sf_dir():
     return "/root/testdata/sf0.001"
