@@ -102,6 +102,68 @@ def test_dedup_last_writer_is_idempotent_and_keyed(rows):
         assert r.close == max_close[(r.symbol, r.date)]
 
 
+docs_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(docs_strategy)
+@SLOW
+def test_pack_sequences_invariants(rows):
+    """Packing conservation: within each shard, consecutive docs tile the
+    token stream — doc i+1 starts exactly where doc i ended, spans cover
+    ceil(tokens/ctx) windows, and cum equals the running token total."""
+    from global_stock_data_warehouse_spark.operators.corpus import pack_sequences
+
+    spark = _get_spark()
+    data = [(i, " ".join(toks), shard) for i, (shard, toks) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, text string, source string")
+    out = sorted(
+        pack_sequences(df, ctx_len=5).collect(), key=lambda r: (r.source, r.doc_id)
+    )
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.source, []).append(r)
+    for shard, rs in by_shard.items():
+        run = 0
+        for r in rs:
+            assert r.cum_tokens == run + r.n_tokens
+            assert r.seq_first == run // 5
+            assert r.seq_last == max((run + r.n_tokens - 1) // 5, r.seq_first)
+            assert r.n_seqs == r.seq_last - r.seq_first + 1
+            run += r.n_tokens
+
+
+@given(docs_strategy)
+@SLOW
+def test_decontaminate_marks_exactly_eval_overlaps(rows):
+    """A doc is contaminated iff it shares a bigram with the eval split —
+    checked against a pure-python reimplementation."""
+    from global_stock_data_warehouse_spark.operators.corpus import decontaminate
+
+    spark = _get_spark()
+    data = [(i, " ".join(toks)) for i, (_, toks) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    train = df.filter("doc_id % 3 != 0")
+    ev = df.filter("doc_id % 3 = 0")
+
+    def bigrams(text):
+        t = text.split()
+        return {" ".join(t[i : i + 2]) for i in range(len(t) - 1)}
+
+    ev_grams = set().union(*(bigrams(t) for i, t in data if i % 3 == 0)) if data else set()
+    expect = {
+        i: len(bigrams(t) & ev_grams) for i, t in data if i % 3 != 0
+    }
+    got = {r.doc_id: r.n_collisions for r in decontaminate(train, ev, n=2).collect()}
+    assert got == expect
+
+
 def test_sql_view_surface(spark):
     """register_views exposes every table to spark.sql."""
     import os
