@@ -112,6 +112,36 @@ def test_minhash_lsh_bucket_join_is_selective(spark):
     assert (1, 3) not in cands and (2, 3) not in cands
 
 
+def test_lsh_topk_recall_on_clustered_vectors(spark):
+    """LSH must actually FIND neighbors where angular structure exists:
+    on 5 tight clusters, recall@5 vs brute force stays high (deterministic
+    — fixed data rng + fixed hyperplane seed). Uniform-random embeddings
+    are deliberately NOT used: they have no angular neighbors for any
+    sublinear method to find, so a recall floor there tests nothing."""
+    import numpy as np
+
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(5, 16)).astype("float32")
+    rows = []
+    for i in range(200):
+        v = centers[i % 5] + 0.15 * rng.normal(size=16).astype("float32")
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.limit(6).selectExpr("vec_id as query_id", "embedding")
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qs, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, qs, dim=16, k=5, planes=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
+
+
 def test_ivf_topk_exact_when_probing_all_cells(spark, sf_dir):
     import os
     from global_stock_data_warehouse_spark.operators.similarity import (
