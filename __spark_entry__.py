@@ -1027,6 +1027,25 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles (25/50/75) of order value — the
+    distribution-profile query every warehouse monitoring page runs.
+    EXACT `percentile` (sort-based within group) for oracle parity; the
+    100 TB path swaps in `approx_percentile` (one-pass sketch, map-side
+    combinable) — same query shape, bounded memory."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("q25"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("q50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("q75"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc repeated 4-token spans (boilerplate detection): spans in
     >=2 distinct docs ranked by spread, member lists capped+sorted."""
@@ -1216,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "ngram_topk": q_ngram_topk,
         "duplicate_spans": q_duplicate_spans,
+        "quantile_summary": q_quantile_summary,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1892,6 +1912,16 @@ SELECT source, doc_id, n_tokens, cum_tokens, seq_first, seq_last,
        seq_last - seq_first + 1 AS n_seqs
 FROM spans
 ORDER BY source, doc_id
+""",
+        "quantile_summary": """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS q25,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS q50,
+       round(quantile_cont(o_totalprice, 0.75), 6) AS q75,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
 """,
         "duplicate_spans": """
 WITH toks AS (
