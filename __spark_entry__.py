@@ -1027,6 +1027,31 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-day beta + correlation of each entity's daily series vs
+    the cross-sectional market index (downloader-era per-symbol analytics
+    the warehouse exists to serve). Plan: two hash aggs share the scan,
+    tiny index side broadcast back, then ONE window pass per entity —
+    covar/var/corr all ride the same frame."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.avg("value").alias("v")
+    )
+    index = ev.groupBy(F.to_date("ts").alias("d")).agg(F.avg("value").alias("m"))
+    joined = daily.join(F.broadcast(index), "d")
+    w = Window.partitionBy("user_id").orderBy("d").rowsBetween(-19, Window.currentRow)
+    out = joined.select(
+        "user_id",
+        "d",
+        F.round(F.covar_samp("v", "m").over(w) / F.var_samp("m").over(w), 4).alias(
+            "beta"
+        ),
+        F.round(F.corr("v", "m").over(w), 4).alias("corr_vm"),
+        F.count(F.lit(1)).over(w).alias("n_obs"),
+    )
+    return out.filter(F.col("n_obs") >= 5).orderBy("user_id", "d")
+
+
 def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact quantiles (25/50/75) of order value — the
     distribution-profile query every warehouse monitoring page runs.
@@ -1236,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "duplicate_spans": q_duplicate_spans,
         "quantile_summary": q_quantile_summary,
+        "rolling_beta": q_rolling_beta,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1912,6 +1938,27 @@ SELECT source, doc_id, n_tokens, cum_tokens, seq_first, seq_last,
        seq_last - seq_first + 1 AS n_seqs
 FROM spans
 ORDER BY source, doc_id
+""",
+        "rolling_beta": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, avg(value) AS v
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), idx AS (
+  SELECT CAST(ts AS DATE) AS d, avg(value) AS m
+  FROM events GROUP BY CAST(ts AS DATE)
+), joined AS (
+  SELECT daily.user_id, daily.d, daily.v, idx.m FROM daily JOIN idx USING (d)
+), windowed AS (
+  SELECT user_id, d,
+         round(covar_samp(v, m) OVER w / var_samp(m) OVER w, 4) AS beta,
+         round(corr(v, m) OVER w, 4) AS corr_vm,
+         CAST(count(*) OVER w AS BIGINT) AS n_obs
+  FROM joined
+  WINDOW w AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, d, beta, corr_vm, n_obs FROM windowed
+WHERE n_obs >= 5
+ORDER BY user_id, d
 """,
         "quantile_summary": """
 SELECT o_orderpriority,
