@@ -216,6 +216,40 @@ def dedup_stream(
     )
 
 
+def corpus_clean_stream(
+    stream: DataFrame,
+    min_quality: float = 0.5,
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the batch corpus-clean query: score each arriving
+    document with the (stateless, codegen'd) text battery, drop low
+    quality, then exact-dedup on the content fingerprint with
+    watermark-BOUNDED state — a continuously-ingesting training-data
+    pipeline front door. Stateless score/filter stages add no state at
+    all; the only state is the fingerprint dedup horizon.
+    """
+    from global_stock_data_warehouse_spark.operators.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    scored = stream.select(
+        F.col(ts_col),
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )
+    gated = scored.filter(F.col("quality") >= min_quality)
+    return dedup_stream(gated, ["fingerprint"], ts_col=ts_col, watermark=watermark)
+
+
 def enrich_stream_stream(
     left: DataFrame,
     right: DataFrame,

@@ -38,6 +38,45 @@ def _run_pass(spark, src, paths):
     q.awaitTermination(180)
 
 
+def test_corpus_clean_stream_gates_and_dedups(spark, tmp_path):
+    """Streaming corpus front door: low-quality docs dropped, exact
+    content duplicates (same fingerprint) collapsed within the watermark."""
+    import datetime as dt
+
+    from global_stock_data_warehouse_spark.streaming.pipeline import (
+        corpus_clean_stream,
+        read_bar_stream,
+    )
+
+    schema = "ingest_ts timestamp, doc_id long, text string"
+    t = dt.datetime(2024, 1, 1, 12, 0)
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (t, 1, good),
+        (t + dt.timedelta(minutes=1), 2, good),  # exact content dup of 1
+        (t + dt.timedelta(minutes=2), 3, "!!! ??? ### $$$ %%%"),  # junk quality
+        (t + dt.timedelta(minutes=3), 4, "a completely different clean sentence with many common words"),
+    ]
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = read_bar_stream(spark, src, schema)
+    q = (
+        corpus_clean_stream(stream, min_quality=0.5)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    ids = sorted(r.doc_id for r in got)
+    assert len(ids) == 2
+    assert ids[0] in (1, 2) and ids[1] == 4  # one of the dup pair + the clean doc
+    assert all(r.quality >= 0.5 for r in got)
+
+
 def test_streaming_incremental_matches_batch_rebuild(spark, tmp_path):
     src = str(tmp_path / "src")
     paths = tuple(
