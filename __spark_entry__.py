@@ -1027,6 +1027,83 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part, the supplier offering the lowest average
+    price. The correlated-min subquery decorrelates into ONE grouped agg +
+    `min_by` over a struct with a deterministic (price, suppkey) tiebreak
+    — no self-join, no window over the whole fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price")
+    )
+    best = per.groupBy("l_partkey").agg(
+        F.min_by(
+            F.struct("avg_price", "l_suppkey"), F.struct("avg_price", "l_suppkey")
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    return (
+        best.select(
+            "l_partkey",
+            F.col("b.l_suppkey").alias("best_suppkey"),
+            F.col("b.avg_price").alias("best_price"),
+            "n_suppliers",
+        )
+        .orderBy("l_partkey")
+        .limit(500)
+    )
+
+
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: revenue by supplier nation, kept only when its
+    share of GLOBAL revenue clears a threshold. The scalar global total is
+    a single-row agg broadcast back over the per-nation rows (no second
+    scan of the fact side; the share predicate is decorrelated)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    total = rev.agg(F.sum("rev").alias("total"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .withColumn("share_pct", F.round(F.col("rev") * 100.0 / F.col("total"), 4))
+        .filter(F.col("share_pct") > 3.0)
+        .select("n_name", F.round("rev", 2).alias("revenue"), "share_pct")
+        .orderBy(F.col("share_pct").desc(), "n_name")
+    )
+
+
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    URGENT order — scalar-subquery threshold (single-row broadcast) +
+    anti-join with the filter PUSHED BELOW it (the match set shrinks
+    before the join, never after), grouped by market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 20-day beta + correlation of each entity's daily series vs
     the cross-sectional market index (downloader-era per-symbol analytics
@@ -1262,6 +1339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "quantile_summary": q_quantile_summary,
         "rolling_beta": q_rolling_beta,
+        "min_cost_supplier": q_min_cost_supplier,
+        "nation_revenue_share": q_nation_revenue_share,
+        "dormant_rich_customers": q_dormant_rich_customers,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1938,6 +2018,53 @@ SELECT source, doc_id, n_tokens, cum_tokens, seq_first, seq_last,
        seq_last - seq_first + 1 AS n_seqs
 FROM spans
 ORDER BY source, doc_id
+""",
+        "min_cost_supplier": """
+WITH per AS (
+  SELECT l_partkey, l_suppkey, round(avg(l_extendedprice), 2) AS avg_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT l_partkey,
+       first(l_suppkey ORDER BY avg_price, l_suppkey) AS best_suppkey,
+       first(avg_price ORDER BY avg_price, l_suppkey) AS best_price,
+       CAST(count(*) AS BIGINT) AS n_suppliers
+FROM per
+GROUP BY l_partkey
+ORDER BY l_partkey
+LIMIT 500
+""",
+        "nation_revenue_share": """
+WITH rev AS (
+  SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+), t AS (SELECT sum(rev) AS total FROM rev),
+shares AS (
+  SELECT n_name, round(rev, 2) AS revenue,
+         round(rev * 100.0e0 / total, 4) AS share_pct
+  FROM rev, t
+)
+SELECT n_name, revenue, share_pct FROM shares
+WHERE share_pct > 3.0
+ORDER BY share_pct DESC, n_name
+""",
+        "dormant_rich_customers": """
+WITH a AS (SELECT avg(c_acctbal) AS avg_bal FROM customer),
+dormant AS (
+  SELECT c.* FROM customer c, a
+  WHERE c.c_acctbal > a.avg_bal
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_balance
+FROM dormant
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """,
         "rolling_beta": """
 WITH daily AS (
