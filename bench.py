@@ -47,6 +47,21 @@ def main() -> None:
     n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.range(256).repartition(n_cpus).mapInPandas(_warm_workers, "id long").count()
 
+    # Warm the JVM's codegen/JIT paths for the common physical shapes
+    # (shuffle agg, broadcast join, window) on synthetic data — one-time
+    # compiler init, nothing from the benched queries.
+    from pyspark.sql import Window, functions as F
+
+    base = spark.range(10_000).selectExpr("id", "id % 7 AS k", "id * 1.5 AS v")
+    dim = spark.range(7).selectExpr("id AS k", "id * 2 AS w")
+    (
+        base.join(F.broadcast(dim), "k")
+        .withColumn("r", F.sum("v").over(Window.partitionBy("k").orderBy("id")))
+        .groupBy("k")
+        .agg(F.sum("r"), F.avg("v"), F.max("w"))
+        .collect()
+    )
+
     for t in (
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
