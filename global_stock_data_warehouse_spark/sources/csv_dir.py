@@ -32,3 +32,43 @@ def scan_csv_dir(
     stem = F.regexp_extract(F.input_file_name(), r"([^/]+)\.csv$", 1)
     raw_id = F.substring_index(stem, "_", 1)
     return df.withColumn(id_column, F.upper(F.trim(raw_id)))
+
+
+def scan_csv_dir_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    id_column: str = "stock_id",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """`scan_csv_dir` with a dead-letter lane (the scan_json pattern):
+    malformed rows land in the quarantine frame with their raw text + the
+    source file, instead of becoming silent nulls mid-table. The reference
+    swallows per-file parse errors whole (downloader_wmy.py:170-173 bare
+    except skips the FILE); here a bad ROW costs one quarantine record and
+    the rest of the file still loads.
+    """
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    st_q = StructType(list(st.fields)).add("_corrupt_record", "string")
+    df = (
+        spark.read.schema(st_q)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", "true" if header else "false")
+        .csv(path)
+        .withColumn("_file", F.input_file_name())
+        .cache()  # same QUERY_ONLY_CORRUPT_RECORD_COLUMN escape as scan_json
+    )
+    stem = F.regexp_extract(F.col("_file"), r"([^/]+)\.csv$", 1)
+    raw_id = F.upper(F.trim(F.substring_index(stem, "_", 1)))
+    clean = (
+        df.filter(F.col("_corrupt_record").isNull())
+        .withColumn(id_column, raw_id)
+        .drop("_corrupt_record", "_file")
+    )
+    dead = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_file").alias("source_file"), "_corrupt_record"
+    )
+    return clean, dead

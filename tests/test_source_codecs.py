@@ -107,6 +107,26 @@ def test_scan_html_table_distributed(spark, tmp_path):
     assert [r.cells for r in first] == [["Code", "Name"], ["005930", "Samsung & Co"]]
 
 
+def test_scan_csv_dir_quarantined_splits_bad_rows(spark, tmp_path):
+    from global_stock_data_warehouse_spark.sources.csv_dir import (
+        scan_csv_dir_quarantined,
+    )
+
+    (tmp_path / "2330_daily.csv").write_text(
+        "date,close\n2024-01-02,100.5\nnot-a-date,oops\n2024-01-03,101.0\n"
+    )
+    (tmp_path / "2317_daily.csv").write_text("date,close\n2024-01-02,55.25\n")
+    clean, dead = scan_csv_dir_quarantined(
+        spark, f"{tmp_path}/*.csv", "date date, close double"
+    )
+    rows = clean.collect()
+    assert len(rows) == 3  # bad ROW quarantined, rest of its file kept
+    assert {r.stock_id for r in rows} == {"2330", "2317"}
+    d = dead.collect()
+    assert len(d) == 1 and "not-a-date" in d[0]._corrupt_record
+    assert d[0].source_file.endswith("2330_daily.csv")
+
+
 def _mk_db(tmp_path):
     p = str(tmp_path / "kr_stock_warehouse.db")
     con = sqlite3.connect(p)
