@@ -90,6 +90,70 @@ def test_compact_reduces_file_count(spark, tmp_path):
     assert again["files_after"] == again["files_before"]
 
 
+def test_storage_lifecycle_evolve_compact_refresh(spark, tmp_path):
+    """Integration: the bars store survives its whole lifecycle — additive
+    schema evolution mid-stream, clustered compaction, then an incremental
+    gold refresh — with results identical to a clean batch rebuild."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from global_stock_data_warehouse_spark.plans.wmy import incremental_wmy, wmy_pipeline
+    from global_stock_data_warehouse_spark.storage.evolution import (
+        evolve_append,
+        read_evolved,
+    )
+
+    bars_path = str(tmp_path / "bars")
+    schema = (
+        "symbol string, date date, open double, high double, low double, "
+        "close double, volume long"
+    )
+
+    def mk(symbol, start, n, px0):
+        rows, d, px, i = [], start, px0, 0
+        while i < n:
+            if d.weekday() < 5:
+                px += 1.0
+                rows.append((symbol, d, px - 0.5, px + 1.0, px - 1.0, px, 1000))
+                i += 1
+            d += dt.timedelta(days=1)
+        return rows
+
+    base = mk("AAA.TW", dt.date(2024, 1, 2), 25, 100.0)
+    evolve_append(spark, spark.createDataFrame(base, schema), bars_path)
+
+    # mid-stream schema evolution: a `market` column appears (the
+    # downloader_us.py:38-43 migration) — old files must surface it as null
+    delta_rows = [r + ("tw",) for r in mk("AAA.TW", dt.date(2024, 3, 1), 5, 130.0)]
+    evolve_append(
+        spark,
+        spark.createDataFrame(delta_rows, schema + ", market string"),
+        bars_path,
+    )
+
+    # clustered compaction of the evolved store (mergeSchema-aware)
+    compact_parquet(spark, bars_path, target_file_bytes=4096, cluster_by=["symbol", "date"])
+
+    bars = read_evolved(spark, bars_path)
+    assert "market" in bars.columns
+    assert bars.count() == 30
+    assert bars.filter(F.col("market").isNull()).count() == 25  # pre-evolution rows
+
+    # incremental refresh over the evolved+compacted store == clean rebuild
+    cols = ["symbol", "date", "open", "high", "low", "close", "volume"]
+    core = bars.select(*cols)
+    delta = spark.createDataFrame(delta_rows, schema + ", market string").select(*cols)
+    gold_prev, verd_prev = wmy_pipeline(
+        spark.createDataFrame(base, schema)
+    )
+    inc_gold, _ = incremental_wmy(core, delta, gold_prev, verd_prev)
+    full_gold, _ = wmy_pipeline(core)
+    assert sorted(map(tuple, inc_gold.collect()), key=str) == sorted(
+        map(tuple, full_gold.collect()), key=str
+    )
+
+
 def test_compact_cluster_by_gives_disjoint_file_ranges(spark, tmp_path):
     """OPTIMIZE-ZORDER intent (1-D): after a clustered compaction each
     output file covers a disjoint key range, so row-group min/max stats
