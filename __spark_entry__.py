@@ -726,47 +726,55 @@ def q_drawdown_cumret(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-step funnel (view -> click -> purchase): each stage is the
-    min event time AFTER the previous stage, per user; one row of stage
-    counts. Staged min-aggregates + broadcast-joined tiny per-user dims."""
+    min event time strictly AFTER the previous stage, per user; one row of
+    stage counts.
+
+    Single-pass formulation: ONE scan of events, ONE shuffle on user_id
+    (collect_list + a fold over the time-sorted per-user array computes
+    all three stage timestamps), then a single-row count agg — versus the
+    naive 3-scan/3-join/13-exchange staged plan (measured by
+    tools/explain_audit.py; this shape is 2 exchanges). Per-user arrays
+    are bounded by per-entity activity; a power-user skew cap would
+    pre-filter to the funnel's event types (done below) and window."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs"))
     )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    zero = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
     )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        s1.select(F.lit(1).alias("_one"), "user_id")
-        .groupBy("_one")
-        .agg(F.countDistinct("user_id").alias("n_viewed"))
-        .join(
-            s2.select(F.lit(1).alias("_one"), "user_id")
-            .groupBy("_one")
-            .agg(F.countDistinct("user_id").alias("n_clicked")),
-            "_one",
-            "left",
-        )
-        .join(
-            s3.select(F.lit(1).alias("_one"), "user_id")
-            .groupBy("_one")
-            .agg(F.countDistinct("user_id").alias("n_purchased")),
-            "_one",
-            "left",
-        )
-        .select("n_viewed", "n_clicked", "n_purchased")
+
+    def step(acc, e):
+        t1 = F.when(
+            acc["t1"].isNull() & (e["event_type"] == "view"), e["ts"]
+        ).otherwise(acc["t1"])
+        t2 = F.when(
+            acc["t2"].isNull()
+            & acc["t1"].isNotNull()
+            & (e["event_type"] == "click")
+            & (e["ts"] > acc["t1"]),
+            e["ts"],
+        ).otherwise(acc["t2"])
+        t3 = F.when(
+            acc["t3"].isNull()
+            & acc["t2"].isNotNull()
+            & (e["event_type"] == "purchase")
+            & (e["ts"] > acc["t2"]),
+            e["ts"],
+        ).otherwise(acc["t3"])
+        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+
+    folded = per_user.select(F.aggregate("evs", zero, step).alias("f"))
+    # count() counts non-nulls; per-user rows are unique, so these ARE the
+    # distinct-user stage counts
+    return folded.agg(
+        F.count(F.col("f.t1")).alias("n_viewed"),
+        F.count(F.col("f.t2")).alias("n_clicked"),
+        F.count(F.col("f.t3")).alias("n_purchased"),
     )
 
 
