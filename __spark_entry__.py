@@ -1076,10 +1076,13 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
     )
-    total = rev.agg(F.sum("rev").alias("total"))
+    # global total as a window over the PER-NATION aggregate (|nations|
+    # rows — a deliberate single-partition window over a tiny frame):
+    # avoids re-executing the fact-side join+agg subtree that a separate
+    # scalar agg + cross join would duplicate in the static plan
+    total = F.sum("rev").over(Window.partitionBy())
     return (
-        rev.crossJoin(F.broadcast(total))
-        .withColumn("share_pct", F.round(F.col("rev") * 100.0 / F.col("total"), 4))
+        rev.withColumn("share_pct", F.round(F.col("rev") * 100.0 / total, 4))
         .filter(F.col("share_pct") > 3.0)
         .select("n_name", F.round("rev", 2).alias("revenue"), "share_pct")
         .orderBy(F.col("share_pct").desc(), "n_name")
