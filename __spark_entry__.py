@@ -65,6 +65,7 @@ from global_stock_data_warehouse_spark.operators.corpus import (
     ngram_topk,
     pack_sequences,
     pii_scrub,
+    rebalance_sample,
 )
 from global_stock_data_warehouse_spark.operators.graph import dedup_groups
 from global_stock_data_warehouse_spark.operators.profile import profile_table
@@ -1140,6 +1141,19 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("n_obs") >= 5).orderBy("user_id", "d")
 
 
+def q_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rebalance: cap en at 100 docs, de/fr at 30 each, drop
+    other languages — deterministic md5-order selection, quota dim
+    broadcast. The language-distribution step of a training-mixture
+    build."""
+    out = rebalance_sample(
+        _t(spark, sf_dir, "documents"),
+        {"en": 100, "de": 30, "fr": 30},
+        group_col="lang",
+    )
+    return out.orderBy("lang", "rn")
+
+
 def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact quantiles (25/50/75) of order value — the
     distribution-profile query every warehouse monitoring page runs.
@@ -1350,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "quantile_summary": q_quantile_summary,
         "rolling_beta": q_rolling_beta,
+        "rebalance_sample": q_rebalance_sample,
         "min_cost_supplier": q_min_cost_supplier,
         "nation_revenue_share": q_nation_revenue_share,
         "dormant_rich_customers": q_dormant_rich_customers,
@@ -2029,6 +2044,20 @@ SELECT source, doc_id, n_tokens, cum_tokens, seq_first, seq_last,
        seq_last - seq_first + 1 AS n_seqs
 FROM spans
 ORDER BY source, doc_id
+""",
+        "rebalance_sample": """
+WITH q(lang, quota) AS (VALUES ('de', 30), ('en', 100), ('fr', 30)),
+ranked AS (
+  SELECT d.lang, d.doc_id,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn,
+         q.quota
+  FROM documents d JOIN q USING (lang)
+)
+SELECT lang, doc_id, rn FROM ranked
+WHERE rn <= quota
+ORDER BY lang, rn
 """,
         "min_cost_supplier": """
 WITH per AS (

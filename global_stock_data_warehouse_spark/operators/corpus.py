@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -207,8 +207,6 @@ def pack_sequences(
     All integer arithmetic over one window cumsum per shard: exact on any
     engine, and the shard is the natural parallel unit at 100 TB (each
     shard's stream is independent)."""
-    from pyspark.sql import Window
-
     n_tok = F.size(tokens(text_col))
     w = Window.partitionBy(shard_col).orderBy(id_col)
     cum = F.sum("n_tokens").over(w)
@@ -264,6 +262,40 @@ def duplicate_spans(
         .drop("_members")
         .orderBy(F.col("n_docs").desc(), F.col("span").asc())
         .limit(k)
+    )
+
+
+def rebalance_sample(
+    df: DataFrame,
+    quotas: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-mixing sampler: cap each group at its quota (language /
+    source rebalancing before training). Deterministic selection by md5
+    order of the id — engine-portable pseudo-randomness, reproducible
+    run-to-run and bit-for-bit across engines (rand()/TABLESAMPLE are
+    neither). Groups absent from ``quotas`` are DROPPED (explicit mixture
+    spec, no silent passthrough).
+
+    One shuffle on the group key; the broadcast quota dim prunes rows in
+    the same stage as the row_number filter, so the output never
+    materializes more than the quota per group."""
+    spark = df.sparkSession
+    qdf = broadcast(
+        spark.createDataFrame(
+            [(g, int(q)) for g, q in sorted(quotas.items())],
+            f"{group_col} string, _quota int",
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), id_col
+    )
+    return (
+        df.join(qdf, group_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("_quota"))
+        .select(group_col, id_col, "rn")
     )
 
 

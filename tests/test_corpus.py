@@ -142,6 +142,24 @@ def test_duplicate_spans_member_cap(spark):
     assert r.members == ",".join(str(i) for i in range(10))  # capped + sorted
 
 
+def test_rebalance_sample_quotas_and_determinism(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import rebalance_sample
+
+    rows = [(i, "en" if i < 20 else ("de" if i < 26 else "xx")) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = rebalance_sample(df, {"en": 5, "de": 10}, group_col="lang")
+    got = out.collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by_lang["en"]) == 5  # capped
+    assert len(by_lang["de"]) == 6  # quota above group size -> whole group
+    assert "xx" not in by_lang  # unlisted languages dropped
+    # deterministic: same selection on re-run
+    again = {(r.lang, r.doc_id) for r in rebalance_sample(df, {"en": 5, "de": 10}, group_col="lang").collect()}
+    assert again == {(r.lang, r.doc_id) for r in got}
+
+
 def test_ngram_topk_deterministic_order(spark):
     df = spark.createDataFrame(
         [(1, "a b a b c d"), (2, "a b c d")], ["doc_id", "text"]
