@@ -959,9 +959,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: EXACT blocked all-pairs, fully
+    """Embedding-cosine near-dup pairs, auto-dispatched by corpus size
+    (planner-stats count probe): below exact_max_docs it runs the EXACT
+    blocked all-pairs path with n_blocks derived from the count, fully
     distributed (hash-block x block-pair groups, one BLAS matmul each —
-    no driver collect, no whole-corpus broadcast)."""
+    no driver collect, no whole-corpus broadcast); above it, the
+    sub-quadratic LSH candidates+verify path. At oracle scale this always
+    resolves to exact, so the DuckDB comparison stays bit-exact."""
     return embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 

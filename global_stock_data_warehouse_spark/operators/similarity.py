@@ -126,7 +126,68 @@ def brute_force_topk(
     )
 
 
+def _derive_n_blocks(n_docs: int, block_rows: int = 4096) -> int:
+    """Blocks for the exact blocked all-pairs path, sized so one block is
+    at most ``block_rows`` vectors — per-task score matrix is then bounded
+    by block_rows^2 * 8 bytes (~134 MB at the 4096 default) regardless of
+    corpus size. Parallelism (n_blocks*(n_blocks+1)/2 tasks) grows
+    quadratically with corpus size, so big corpora saturate executors
+    without any replication waste on small ones."""
+    return max(1, -(-n_docs // block_rows))
+
+
 def embedding_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+    strategy: str = "auto",
+    exact_max_docs: int = 200_000,
+    block_rows: int = 4096,
+    dim: int | None = None,
+    planes: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b,
+    round(cos, 6) >= threshold), physical strategy picked by corpus size.
+
+    ``strategy='auto'`` runs a cheap planner-stats probe (``count()`` —
+    parquet metadata, no scan) and dispatches, mirroring
+    ``ngram_jaccard_pairs``'s auto-strategy:
+
+    - at or below ``exact_max_docs``: the EXACT blocked all-pairs path
+      (``strategy='exact'``) with ``n_blocks`` derived from the count so
+      each block holds <= ``block_rows`` vectors — the O(n^2) score volume
+      is affordable and per-task memory stays bounded as data grows;
+    - above it: ``embedding_neardup_lsh`` (``strategy='lsh'``) — the
+      sub-quadratic candidates-then-verify path, because at 100x corpus
+      size exact all-pairs FLOPs (not memory — blocking already bounds
+      that) become the wall. ``dim`` is probed from the first row when not
+      given; ``planes``/``tables`` pass through.
+
+    Explicit ``strategy='exact'``/``'lsh'`` skips the probe (callers who
+    know their corpus, and the oracle harness which needs the exact form).
+    """
+    if strategy == "auto":
+        n_docs = corpus.count()
+        strategy = "exact" if n_docs <= exact_max_docs else "lsh"
+        if strategy == "exact" and n_blocks is None:
+            n_blocks = _derive_n_blocks(n_docs, block_rows)
+    if strategy == "lsh":
+        if dim is None:
+            dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+        return embedding_neardup_lsh(
+            corpus, threshold, dim, id_col, vec_col, planes, tables
+        )
+    if strategy != "exact":
+        raise ValueError(f"unknown strategy {strategy!r} (auto|exact|lsh)")
+    return _embedding_neardup_exact(
+        corpus, threshold, id_col, vec_col, n_blocks if n_blocks is not None else 8
+    )
+
+
+def _embedding_neardup_exact(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
@@ -143,7 +204,8 @@ def embedding_neardup(
     (pa, pb) group computes ONE |A| x |B| BLAS matmul inside
     ``applyInPandas``, emitting only above-threshold pairs. Replication is
     ~n_blocks x and per-task memory is O((|corpus|/n_blocks)^2 / dim)
-    scores — size n_blocks so a block fits executor memory; the O(n^2)
+    scores — ``embedding_neardup`` derives n_blocks from corpus stats via
+    ``_derive_n_blocks`` so a block fits executor memory; the O(n^2)
     score count is inherent to EXACT all-pairs (for sub-quadratic scale
     use ``embedding_neardup_lsh``, which trades recall for candidates).
     """

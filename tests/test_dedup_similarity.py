@@ -94,6 +94,116 @@ def test_embedding_neardup_threshold(spark):
     assert got == {(1, 2)}
 
 
+def _clustered_docs(spark, n_groups=25, doc_tokens=30, variants=2, vocab_size=400):
+    """Groups of near-duplicate docs: a base doc plus variants that differ
+    in exactly one token. Deterministic (seeded) — recall numbers below are
+    fixed, not flaky. Cross-group similarity is negligible (random token
+    sets from a vocab much larger than a doc)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(vocab_size)]
+    rows, did = [], 0
+    for _ in range(n_groups):
+        base = rng.sample(vocab, doc_tokens)
+        rows.append((did, " ".join(base)))
+        did += 1
+        for _ in range(variants):
+            var = list(base)
+            var[rng.randrange(doc_tokens)] = rng.choice(vocab)
+            rows.append((did, " ".join(var)))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_recall_floor_vs_exact_jaccard(spark):
+    """Recall gate (VERDICT r2 item 2): at parameter defaults
+    (num_hashes=32, bands=8 -> r=4), banded-LSH candidate probability for a
+    pair at Jaccard s is 1-(1-s^4)^8 — ~0.95 at s=0.75 — so against exact
+    ground-truth pairs with J >= 0.75, measured recall must stay >= 0.9.
+    minhash is rows-only in the driver harness forever (hash-specific
+    output); this bound is the strongest correctness statement available."""
+    docs = _clustered_docs(spark)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        if r.jaccard >= 0.75
+    }
+    assert len(truth) >= 50  # fixture sanity: clusters actually exist
+    got = {(r.id_a, r.id_b) for r in minhash_neardup(docs).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"minhash recall {recall:.3f} < 0.9 on {len(truth)} pairs"
+
+
+def test_simhash_recall_gates(spark):
+    """Two-level recall gate for simhash (VERDICT r2 item 2):
+
+    1. WITHIN CONTRACT, candidate generation is lossless: the 4x16-bit
+       pigeonhole blocking guarantees every pair at Hamming <= 3 shares a
+       chunk, so simhash_neardup(max_hamming=3) must find EXACTLY the pairs
+       whose true signature distance is <= 3 (recall 1.0, verified against
+       driver-side all-pairs over the collected signatures).
+    2. Against exact Jaccard ground truth the measure itself is lossy
+       (one changed token flips several weighted bits), so the corpus-level
+       gate is softer: recall >= 0.8 at max_hamming=6 for pairs with
+       J >= 0.9 (measured 0.846 on this deterministic fixture)."""
+    from global_stock_data_warehouse_spark.operators.dedup import simhash_signatures
+
+    docs = _clustered_docs(spark, doc_tokens=60, vocab_size=800)
+    sigs = {r.id: r.sh for r in simhash_signatures(docs).collect()}
+    ids = sorted(sigs)
+    within3 = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    found3 = {(r.id_a, r.id_b) for r in simhash_neardup(docs, max_hamming=3).collect()}
+    assert found3 == within3, "pigeonhole candidate generation lost a pair"
+    assert len(within3) >= 30  # fixture sanity
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        if r.jaccard >= 0.9
+    }
+    got6 = {(r.id_a, r.id_b) for r in simhash_neardup(docs, max_hamming=6).collect()}
+    recall = len(got6 & truth) / len(truth)
+    assert recall >= 0.8, f"simhash recall {recall:.3f} < 0.8 on {len(truth)} pairs"
+
+
+def test_embedding_neardup_auto_dispatch(spark):
+    """The auto strategy must route big corpora to the sub-quadratic LSH
+    path and small ones to the exact blocked path, with n_blocks derived
+    from the count (VERDICT r2 item 1). 'Big' is simulated by shrinking
+    exact_max_docs below the fixture size — the dispatch logic only sees
+    the count vs the threshold."""
+    from global_stock_data_warehouse_spark.operators.similarity import _derive_n_blocks
+
+    # block sizing: ceil(n/block_rows), never 0
+    assert _derive_n_blocks(4) == 1
+    assert _derive_n_blocks(4096) == 1
+    assert _derive_n_blocks(4097) == 2
+    assert _derive_n_blocks(200_000) == 49
+
+    vecs = _vecs(spark)
+    exact_plan = embedding_neardup(vecs, threshold=0.95, strategy="exact")
+    lsh_routed = embedding_neardup(
+        vecs, threshold=0.95, strategy="auto", exact_max_docs=2
+    )
+    # the exact path groups block-pairs through applyInPandas; the LSH path
+    # has no grouped pandas stage — the plans are distinguishable
+    assert "FlatMapGroupsInPandas" in exact_plan._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in lsh_routed._jdf.queryExecution().executedPlan().toString()
+    # LSH keeps precision (exact verify step): results are a subset of exact
+    exact_pairs = {(r.id_a, r.id_b) for r in exact_plan.collect()}
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh_routed.collect()}
+    assert lsh_pairs <= exact_pairs
+    # auto below the threshold routes to exact and matches it bit-for-bit
+    auto_small = embedding_neardup(vecs, threshold=0.95)
+    assert {(r.id_a, r.id_b) for r in auto_small.collect()} == exact_pairs
+
+
 def test_text_stats_battery(spark):
     out = {r.doc_id: r for r in text_stats(_docs(spark)).collect()}
     assert out[1].n_tokens == 9
