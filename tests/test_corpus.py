@@ -160,6 +160,40 @@ def test_rebalance_sample_quotas_and_determinism(spark):
     assert again == {(r.lang, r.doc_id) for r in got}
 
 
+def test_rebalance_sample_prune_is_exact_and_selective(spark):
+    """The analytic md5-cutoff pre-prune (VERDICT r2 item 3) must (a) keep
+    the result bit-identical to an independent Python oracle — top-quota by
+    md5(doc_id) order — and (b) actually shrink the window's sort input on
+    a big group instead of sorting every row."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from global_stock_data_warehouse_spark.operators.corpus import rebalance_sample
+
+    n, quota = 20_000, 10
+    df = spark.createDataFrame([(i, "en") for i in range(n)], "doc_id long, lang string")
+    got = sorted(
+        (r.rn, r.doc_id) for r in rebalance_sample(df, {"en": quota}).collect()
+    )
+    expected_ids = [
+        i for _, i in sorted((hashlib.md5(str(i).encode()).hexdigest(), i) for i in range(n))
+    ][:quota]
+    assert got == [(rn, i) for rn, i in zip(range(1, quota + 1), expected_ids)]
+
+    # prune selectivity: the analytic cutoff admits ~quota+16*sqrt(quota)+256
+    # of 20k rows into the window, not all of them (binomial around ~316)
+    cut = (quota + 16.0 * (quota**0.5) + 256.0) / n
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 13), 16, 10
+    ).cast("double") / float(16**13)
+    survivors = df.filter(u <= F.lit(cut)).count()
+    assert quota <= survivors < 1000, survivors
+    # and the physical plan carries that prune as a Filter below the Window
+    plan = rebalance_sample(df, {"en": quota})._jdf.queryExecution().executedPlan().toString()
+    assert "conv(substring(md5" in plan
+
+
 def test_ngram_topk_deterministic_order(spark):
     df = spark.createDataFrame(
         [(1, "a b a b c d"), (2, "a b c d")], ["doc_id", "text"]
