@@ -81,8 +81,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    # rejects; read it as raw nanos (legacy conf) and convert to micros.
+    # events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    # generations (Spark's vectorized reader rejects it outright) and as
+    # TIMESTAMP(MICROS) without isAdjustedToUTC (read as TIMESTAMP_NTZ,
+    # which refuses casts like ts.cast('long')) in others. Normalize BOTH
+    # to session-tz TIMESTAMP (session tz is UTC) so every query sees one
+    # type regardless of which generation is on disk.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
@@ -91,6 +95,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # sub-microsecond precision (53-bit mantissa) and shifts timestamps
         # by ±1us vs the oracle
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
