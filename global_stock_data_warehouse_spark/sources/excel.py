@@ -61,10 +61,20 @@ def parse_xlsx_grid(data: bytes, sheet_index: int = 0) -> list[list[str | None]]
     a silent empty parse would corrupt every downstream row.
     """
     zf = zipfile.ZipFile(BytesIO(data))
+
+    def _sheet_order(name: str) -> tuple[int, int, str]:
+        # numeric suffix, not lexicographic: sheet10.xml must sort AFTER
+        # sheet2.xml or sheet_index picks the wrong sheet on 10+-sheet books
+        m = re.search(r"sheet(\d+)\.xml$", name)
+        return (0, int(m.group(1)), name) if m else (1, 0, name)
+
     sheets = sorted(
-        n
-        for n in zf.namelist()
-        if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+        (
+            n
+            for n in zf.namelist()
+            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+        ),
+        key=_sheet_order,
     )
     if sheet_index >= len(sheets):
         raise ValueError(f"xlsx has {len(sheets)} sheet(s), wanted index {sheet_index}")

@@ -67,21 +67,40 @@ def scan_sqlite(
     table: str,
     num_partitions: int = 8,
 ) -> DataFrame:
-    """Parallel scan of one SQLite table, partitioned by rowid range."""
+    """Parallel scan of one SQLite table, partitioned by rowid range.
+
+    Partition bounds come from ``ntile`` over the rowid b-tree (an
+    index-only driver query), so ranges carry EQUAL ROW COUNTS (±1) even
+    when heavy deletes left the rowid space sparse — contiguous arithmetic
+    ranges would then be skewed or empty. WITHOUT ROWID tables have no
+    rowid to partition on; they fail loudly with migration guidance
+    instead of a raw OperationalError."""
     import pandas as pd
 
     schema = sqlite_table_schema(db_path, table)
     cols = ", ".join(f'"{c}"' for c, _ in schema)
     ddl = ", ".join(f"`{c}` {t}" for c, t in schema)
 
-    with sqlite3.connect(db_path) as con:
-        lo, hi = con.execute(f'SELECT min(rowid), max(rowid) FROM "{table}"').fetchone()
-    if lo is None:  # empty table: zero tasks, correct empty frame
+    try:
+        with sqlite3.connect(db_path) as con:
+            bounds = con.execute(
+                f'SELECT min(rowid), max(rowid) FROM ('
+                f'  SELECT rowid, ntile(?) OVER (ORDER BY rowid) AS b FROM "{table}"'
+                f") GROUP BY b ORDER BY b",
+                (max(1, num_partitions),),
+            ).fetchall()
+    except sqlite3.OperationalError as e:
+        if "rowid" in str(e).lower():
+            raise ValueError(
+                f"table {table!r} is WITHOUT ROWID — rowid-range partitioning "
+                "is impossible. Export it serially (single partition via "
+                "sqlite3) or re-create it with a rowid, then migrate."
+            ) from e
+        raise
+    bounds = [(lo_, hi_) for lo_, hi_ in bounds if lo_ is not None]
+    if not bounds:  # empty table: zero tasks, correct empty frame
         return spark.createDataFrame([], ddl)
-
-    n = max(1, min(num_partitions, hi - lo + 1))
-    step = (hi - lo + 1 + n - 1) // n
-    bounds = [(lo + i * step, min(hi, lo + (i + 1) * step - 1)) for i in range(n)]
+    n = len(bounds)
     ranges = spark.createDataFrame(bounds, "lo long, hi long").repartition(n)
 
     names = [c for c, _ in schema]

@@ -26,15 +26,21 @@ from pyspark.sql import SparkSession
 
 
 def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
-    """(n_files, total_bytes) of the parquet table at ``path``."""
+    """(n_files, total_bytes) of the parquet table at ``path``.
+
+    Sizes come from the Hadoop FileSystem API, so any scheme Spark can
+    read (file:, hdfs:, s3a:, ...) reports true bytes — the previous
+    ``os.path.getsize`` version silently returned 0 for every non-local
+    URI, which made ``compact_parquet`` always rewrite to a single file.
+    A missing file now raises instead of being skipped."""
     files = spark.read.parquet(path).inputFiles()
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     total = 0
     for f in files:
-        local = f.removeprefix("file:")
-        try:
-            total += os.path.getsize(local)
-        except OSError:
-            pass
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(hconf)
+        total += fs.getFileStatus(p).getLen()
     return len(files), total
 
 
@@ -58,6 +64,12 @@ def compact_parquet(
     No-op (returns the stats) when the table is already at or below the
     computed file count. Returns {"files_before", "files_after", "bytes"}.
     """
+    if "://" in path and not path.startswith("file:"):
+        raise ValueError(
+            "compact_parquet's rename swap requires a local filesystem path; "
+            "on object stores compact partition-by-partition or use a "
+            "manifest-based table format (Delta OPTIMIZE)"
+        )
     n_files, total = table_file_stats(spark, path)
     want = max(1, math.ceil(total / target_file_bytes))
     if n_files < min_files_to_compact or (n_files <= want and not cluster_by):

@@ -145,11 +145,18 @@ def incremental_gold_sink(
     (`plans.wmy.incremental_wmy` splice — work scales with the batch, not
     the table). First batch bootstraps with a full pipeline build.
 
-    Outputs are rewritten via write-to-temp + rename swap (the
-    `storage/compact.py` pattern): the refresh READS the previous gold
-    from the same path it replaces, so an in-place overwrite would clobber
-    its own input mid-plan. Replay-safe: re-running a batch upserts the
-    same bars and recomputes the same symbols.
+    Outputs are rewritten via versioned-directory + atomic symlink flip:
+    the refresh READS the previous gold from the same path it replaces, so
+    an in-place overwrite would clobber its own input mid-plan, and the
+    old rename-pair swap left a window where the path didn't exist at all.
+    Now each refresh writes an immutable `{path}__versions/v_*` directory
+    and repoints `path` (a symlink) with one atomic ``rename`` — readers
+    always resolve a complete table. The immediately-previous version is
+    retained one cycle for readers mid-scan; older ones are pruned.
+    Single-writer + local-FS assumption (like `storage/compact.py`): on an
+    object store, use a pointer FILE (manifest) instead of a symlink.
+    Replay-safe: re-running a batch upserts the same bars and recomputes
+    the same symbols.
     """
     import shutil
     import uuid
@@ -159,15 +166,31 @@ def incremental_gold_sink(
     def _swap_write(df: DataFrame, path: str) -> None:
         import os
 
-        tmp = f"{path}__new_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-            os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, path)
+        base = f"{path}__versions"
+        os.makedirs(base, exist_ok=True)
+        vdir = os.path.join(base, f"v_{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(vdir)  # executes the read-plan BEFORE any flip
+        prev_target: str | None = None
+        if os.path.islink(path):
+            # rename below REPLACES the symlink atomically; don't unlink it
+            # first (that would reopen the missing-path window)
+            prev_target = os.path.realpath(path)
+        elif os.path.exists(path):
+            # one-time migration of a legacy real-dir layout into the
+            # versioned scheme; this rename is the only remaining (brief)
+            # path-missing window and happens at most once per table
+            prev_target = os.path.join(base, f"v_legacy_{uuid.uuid4().hex[:8]}")
+            os.rename(path, prev_target)
+        tmp_link = f"{path}__link_{uuid.uuid4().hex[:8]}"
+        os.symlink(os.path.abspath(vdir), tmp_link)
+        os.rename(tmp_link, path)  # atomic repoint on POSIX
+        keep = {os.path.abspath(vdir)}
+        if prev_target:
+            keep.add(os.path.abspath(prev_target))
+        for v in os.listdir(base):
+            full = os.path.abspath(os.path.join(base, v))
+            if full not in keep:
+                shutil.rmtree(full, ignore_errors=True)
 
     def refresh(batch: DataFrame, batch_id: int) -> None:
         import os

@@ -59,6 +59,27 @@ def test_parse_xlsx_grid_cell_types(tmp_path):
     assert grid[2] == ["inline", "TRUE"]
 
 
+def test_parse_xlsx_sheet_order_is_numeric(tmp_path):
+    """sheet10.xml must sort AFTER sheet2.xml (numeric suffix order, not
+    lexicographic) so sheet_index addresses the right sheet in 10+-sheet
+    workbooks."""
+    one_cell = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData><row r=\"1\"><c r=\"A1\" t=\"inlineStr\"><is><t>%s</t></is></c></row>"
+        "</sheetData></worksheet>"
+    )
+    p = tmp_path / "many.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        # deliberately written out of order; names span 1..10
+        for i in (10, 1, 2):
+            zf.writestr(f"xl/worksheets/sheet{i}.xml", one_cell % f"s{i}")
+    data = open(p, "rb").read()
+    assert parse_xlsx_grid(data, sheet_index=0) == [["s1"]]
+    assert parse_xlsx_grid(data, sheet_index=1) == [["s2"]]
+    assert parse_xlsx_grid(data, sheet_index=2) == [["s10"]]
+
+
 def test_parse_xlsx_missing_sheet_raises(tmp_path):
     path = _mk_xlsx(tmp_path)
     with pytest.raises(ValueError, match="sheet"):
@@ -161,6 +182,40 @@ def test_scan_sqlite_partitioned_complete(spark, tmp_path):
     assert df.schema["volume"].dataType.simpleString() == "bigint"
     assert {r.symbol for r in rows} == {"A", "B"}
     assert sum(1 for r in rows if r.date == "2024-01-07") == 2
+
+
+def test_scan_sqlite_sparse_rowids_balanced(spark, tmp_path):
+    """After heavy deletes the rowid space is sparse; ntile-derived bounds
+    must still give equal-count partitions (contiguous arithmetic ranges
+    would put everything in one range and leave the rest empty)."""
+    p = str(tmp_path / "sparse.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE t (rowid_hint INTEGER, v TEXT)")
+    # rowids 1..1000, then delete all but 20 scattered at the far end
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, f"v{i}") for i in range(1000)])
+    con.execute("DELETE FROM t WHERE rowid NOT BETWEEN 981 AND 1000")
+    con.commit()
+    con.close()
+    df = scan_sqlite(spark, p, "t", num_partitions=4)
+    assert df.count() == 20
+    # bounds derivation is driver-side; verify balance directly
+    bounds = sqlite3.connect(p).execute(
+        "SELECT min(rowid), max(rowid), count(*) FROM ("
+        "  SELECT rowid, ntile(4) OVER (ORDER BY rowid) AS b FROM t"
+        ") GROUP BY b ORDER BY b"
+    ).fetchall()
+    assert [c for _, _, c in bounds] == [5, 5, 5, 5]
+
+
+def test_scan_sqlite_without_rowid_fails_loudly(spark, tmp_path):
+    p = str(tmp_path / "worid.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE kv (k TEXT PRIMARY KEY, v TEXT) WITHOUT ROWID")
+    con.execute("INSERT INTO kv VALUES ('a', '1')")
+    con.commit()
+    con.close()
+    with pytest.raises(ValueError, match="WITHOUT ROWID"):
+        scan_sqlite(spark, p, "kv")
 
 
 def test_migrate_sqlite_to_parquet_roundtrip(spark, tmp_path):

@@ -27,6 +27,15 @@ SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 # hash, which has NO tolerance); default rounds to ~9 significant digits.
 EXACT = os.environ.get("CHECK_EXACT", "0") == "1"
 
+# Queries whose float columns are ROUNDED INSIDE the query (e.g. 4dp):
+# Spark's moving-frame covar/var/corr and DuckDB's segment-tree window
+# aggregates sum in different orders, so a value sitting exactly on a
+# rounding boundary can flip its last digit between engines on unlucky
+# data. These queries live OUTSIDE the driver's hash window by design;
+# compare their float cells with a one-last-digit epsilon instead of
+# bit equality so the local mirror isn't flaky.
+EPS_QUERIES = {"rolling_beta": 2e-4}
+
 
 def _norm_cell(v):
     if v is None:
@@ -58,6 +67,50 @@ def _normalize(rows, cols):
         (tuple(_norm_cell(v) for v in row) for row in rows),
         key=lambda r: tuple(repr(v) for v in r),
     ), sorted(c.lower() for c in cols)
+
+
+def _eps_compare(srows, scols, drows, dcols, eps):
+    """Row-aligned epsilon comparison: non-float cells form the row key
+    (must match exactly); float cells must agree within ``eps``. Returns
+    None when equal, else a mismatch description."""
+
+    def split(rows, cols):
+        idx = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+        out = {}
+        for row in rows:
+            key, vals = [], []
+            for i in idx:
+                v = row[i]
+                if isinstance(v, float):
+                    vals.append(v)
+                else:
+                    key.append(repr(_norm_cell(v)))
+            out.setdefault(tuple(key), []).append(vals)
+        return out
+
+    smap, dmap = split(srows, scols), split(drows, dcols)
+    if set(smap) != set(dmap):
+        extra = list(set(smap) ^ set(dmap))[:2]
+        return f"KEY MISMATCH (e.g. {extra})"
+    for k, svals in smap.items():
+        dvals = dmap[k]
+        if len(svals) != len(dvals):
+            return f"ROWCOUNT at key {k}"
+        for va, vb in zip(sorted(svals), sorted(dvals)):
+            for x, y in zip(va, vb):
+                both_nan = (
+                    isinstance(x, float) and isinstance(y, float)
+                    and math.isnan(x) and math.isnan(y)
+                )
+                if both_nan:
+                    continue
+                if x is None or y is None:
+                    if x is not y:
+                        return f"NULL MISMATCH at {k}: {x} vs {y}"
+                    continue
+                if abs(x - y) > eps:
+                    return f"VALUE at {k}: {x} vs {y} (eps={eps})"
+    return None
 
 
 def main(names: list[str]) -> int:
@@ -114,6 +167,10 @@ def main(names: list[str]) -> int:
             status = f"SCHEMA MISMATCH spark={sc} duck={dc}"
         elif len(sn) != len(dn):
             status = f"ROWCOUNT MISMATCH spark={len(sn)} duck={len(dn)}"
+        elif name in EPS_QUERIES:
+            err = _eps_compare(srows, scols, drows, dcols, EPS_QUERIES[name])
+            if err:
+                status = f"EPS MISMATCH {err}"
         elif sn != dn:
             diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
             status = f"VALUE MISMATCH first-diffs={diffs}"
