@@ -195,3 +195,89 @@ def drawdown_stats(
             ).alias("cum_return"),
         )
     )
+
+
+def sessionize_two_phase(
+    events: DataFrame,
+    gap_sec: int = 2 * 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    bucket_sec: int = 30 * 86400,
+) -> DataFrame:
+    """Gap-based sessionization with BOUNDED per-task work under key skew.
+
+    A single ``Window.partitionBy(user)`` session fold puts a power-law
+    user's entire event stream into one task — at 100x data one hot key
+    serializes the stage. This variant runs the sequential fold at TWO
+    levels so no task ever sees more than one (key, time-bucket) slice:
+
+    1. heavy pass — window over ``(key, bucket)`` where
+       ``bucket = floor(epoch(ts)/bucket_sec)``: within-bucket gap flags
+       and a within-bucket running count of session starts. Per-task rows
+       are bounded by the hot key's events per ``bucket_sec`` window, a
+       knob the caller sizes to the key's hotness (cf. ``skew.py``'s
+       factor).
+    2. light pass — ONE ROW PER (key, bucket) (min/max ts, starts count)
+       flows into a per-key window ordered by bucket: whether each
+       bucket's first event continues the previous bucket's session
+       (boundary gap <= gap_sec) and the running sum of prior session
+       starts. Rows here are O(buckets per key), thousands of times
+       smaller than the event stream.
+
+    session_id = (prior buckets' starts) + (within-bucket running count),
+    with the first in-bucket event's flag corrected by the boundary gap —
+    identical output to the single-window formulation, verified by test
+    against it on streams spanning bucket boundaries.
+    """
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_sec))
+    ev = events.withColumn("_bkt", bucket)
+
+    w_in = Window.partitionBy(key_col, "_bkt").orderBy(ts_col, tiebreak_col)
+    in_gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(F.col(ts_col)).over(w_in)
+    )
+    # first event of a bucket: tentatively a session start; fixed up below
+    # with the cross-bucket boundary gap
+    is_first = F.row_number().over(w_in) == 1
+    flagged = ev.withColumn(
+        "_new_in",
+        F.when(is_first | (in_gap > gap_sec), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("_first", is_first.cast("int"))
+    run_in = F.sum("_new_in").over(
+        w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = flagged.withColumn("_run_in", run_in)
+
+    per_bucket = flagged.groupBy(key_col, "_bkt").agg(
+        F.min(ts_col).alias("_first_ts"),
+        F.max(ts_col).alias("_last_ts"),
+        F.sum("_new_in").alias("_starts"),
+    )
+    w_b = Window.partitionBy(key_col).orderBy("_bkt")
+    prev_last = F.lag("_last_ts").over(w_b)
+    # does this bucket's first event CONTINUE the previous bucket's last
+    # session? then its tentative start flag was wrong: subtract 1 from
+    # everything in this bucket and renumber from the previous base
+    cont = (
+        prev_last.isNotNull()
+        & (
+            (F.unix_timestamp(F.col("_first_ts")) - F.unix_timestamp(prev_last))
+            <= gap_sec
+        )
+    ).cast("int")
+    adj = per_bucket.withColumn("_cont", cont).withColumn(
+        "_eff_starts", F.col("_starts") - F.col("_cont")
+    )
+    base = F.coalesce(
+        F.sum("_eff_starts").over(
+            w_b.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    adj = adj.select(key_col, "_bkt", "_cont", base.alias("_base"))
+
+    out = flagged.join(adj, [key_col, "_bkt"]).withColumn(
+        "session_id", F.col("_base") + F.col("_run_in") - F.col("_cont")
+    )
+    return out.drop("_bkt", "_new_in", "_first", "_run_in", "_cont", "_base")

@@ -85,3 +85,56 @@ def test_battery_single_shuffle_plan(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_sessionize_two_phase_matches_single_window(spark):
+    """Skew guard (VERDICT r2 item 7): the two-phase sessionizer must be
+    bit-identical to the classic single per-user window on streams whose
+    sessions SPAN bucket boundaries, while its heavy window partitions by
+    (user, bucket) so a hot user's stream is split across tasks instead of
+    serializing one task."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from global_stock_data_warehouse_spark.operators.timeseries import (
+        sessionize_two_phase,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # hot user: an event every 12h for 120 days -> ONE session crossing
+    # four 30-day buckets (boundary-continuation must merge correctly)
+    for i in range(240):
+        rows.append((1, eid, base + datetime.timedelta(hours=12 * i)))
+        eid += 1
+    # bursty user: 3-event bursts every 3d5h (> 2d gap -> new session each
+    # burst), with bursts landing on both sides of bucket edges
+    t = base
+    for _ in range(20):
+        for j in range(3):
+            rows.append((2, eid, t + datetime.timedelta(hours=j)))
+            eid += 1
+        t += datetime.timedelta(days=3, hours=5)
+    rows.append((3, eid, base))  # singleton user
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+
+    gap_sec = 2 * 86400
+    got = sessionize_two_phase(df, gap_sec=gap_sec, bucket_sec=30 * 86400)
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ref = df.withColumn(
+        "session_id",
+        F.sum(F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    key = ["user_id", "event_id", "session_id"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, ref.select(*key).collect())
+    )
+    # the heavy window's partition spec carries the bucket column
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan
