@@ -636,6 +636,35 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders in a 3-month window
+    having at least one LATE lineitem — a correlated EXISTS. The synthetic
+    lineitem has no commit/receipt dates, so "late" is a cross-table range
+    predicate (shipped >30 days after order date), which is STRICTLY
+    harder than Q4's own lineitem-local predicate: the semi-join carries
+    an equi key (orderkey) plus a range condition evaluated inside the
+    join. Plan: the date window prunes orders first (partition-prunable at
+    rest), the LEFT SEMI join stops probing an order at its first late
+    line (no fan-out, no distinct), and the final 5-group count is
+    map-side partial."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level CDC between two keyed snapshots: full-outer join on the
     PK, null-safe compare, insert/update/delete classification; unchanged
@@ -1399,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "nation_revenue_share": q_nation_revenue_share,
         "dormant_rich_customers": q_dormant_rich_customers,
+        "order_priority_exists": q_order_priority_exists,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2136,6 +2166,17 @@ SELECT c_mktsegment,
 FROM dormant
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
+""",
+        "order_priority_exists": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
 """,
         "rolling_beta": """
 WITH daily AS (
