@@ -27,6 +27,7 @@ Scale design notes (the 100× question, per operator):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -270,6 +271,8 @@ def rebalance_sample(
     quotas: dict[str, int],
     group_col: str = "lang",
     id_col: str = "doc_id",
+    min_prune_rows: int = 100_000,
+    min_prune_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Data-mixing sampler: cap each group at its quota (language /
     source rebalancing before training). Deterministic selection by md5
@@ -293,9 +296,19 @@ def rebalance_sample(
     astronomically-unlikely undershoot into a loud failure instead of a
     silent short sample.
 
-    Cost: one extra single-column count agg over the input (map-side
-    combined), in exchange for the window shuffle+sort input dropping from
-    |group| to ~quota rows per group."""
+    The prune is STATS-DISPATCHED (like the other auto-strategy operators):
+    the per-group counts — one tiny row per quota'd group — are collected
+    driver-side, and the prune filter + its loud-undershoot guard are
+    attached ONLY for groups whose count exceeds BOTH the quota envelope
+    by 4x AND ``min_prune_rows`` — below ~100k rows a per-group sort is
+    cheaper than the prune's extra plan ops, so small inputs keep the
+    original two-op plan with zero overhead beyond the count probe; a
+    billion-row group gets its sort input cut to ~quota rows. (Assumes few groups, as a mixture spec is; a
+    thousands-of-groups spec would move the cuts into a broadcast dim.)
+
+    Cost when pruning engages: one extra single-column count agg over the
+    input (map-side combined), in exchange for the window shuffle+sort
+    input dropping from |group| to ~quota rows per group."""
     spark = df.sparkSession
     qdf = broadcast(
         spark.createDataFrame(
@@ -303,36 +316,63 @@ def rebalance_sample(
             f"{group_col} string, _quota int",
         )
     )
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    dim = broadcast(
-        qdf.join(counts, group_col).withColumn(
-            "_cut",
-            F.least(
-                F.lit(1.0),
-                (F.col("_quota") + F.lit(16.0) * F.sqrt(F.col("_quota")) + F.lit(256.0))
-                / F.col("_cnt"),
-            ),
-        )
-    )
     md5_key = F.md5(F.col(id_col).cast("string").cast("binary"))
-    # first 13 hex digits = 52 bits: exactly representable in a double, and
-    # monotone in the full-md5 string order (fixed-width lowercase hex)
-    prefix_u = F.conv(F.substring(md5_key, 1, 13), 16, 10).cast("double") / F.lit(
-        float(16**13)
-    )
     w = Window.partitionBy(group_col).orderBy(md5_key, id_col)
-    wg = Window.partitionBy(group_col)
-    return (
-        df.join(dim, group_col)
-        .filter(prefix_u <= F.col("_cut"))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("_survivors", F.count(F.lit(1)).over(wg))
-        .filter(
-            F.assert_true(
-                F.col("_survivors") >= F.least(F.col("_quota").cast("bigint"), F.col("_cnt")),
-                F.lit("rebalance_sample: prune undershot the quota — raise the margin"),
-            ).isNull()
+
+    # Zero-cost pre-gate: Catalyst's size estimate (file sizes for scans;
+    # no job) decides whether the count probe is even worth running —
+    # below ``min_prune_bytes`` the whole input sorts faster than the
+    # probe job schedules.
+    try:
+        est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est_bytes = 1 << 62  # stats unavailable: assume big, probe
+    cuts: dict[str, float] = {}
+    if est_bytes >= min_prune_bytes:
+        counts = {
+            r[0]: r[1]
+            for r in df.filter(F.col(group_col).isin(*quotas))
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .collect()
+        }
+        for g, n in counts.items():
+            q = quotas[g]
+            envelope = q + 16.0 * math.sqrt(q) + 256.0
+            if n > max(4 * envelope, min_prune_rows):
+                cuts[g] = envelope / n
+
+    base = df.join(qdf, group_col)
+    if cuts:
+        # first 13 hex digits = 52 bits: exactly representable in a double,
+        # and monotone in the full-md5 string order (fixed-width lowercase
+        # hex) — so per-group survivors are a downward-closed prefix of the
+        # sort order and row_number is unchanged bit-for-bit
+        prefix_u = F.conv(F.substring(md5_key, 1, 13), 16, 10).cast("double") / F.lit(
+            float(16**13)
         )
+        cut_expr = F.lit(None).cast("double")
+        for g, c in cuts.items():
+            cut_expr = F.when(F.col(group_col) == g, F.lit(c)).otherwise(cut_expr)
+        base = base.withColumn("_cut", cut_expr).filter(
+            F.col("_cut").isNull() | (prefix_u <= F.col("_cut"))
+        )
+        wg = Window.partitionBy(group_col)
+        base = (
+            base.withColumn("_survivors", F.count(F.lit(1)).over(wg))
+            .filter(
+                F.col("_cut").isNull()
+                | F.assert_true(
+                    F.col("_survivors") >= F.col("_quota").cast("bigint"),
+                    F.lit(
+                        "rebalance_sample: prune undershot the quota — raise the margin"
+                    ),
+                ).isNull()
+            )
+            .drop("_cut", "_survivors")
+        )
+    return (
+        base.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("_quota"))
         .select(group_col, id_col, "rn")
     )

@@ -174,7 +174,10 @@ def test_rebalance_sample_prune_is_exact_and_selective(spark):
     n, quota = 20_000, 10
     df = spark.createDataFrame([(i, "en") for i in range(n)], "doc_id long, lang string")
     got = sorted(
-        (r.rn, r.doc_id) for r in rebalance_sample(df, {"en": quota}).collect()
+        (r.rn, r.doc_id)
+        for r in rebalance_sample(
+            df, {"en": quota}, min_prune_rows=1000, min_prune_bytes=0
+        ).collect()
     )
     expected_ids = [
         i for _, i in sorted((hashlib.md5(str(i).encode()).hexdigest(), i) for i in range(n))
@@ -190,8 +193,22 @@ def test_rebalance_sample_prune_is_exact_and_selective(spark):
     survivors = df.filter(u <= F.lit(cut)).count()
     assert quota <= survivors < 1000, survivors
     # and the physical plan carries that prune as a Filter below the Window
-    plan = rebalance_sample(df, {"en": quota})._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        rebalance_sample(df, {"en": quota}, min_prune_rows=1000, min_prune_bytes=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "conv(substring(md5" in plan
+    # below the absolute floor the prune stays OUT of the plan (the sort is
+    # cheaper than the prune machinery at small scale)
+    plain = (
+        rebalance_sample(df, {"en": quota})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "conv(substring(md5" not in plain
 
 
 def test_ngram_topk_deterministic_order(spark):
