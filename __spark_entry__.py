@@ -665,6 +665,48 @@ def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the classic EXISTS + NOT EXISTS double
+    self-join — DECORRELATED to aggregation: per (order, supplier) dedup,
+    then one per-order agg computes supplier count, late-supplier count,
+    and the sole late supplier; "supplier kept everyone waiting" =
+    (n_supp > 1 AND n_late == 1). Counts distinct orders per supplier.
+
+    vs the textbook plan: four scans of lineitem and two correlated
+    subquery joins collapse into ONE lineitem scan, a (order, supplier)
+    pre-aggregation that shrinks before the per-order agg (no Expand from
+    dual count-distinct), and a broadcast dim join for the supplier name.
+    "Late" = shipped >60 days after order date (the synthetic lineitem has
+    no commit/receipt dates; reference shape preserved, predicate
+    adapted)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+                .cast("int")
+            ).alias("is_late")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    qual = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.join(F.broadcast(s), qual.late_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level CDC between two keyed snapshots: full-outer join on the
     PK, null-safe compare, insert/update/delete classification; unchanged
@@ -1429,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue_share": q_nation_revenue_share,
         "dormant_rich_customers": q_dormant_rich_customers,
         "order_priority_exists": q_order_priority_exists,
+        "waiting_suppliers": q_waiting_suppliers,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2177,6 +2220,23 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+""",
+        "waiting_suppliers": """
+SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
 """,
         "rolling_beta": """
 WITH daily AS (
