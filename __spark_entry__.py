@@ -66,6 +66,7 @@ from global_stock_data_warehouse_spark.operators.corpus import (
     pack_sequences,
     pii_scrub,
     rebalance_sample,
+    temperature_sample,
 )
 from global_stock_data_warehouse_spark.operators.graph import dedup_groups
 from global_stock_data_warehouse_spark.operators.profile import profile_table
@@ -1230,6 +1231,18 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("n_obs") >= 5).orderBy("user_id", "d")
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture (alpha=0.5, budget=200 docs): the
+    multilingual-LM exponentiated-sampling recipe — low-resource languages
+    get a larger share than proportional sampling would give. Quotas
+    derive driver-side from exact counts (sqrt is correctly-rounded IEEE,
+    so the floor(budget * w/sum) arithmetic is engine-portable); selection
+    is the deterministic md5 order."""
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"), budget=200, alpha=0.5, group_col="lang"
+    )
+
+
 def q_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing rebalance: cap en at 100 docs, de/fr at 30 each, drop
     other languages — deterministic md5-order selection, quota dim
@@ -1472,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_rich_customers": q_dormant_rich_customers,
         "order_priority_exists": q_order_priority_exists,
         "waiting_suppliers": q_waiting_suppliers,
+        "temperature_sample": q_temperature_sample,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2162,6 +2176,23 @@ ranked AS (
 SELECT lang, doc_id, rn FROM ranked
 WHERE rn <= quota
 ORDER BY lang, rn
+""",
+        "temperature_sample": """
+WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n, sqrt(n) AS wt FROM c),
+t AS (SELECT sum(wt) AS tw FROM w),
+q AS (SELECT lang, CAST(least(n, floor(200 * wt / tw)) AS BIGINT) AS quota
+      FROM w, t),
+ranked AS (
+  SELECT d.lang, d.doc_id,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+  FROM documents d
+)
+SELECT r.lang, r.doc_id, r.rn
+FROM ranked r JOIN q USING (lang)
+WHERE r.rn <= q.quota
 """,
         "min_cost_supplier": """
 WITH per AS (

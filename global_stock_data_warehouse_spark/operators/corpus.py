@@ -378,6 +378,43 @@ def rebalance_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.3,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    groups: Sequence[str] | None = None,
+    **rebalance_kwargs,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling — the standard multilingual-LM
+    recipe (mBERT / XLM-R exponentiated sampling): group g with share
+    p_g = n_g/N gets quota floor(budget * p_g^alpha / sum(p^alpha)),
+    capped at n_g. alpha < 1 flattens the distribution (upsamples
+    low-resource groups relative to their natural share); alpha = 1 is
+    proportional; alpha = 0 is uniform. Since p_g^alpha / sum(p^alpha) ==
+    n_g^alpha / sum(n^alpha), quotas derive from raw counts.
+
+    Quotas are computed DRIVER-SIDE from exact group counts (one
+    single-column agg — the same stats probe the other auto-strategy
+    operators run), then selection delegates to ``rebalance_sample``'s
+    deterministic md5-order machinery, inheriting its scale-path prune.
+    ``groups`` restricts the mixture; absent groups are dropped like an
+    explicit quota spec would."""
+    src = df if groups is None else df.filter(F.col(group_col).isin(*list(groups)))
+    counts = {
+        r[0]: r[1]
+        for r in src.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return rebalance_sample(df, {"__none__": 0}, group_col, id_col)
+    total_w = sum(n**alpha for _, n in sorted(counts.items()))
+    quotas = {
+        g: min(n, int(budget * (n**alpha) / total_w)) for g, n in counts.items()
+    }
+    return rebalance_sample(df, quotas, group_col, id_col, **rebalance_kwargs)
+
+
 def ngram_topk(
     df: DataFrame,
     n: int = 2,

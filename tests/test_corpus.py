@@ -211,6 +211,36 @@ def test_rebalance_sample_prune_is_exact_and_selective(spark):
     assert "conv(substring(md5" not in plain
 
 
+def test_temperature_sample_flattens_mixture(spark):
+    """alpha < 1 must give low-resource groups a LARGER share than their
+    natural proportion (the multilingual-LM upsampling property), alpha=1
+    must be proportional, and quotas never exceed group size."""
+    from global_stock_data_warehouse_spark.operators.corpus import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def shares(alpha):
+        out = temperature_sample(df, budget=100, alpha=alpha).collect()
+        by = {}
+        for r in out:
+            by[r.lang] = by.get(r.lang, 0) + 1
+        return by
+
+    flat = shares(0.3)
+    prop = shares(1.0)
+    # natural share of 'small' is 10%; alpha=0.3 boosts it well above that
+    assert flat["small"] / (flat["small"] + flat["big"]) > 0.25
+    # proportional: 90/10 within floor rounding
+    assert prop["big"] in (89, 90) and prop["small"] in (9, 10)
+    # uniform at alpha=0: both groups get equal quota
+    uni = shares(0.0)
+    assert uni["big"] == uni["small"] == 50
+    # quota caps at group size when the budget exceeds it
+    capped = temperature_sample(df, budget=5000, alpha=0.3).collect()
+    assert len([r for r in capped if r.lang == "small"]) == 100
+
+
 def test_ngram_topk_deterministic_order(spark):
     df = spark.createDataFrame(
         [(1, "a b a b c d"), (2, "a b c d")], ["doc_id", "text"]
