@@ -285,22 +285,45 @@ def embedding_neardup_lsh(
     -> higher recall, more candidates. Candidate volume is sum of squared
     bucket sizes — sub-quadratic for spread-out corpora — and the verify
     is per-candidate, so nothing is ever all-pairs.
+
+    All ``tables`` bucket ids are computed in ONE Arrow pass (one matmul
+    against the stacked hyperplanes of every table) and exploded to
+    (table, bucket) rows — not one corpus scan + Python kernel per table;
+    the self-join key is (table, bucket), so tables cannot cross-match.
     """
-    cand = None
-    for t in range(tables):
-        b = with_lsh_bucket(
-            corpus.select(id_col, vec_col), dim, planes, vec_col, "bucket", seed=42 + t
-        )
-        left = b.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
-        )
-        right = b.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket"
-        )
-        pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b")).drop(
-            "bucket"
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+
+    def add_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hps = [_hyperplanes(planes, dim, seed=42 + t) for t in range(tables)]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _stack(pdf[vec_col])
+            out = pdf.copy()
+            out["buckets"] = list(
+                np.stack([_bucket_of(mat, hp) for hp in hps], axis=1).tolist()
+            )
+            yield out
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    src = corpus.select(id_col, vec_col)
+    schema = StructType(
+        list(src.schema.fields) + [StructField("buckets", ArrayType(LongType()))]
+    )
+    b = src.mapInPandas(add_buckets, schema=schema).select(
+        id_col, vec_col, F.posexplode("buckets").alias("tbl", "bucket")
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "tbl", "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "tbl", "bucket"
+    )
+    cand = (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("tbl", "bucket")
+    )
     # a pair can collide in several tables -> keep one copy per (id_a,id_b)
     dedup = cand.dropDuplicates(["id_a", "id_b"])
     return (
