@@ -49,27 +49,23 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        msgs = (
-            sym.join(labels, sym.s == labels.id)
-            .select(F.col("d").alias("id"), F.col("comp"))
+        msgs = sym.join(labels, sym.s == labels.id).select(
+            F.col("d").alias("id"), F.col("comp"), F.lit(None).cast("bigint").alias("own")
         )
+        # each node's OWN previous label rides the union tagged in `own`,
+        # so convergence (no label decreased) is read off the aggregated
+        # frame itself — no per-round old-vs-new join job
         new_labels = (
-            labels.select("id", "comp")
+            labels.select("id", "comp", F.col("comp").alias("own"))
             .union(msgs)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("own").alias("own"))
             .localCheckpoint(eager=True)
         )
-        # converged when no label decreased this round; one count action
-        # per round on an already-checkpointed frame
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("comp") < F.col("own")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     else:
