@@ -324,21 +324,56 @@ def minhash_signatures(
     num_hashes: int = 32,
     ngram: int = 2,
 ) -> DataFrame:
-    """k-minhash signature per doc, as columns mh0..mh{k-1}.
+    """k-minhash signature per doc, as columns mh0..mh{k-1} — MAP-SIDE,
+    no shuffle.
 
-    Implemented as explode(shingles) -> ONE grouped aggregation with k
-    ``min(xxhash64(shingle, seed_k))`` aggregates: a single shuffle on the
-    doc id with map-side partials, linear in corpus size. (An array-
-    expression formulation would recompute the shingle transform k times
-    per row and blow up codegen.)
+    Each shingle gets ONE Spark-side ``xxhash64``; the k permutations are
+    the multiply-shift universal family h_k(x) = a_k*x + b_k over uint64
+    wraparound (odd a_k, fixed seed — deterministic across runs and
+    executors), applied as a single (n_shingles x k) vectorized numpy op
+    per doc inside the scanning task. The previous formulation exploded
+    every shingle through a k-aggregate groupBy — |shingles| shuffled rows
+    — where this one never shuffles signature inputs at all. Downstream
+    only ever tests signature EQUALITY (band buckets, estimator
+    positions), so the hash-family change is behavior-neutral; recall
+    floors are re-asserted by the recall-gate test. Docs with zero
+    shingles emit no row (parity with the groupBy formulation).
     """
-    inv = df.select(F.col(id_col).alias("id"), shingles(text_col, ngram).alias("sh")).select(
-        "id", F.explode("sh").alias("shingle")
+    from collections.abc import Iterator as _Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(text_col, ngram), lambda s: F.xxhash64(s)).alias("hs"),
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"mh{k}") for k in range(num_hashes)
-    ]
-    return inv.groupBy("id").agg(*aggs)
+    rng = np.random.default_rng(0x5EED)
+    mult = (rng.integers(1, 1 << 62, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    add = rng.integers(0, 1 << 62, size=num_hashes, dtype=np.uint64)
+
+    def sig(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, rows = [], []
+            for i, hs in zip(pdf["id"], pdf["hs"]):
+                arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                if arr.size == 0:
+                    continue
+                vals = arr[:, None] * mult[None, :] + add[None, :]  # uint64 wrap
+                rows.append(vals.min(axis=0).view(np.int64))
+                ids.append(i)
+            if not ids:
+                continue
+            out = pd.DataFrame(
+                np.stack(rows), columns=[f"mh{k}" for k in range(num_hashes)]
+            )
+            out.insert(0, "id", pd.array(ids, dtype="int64"))
+            yield out
+
+    schema = "id long, " + ", ".join(f"mh{k} long" for k in range(num_hashes))
+    return hashed.mapInPandas(sig, schema=schema)
 
 
 def minhash_lsh_candidates(
