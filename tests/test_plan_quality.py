@@ -58,15 +58,20 @@ def test_corpus_clean_single_scan_whole_stage_codegen(spark, sf_dir):
     assert plan.count("Exchange") == 1
 
 
-def test_profile_approx_has_no_expand(spark, sf_dir):
-    """Exact multi-countDistinct compiles to an Expand that replicates the
-    scan N_cols times; the approx (HLL++) profile must not — that's the
-    entire point of the scale path."""
+def test_profile_has_no_expand_either_mode(spark, sf_dir):
+    """Neither profile mode may compile to an Expand. approx (HLL++) is one
+    sketch-aggregation pass; exact runs one agg PER COLUMN unioned — each
+    leg's scan must be pruned to exactly its own column (sibling
+    countDistincts in a single agg would Expand the scan N_cols times)."""
     from global_stock_data_warehouse_spark.operators.profile import profile_table
 
     df = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
-    assert "Expand" in _plan(profile_table(df, cols))  # exact mode: Expand expected
+    exact_plan = _plan(profile_table(df, cols))
+    assert "Expand" not in exact_plan, exact_plan
+    # per-column legs scan one column each: a single-column ReadSchema per leg
+    for c in cols:
+        assert f"ReadSchema: struct<{c}:" in exact_plan, c
     approx_plan = _plan(profile_table(df, cols, approx=True))
     assert "Expand" not in approx_plan, approx_plan
 
