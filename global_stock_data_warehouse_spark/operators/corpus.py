@@ -241,28 +241,41 @@ def duplicate_spans(
     fixed ``n``-token spans): spans appearing in >= ``min_docs`` DISTINCT
     docs, ranked by spread.
 
-    Per-doc span dedup is local (array_distinct before explode), so the
-    single shuffle groups (span -> doc ids) with map-side partials; member
-    lists are capped at ``max_members`` (sorted, deterministic) because a
-    boilerplate span at corpus scale can hit millions of docs — the cap
-    bounds row width while ``n_docs`` keeps the true spread."""
+    Per-doc span dedup is local (array_distinct before explode). TWO
+    phases: ranking needs only ``n_docs``, so phase 1 is a pure count
+    aggregation (map-side partials, no lists) whose top-k compiles to
+    TakeOrderedAndProject; phase 2 broadcast-joins the <= k winning spans
+    back and collects members ONLY for them. The long tail of
+    once-occurring spans — the overwhelming majority at corpus scale —
+    never builds a member list at all; the cap at ``max_members`` (sorted,
+    deterministic) bounds row width for boilerplate spans that hit
+    millions of docs while ``n_docs`` keeps the true spread. The span
+    explode runs twice (once per phase) — map-side recomputation, cheaper
+    at scale than materializing the exploded corpus."""
     spans = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(tokens(text_col), n))).alias("span"),
     )
-    grouped = spans.groupBy("span").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.slice(F.sort_array(F.collect_set(id_col)), 1, max_members).alias("_members"),
+    top = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("span").asc())
+        .limit(k)
     )
     return (
-        grouped.filter(F.col("n_docs") >= min_docs)
+        spans.join(broadcast(top), "span")
+        .groupBy("span", "n_docs")
+        .agg(
+            F.slice(F.sort_array(F.collect_set(id_col)), 1, max_members).alias("_members")
+        )
         .withColumn(
             "members",
             F.concat_ws(",", F.transform(F.col("_members"), lambda x: x.cast("string"))),
         )
         .drop("_members")
         .orderBy(F.col("n_docs").desc(), F.col("span").asc())
-        .limit(k)
+        .select("span", "n_docs", "members")
     )
 
 
