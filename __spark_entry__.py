@@ -67,6 +67,7 @@ from global_stock_data_warehouse_spark.operators.corpus import (
     pii_scrub,
     rebalance_sample,
     temperature_sample,
+    with_split,
 )
 from global_stock_data_warehouse_spark.operators.graph import dedup_groups
 from global_stock_data_warehouse_spark.operators.profile import profile_table
@@ -1231,6 +1232,21 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("n_obs") >= 5).orderBy("user_id", "d")
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) + per-(lang, split)
+    counts: the split is a pure function of the doc id (md5 bucket), so
+    re-runs and other engines assign identically — no rand(), no
+    sampling-state leakage between runs. Map-only until one small count
+    agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_split(docs, {"train": 90, "val": 5, "test": 5})
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted mixture (alpha=0.5, budget=200 docs): the
     multilingual-LM exponentiated-sampling recipe — low-resource languages
@@ -1486,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_exists": q_order_priority_exists,
         "waiting_suppliers": q_waiting_suppliers,
         "temperature_sample": q_temperature_sample,
+        "split_assign": q_split_assign,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2193,6 +2210,21 @@ ranked AS (
 SELECT r.lang, r.doc_id, r.rn
 FROM ranked r JOIN q USING (lang)
 WHERE r.rn <= q.quota
+""",
+        "split_assign": """
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS bkt
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bkt < 5 THEN 'test'
+            WHEN bkt < 95 THEN 'train'
+            ELSE 'val' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM b
+GROUP BY 1, 2
+ORDER BY lang, split
 """,
         "min_cost_supplier": """
 WITH per AS (

@@ -391,6 +391,41 @@ def rebalance_sample(
     )
 
 
+def with_split(
+    df: DataFrame,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "split",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the leakage-relevant
+    pipeline step done right: the split is a pure function of the id (md5
+    bucket in [0,100)), so re-runs, backfills, and other engines assign
+    every doc identically (``rand()`` splits are none of those). Engine-
+    portable: md5 exists everywhere, unlike xxhash64.
+
+    ``weights`` maps split name -> percentage (must sum to 100); default
+    98/1/1. ``key_col`` overrides the hashed key: pass a GROUP key (e.g.
+    the dedup cluster's keep_id, or a source domain) to put every member
+    of a group in the same split — near-dup leakage across splits is the
+    classic eval contamination bug."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {weights}")
+    key = F.col(key_col if key_col is not None else id_col)
+    bucket = (
+        F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    expr = None
+    lo = 0
+    for name, pct in sorted(weights.items()):  # sorted: deterministic ranges
+        cond = (bucket >= lo) & (bucket < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn(out_col, expr)
+
+
 def temperature_sample(
     df: DataFrame,
     budget: int,

@@ -241,6 +241,33 @@ def test_temperature_sample_flattens_mixture(spark):
     assert len([r for r in capped if r.lang == "small"]) == 100
 
 
+def test_with_split_deterministic_and_group_safe(spark):
+    """Split assignment must be a pure function of the key (identical on
+    re-run), respect the weight ranges, and — with key_col — put every
+    member of a group in the SAME split (near-dup leakage guard)."""
+    import pytest as _pytest
+
+    from global_stock_data_warehouse_spark.operators.corpus import with_split
+
+    df = spark.createDataFrame(
+        [(i, i // 10) for i in range(1000)], "doc_id long, cluster long"
+    )
+    a = {r.doc_id: r.split for r in with_split(df).collect()}
+    b = {r.doc_id: r.split for r in with_split(df).collect()}
+    assert a == b  # deterministic
+    shares = {s: sum(1 for v in a.values() if v == s) for s in set(a.values())}
+    assert set(shares) == {"train", "val", "test"}
+    assert shares["train"] > 900  # 98% nominal, md5-uniform
+
+    by_cluster = {}
+    for r in with_split(df, key_col="cluster").collect():
+        by_cluster.setdefault(r.cluster, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())  # group-coherent
+
+    with _pytest.raises(ValueError, match="sum to 100"):
+        with_split(df, {"train": 50, "val": 10})
+
+
 def test_ngram_topk_deterministic_order(spark):
     df = spark.createDataFrame(
         [(1, "a b a b c d"), (2, "a b c d")], ["doc_id", "text"]
