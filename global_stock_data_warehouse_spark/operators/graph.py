@@ -25,16 +25,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_components(rows: list, spark) -> DataFrame:
+    """Driver-side union-find for SMALL edge sets (size-gated by the
+    caller): O(E α(E)) with zero further Spark jobs — a 260-edge near-dup
+    graph should not pay 4 rounds x 4 distributed jobs of scheduling
+    overhead. Labels match the distributed path exactly: component =
+    min node id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # root = smaller id
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(out, "id long, comp long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(node_id, component) where component = min node id in the component.
 
     Isolated nodes don't appear (no edges -> their component is
     themselves; union them in at the call site if needed).
+
+    Stats-dispatched like the near-dup operators: the symmetrized edge
+    count (free — the frame is already checkpointed) routes small graphs
+    (<= ``driver_max_edges`` directed edges, ~16 MB at the 1M default) to
+    a driver-side union-find, and big ones to distributed hash-to-min.
+    Identical labels either way.
     """
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -42,6 +76,10 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if sym.count() <= driver_max_edges:
+        return _union_find_components(
+            [(r[0], r[1]) for r in sym.collect()], edges.sparkSession
+        )
     labels = (
         sym.select(F.col("s").alias("id"))
         .distinct()

@@ -26,18 +26,24 @@ def test_cc_chain_and_clique(spark):
 
 
 def test_cc_long_path_converges(spark):
-    # path of 12 nodes — needs ~11 propagation rounds, exercises the loop
+    # path of 12 nodes — needs ~11 propagation rounds; driver_max_edges=0
+    # forces the DISTRIBUTED loop (auto would route this tiny graph to the
+    # driver-side union-find)
     e = _edges(spark, [(i, i + 1) for i in range(12)])
-    comp = {r.id: r.comp for r in connected_components(e).collect()}
+    comp = {
+        r.id: r.comp
+        for r in connected_components(e, driver_max_edges=0).collect()
+    }
     assert set(comp.values()) == {0} and len(comp) == 13
 
 
 def test_cc_raises_instead_of_wrong_labels_on_timeout(spark):
     # a 12-path cannot converge in 3 hash-to-min rounds: silent split
-    # components would be a correctness bug — must raise
+    # components would be a correctness bug — must raise (distributed path
+    # forced; union-find has no iteration limit to hit)
     e = _edges(spark, [(i, i + 1) for i in range(12)])
     with pytest.raises(RuntimeError, match="star"):
-        connected_components(e, max_iter=3)
+        connected_components(e, max_iter=3, driver_max_edges=0)
 
 
 def test_star_long_path_logarithmic_rounds(spark):
@@ -57,9 +63,15 @@ def test_star_matches_hash_to_min_on_random_graphs(spark):
         ]
         edges = [(a, b) for a, b in edges if a != b]
         e = _edges(spark, edges)
-        a = {r.id: r.comp for r in connected_components(e, max_iter=80).collect()}
+        a = {
+            r.id: r.comp
+            for r in connected_components(e, max_iter=80, driver_max_edges=0).collect()
+        }
         b = {r.id: r.comp for r in connected_components_star(e).collect()}
         assert a == b, f"trial {trial}: {a} != {b}"
+        # the auto-dispatched union-find must agree with both distributed paths
+        c = {r.id: r.comp for r in connected_components(e).collect()}
+        assert a == c, f"trial {trial}: union-find diverged"
 
 
 def test_dedup_groups_shape(spark):
