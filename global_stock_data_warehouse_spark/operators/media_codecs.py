@@ -112,6 +112,56 @@ def decode_wav(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# BMP (uncompressed 24/32-bit): image
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding)."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) image, got {a.shape}")
+    h, w = a.shape[:2]
+    row = w * 3
+    pad = (-row) % 4
+    bgr = a[::-1, :, ::-1]  # bottom-up, BGR
+    body = b"".join(bgr[r].tobytes() + b"\x00" * pad for r in range(h))
+    pixel_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", pixel_off + len(body), 0, 0, pixel_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP -> (h, w, 3) uint8 RGB. Handles
+    bottom-up AND top-down (negative height) row order and 4-byte row
+    padding; compressed or paletted BMPs raise (they need a real codec)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression not in (0, 3) or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression}); "
+            "only uncompressed 24/32-bit is decodable without a codec library"
+        )
+    h = abs(h_signed)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=pixel_off)
+    rows = raw.reshape(h, stride)[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    if h_signed > 0:
+        rows = rows[::-1]  # bottom-up -> top-down
+    return np.ascontiguousarray(rows[:, :, 2::-1])  # BGR(A) -> RGB
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -123,7 +173,9 @@ def default_decode(payload: bytes, media_type: str) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise ValueError(
         f"undecodable media payload (media_type={media_type!r}, "
-        f"magic={payload[:4]!r}); supported: PPM P6, WAV PCM16"
+        f"magic={payload[:4]!r}); supported: PPM P6, BMP 24/32-bit, WAV PCM16"
     )

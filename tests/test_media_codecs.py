@@ -83,3 +83,45 @@ def test_extract_features_end_to_end_real_bytes(spark):
     assert all(abs(f - 128.0) < 1e-6 for f in out[1].feature)
     # audio: constant 0.25 signal pools to ~0.25 everywhere
     assert all(abs(f - 0.25) < 1e-3 for f in out[2].feature)
+
+
+def test_bmp_roundtrip_and_variants():
+    from global_stock_data_warehouse_spark.operators.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # w=3 -> row padding
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    # top-down variant (negative height) decodes to the same pixels
+    data = bytearray(encode_bmp(img))
+    import struct as _s
+
+    # flip to top-down: negate height and reverse stored row order
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    off = _s.unpack_from("<I", data, 10)[0]
+    body = bytes(data[off:])
+    rows = [body[i * stride:(i + 1) * stride] for i in range(h)][::-1]
+    td = bytes(data[:off]) + b"".join(rows)
+    td = bytearray(td)
+    _s.pack_into("<i", td, 22, -h)
+    assert np.array_equal(decode_bmp(bytes(td)), img)
+
+    # compressed (RLE) BMPs must refuse, not mis-decode
+    bad = bytearray(encode_bmp(img))
+    _s.pack_into("<I", bad, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="unsupported BMP variant"):
+        decode_bmp(bytes(bad))
+
+
+def test_default_decode_dispatches_bmp():
+    from global_stock_data_warehouse_spark.operators.media_codecs import (
+        default_decode,
+        encode_bmp,
+    )
+
+    img = np.full((2, 2, 3), 7, dtype=np.uint8)
+    assert np.array_equal(default_decode(encode_bmp(img), "image"), img)
