@@ -709,6 +709,52 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of yearly revenue from
+    sales into one region — a 6-way snowflake join (fact -> orders ->
+    customer -> nation -> region filter; fact -> supplier -> nation) with
+    a CONDITIONAL-aggregate ratio. All five dims broadcast; the fact table
+    shuffles once for the year grouping. Revenue is fixed-point
+    (round(x*10000) bigint sums) so both numerator and denominator are
+    order-independent integers — the share division is then bit-stable
+    across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust_nat = c.join(
+        F.broadcast(n.select("n_nationkey", "n_regionkey")),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA").select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("c_custkey")
+    supp_nat = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_nat), o.o_custkey == cust_nat.c_custkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev_cents).otherwise(F.lit(0))).alias("_num"),
+            F.sum(rev_cents).alias("_den"),
+        )
+        .select(
+            "yr",
+            F.round(F.col("_num") / F.col("_den"), 6).alias("mkt_share"),
+        )
+        .orderBy("yr")
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level CDC between two keyed snapshots: full-outer join on the
     PK, null-safe compare, insert/update/delete classification; unchanged
@@ -1503,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "temperature_sample": q_temperature_sample,
         "split_assign": q_split_assign,
+        "market_share": q_market_share,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2225,6 +2272,29 @@ SELECT lang,
 FROM b
 GROUP BY 1, 2
 ORDER BY lang, split
+""",
+        "market_share": """
+WITH asia_cust AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), supp_nat AS (
+  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT year(o_orderdate) AS yr,
+       round(sum(CASE WHEN supp_nation = 'NATION_3'
+                      THEN CAST(round(l_extendedprice*(1-l_discount)*10000, 0) AS BIGINT)
+                      ELSE 0 END)
+             / CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000, 0) AS BIGINT)) AS DOUBLE),
+             6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN asia_cust ON o_custkey = c_custkey
+JOIN supp_nat ON l_suppkey = s_suppkey
+GROUP BY 1
+ORDER BY yr
 """,
         "min_cost_supplier": """
 WITH per AS (
