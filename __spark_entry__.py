@@ -2247,7 +2247,10 @@ ORDER BY lang, rn
         "temperature_sample": """
 WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
 w AS (SELECT lang, n, sqrt(n) AS wt FROM c),
-t AS (SELECT sum(wt) AS tw FROM w),
+-- ORDER BY inside the aggregate pins the float-summation order to the
+-- engine-independent sorted-key order the Spark side uses, so the
+-- floor() boundary cannot flip on summation-order ulps
+t AS (SELECT sum(wt ORDER BY lang) AS tw FROM w),
 q AS (SELECT lang, CAST(least(n, floor(200 * wt / tw)) AS BIGINT) AS quota
       FROM w, t),
 ranked AS (

@@ -286,6 +286,7 @@ def rebalance_sample(
     id_col: str = "doc_id",
     min_prune_rows: int = 100_000,
     min_prune_bytes: int = 64 << 20,
+    precomputed_counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Data-mixing sampler: cap each group at its quota (language /
     source rebalancing before training). Deterministic selection by md5
@@ -335,21 +336,30 @@ def rebalance_sample(
     # Zero-cost pre-gate: Catalyst's size estimate (file sizes for scans;
     # no job) decides whether the count probe is even worth running —
     # below ``min_prune_bytes`` the whole input sorts faster than the
-    # probe job schedules.
-    try:
-        est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        est_bytes = 1 << 62  # stats unavailable: assume big, probe
+    # probe job schedules. Callers that already counted the groups (e.g.
+    # temperature_sample) pass ``precomputed_counts`` so the input is not
+    # scanned twice for the same numbers.
+    counts: dict[str, int] | None = precomputed_counts
+    if counts is None:
+        try:
+            est_bytes = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est_bytes = 1 << 62  # stats unavailable: assume big, probe
+        if est_bytes >= min_prune_bytes:
+            counts = {
+                r[0]: r[1]
+                for r in df.filter(F.col(group_col).isin(*quotas))
+                .groupBy(group_col)
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+                .collect()
+            }
     cuts: dict[str, float] = {}
-    if est_bytes >= min_prune_bytes:
-        counts = {
-            r[0]: r[1]
-            for r in df.filter(F.col(group_col).isin(*quotas))
-            .groupBy(group_col)
-            .agg(F.count(F.lit(1)).alias("_cnt"))
-            .collect()
-        }
+    if counts:
         for g, n in counts.items():
+            if g not in quotas:
+                continue
             q = quotas[g]
             envelope = q + 16.0 * math.sqrt(q) + 256.0
             if n > max(4 * envelope, min_prune_rows):
@@ -452,7 +462,10 @@ def temperature_sample(
     src = df if groups is None else df.filter(F.col(group_col).isin(*list(groups)))
     counts = {
         r[0]: r[1]
-        for r in src.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in src.filter(F.col(group_col).isNotNull())  # null group = no quota
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
     if not counts:
         return rebalance_sample(df, {"__none__": 0}, group_col, id_col)
@@ -460,7 +473,10 @@ def temperature_sample(
     quotas = {
         g: min(n, int(budget * (n**alpha) / total_w)) for g, n in counts.items()
     }
-    return rebalance_sample(df, quotas, group_col, id_col, **rebalance_kwargs)
+    # counts flow through so rebalance_sample does not re-scan for them
+    return rebalance_sample(
+        df, quotas, group_col, id_col, precomputed_counts=counts, **rebalance_kwargs
+    )
 
 
 def ngram_topk(

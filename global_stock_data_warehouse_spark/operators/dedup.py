@@ -348,6 +348,7 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.transform(shingles(text_col, ngram), lambda s: F.xxhash64(s)).alias("hs"),
     )
+    id_type = hashed.schema["id"].dataType.simpleString()
     rng = np.random.default_rng(0x5EED)
     mult = (rng.integers(1, 1 << 62, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     add = rng.integers(0, 1 << 62, size=num_hashes, dtype=np.uint64)
@@ -358,6 +359,10 @@ def minhash_signatures(
                 continue
             ids, rows = [], []
             for i, hs in zip(pdf["id"], pdf["hs"]):
+                # null text -> null shingle array: drop the doc, like the
+                # old explode+groupBy formulation did
+                if hs is None:
+                    continue
                 arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
                 if arr.size == 0:
                     continue
@@ -369,10 +374,10 @@ def minhash_signatures(
             out = pd.DataFrame(
                 np.stack(rows), columns=[f"mh{k}" for k in range(num_hashes)]
             )
-            out.insert(0, "id", pd.array(ids, dtype="int64"))
+            out.insert(0, "id", pd.Series(ids))
             yield out
 
-    schema = "id long, " + ", ".join(f"mh{k} long" for k in range(num_hashes))
+    schema = f"id {id_type}, " + ", ".join(f"mh{k} long" for k in range(num_hashes))
     return hashed.mapInPandas(sig, schema=schema)
 
 
@@ -568,6 +573,7 @@ def simhash_signatures(
         F.col(id_col).alias("id"),
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs"),
     )
+    id_type = hashed.schema["id"].dataType.simpleString()
 
     def sig(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
         shifts = np.arange(64, dtype=np.int64)
@@ -576,6 +582,10 @@ def simhash_signatures(
                 continue
             ids, sigs = [], []
             for i, hs in zip(pdf["id"], pdf["hs"]):
+                # null text -> null token array: drop the doc (explode
+                # parity)
+                if hs is None:
+                    continue
                 arr = np.asarray(hs, dtype=np.int64)
                 if arr.size == 0:
                     continue
@@ -586,9 +596,11 @@ def simhash_signatures(
                 v = int(np.bitwise_or.reduce(np.where(maj, np.uint64(1) << shifts.astype(np.uint64), np.uint64(0))))
                 ids.append(i)
                 sigs.append(v - (1 << 64) if v >= (1 << 63) else v)
-            yield pd.DataFrame({"id": pd.array(ids, dtype="int64"), "sh": pd.array(sigs, dtype="int64")})
+            if not ids:
+                continue
+            yield pd.DataFrame({"id": pd.Series(ids), "sh": pd.array(sigs, dtype="int64")})
 
-    return hashed.mapInPandas(sig, schema="id long, sh long")
+    return hashed.mapInPandas(sig, schema=f"id {id_type}, sh long")
 
 
 def simhash_neardup(

@@ -57,7 +57,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
-    driver_max_edges: int = 1_000_000,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """(node_id, component) where component = min node id in the component.
 
@@ -66,9 +66,10 @@ def connected_components(
 
     Stats-dispatched like the near-dup operators: the symmetrized edge
     count (free — the frame is already checkpointed) routes small graphs
-    (<= ``driver_max_edges`` directed edges, ~16 MB at the 1M default) to
-    a driver-side union-find, and big ones to distributed hash-to-min.
-    Identical labels either way.
+    (<= ``driver_max_edges`` directed edges; the 200k default costs tens
+    of MB of driver heap once Row/int boxing is counted, well inside any
+    real driver) to a driver-side union-find, and big ones to distributed
+    hash-to-min. Identical labels either way.
     """
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))

@@ -146,10 +146,13 @@ def decode_bmp(data: bytes) -> np.ndarray:
     w, h_signed = struct.unpack_from("<ii", data, 18)
     bpp = struct.unpack_from("<H", data, 28)[0]
     compression = struct.unpack_from("<I", data, 30)[0]
-    if compression not in (0, 3) or bpp not in (24, 32):
+    # compression=3 (BI_BITFIELDS) carries channel masks this decoder does
+    # not parse — accepting it would silently swap channels for non-BGR(A)
+    # masks, so it is refused along with RLE/paletted variants
+    if compression != 0 or bpp not in (24, 32):
         raise ValueError(
             f"unsupported BMP variant (bpp={bpp}, compression={compression}); "
-            "only uncompressed 24/32-bit is decodable without a codec library"
+            "only uncompressed BI_RGB 24/32-bit is decodable without a codec library"
         )
     h = abs(h_signed)
     bytes_pp = bpp // 8

@@ -184,11 +184,14 @@ def incremental_gold_sink(
         tmp_link = f"{path}__link_{uuid.uuid4().hex[:8]}"
         os.symlink(os.path.abspath(vdir), tmp_link)
         os.rename(tmp_link, path)  # atomic repoint on POSIX
-        keep = {os.path.abspath(vdir)}
+        # realpath on BOTH sides: prev_target came from realpath, and a
+        # symlinked parent dir (e.g. /tmp -> /private/tmp) would otherwise
+        # never match the candidate paths, deleting the retained version
+        keep = {os.path.realpath(vdir)}
         if prev_target:
-            keep.add(os.path.abspath(prev_target))
+            keep.add(os.path.realpath(prev_target))
         for v in os.listdir(base):
-            full = os.path.abspath(os.path.join(base, v))
+            full = os.path.realpath(os.path.join(base, v))
             if full not in keep:
                 shutil.rmtree(full, ignore_errors=True)
 

@@ -172,6 +172,26 @@ def test_simhash_recall_gates(spark):
     assert recall >= 0.8, f"simhash recall {recall:.3f} < 0.8 on {len(truth)} pairs"
 
 
+def test_signature_kernels_handle_null_text_and_string_ids(spark):
+    """The map-side signature kernels must (a) DROP docs with null text —
+    parity with the old explode+groupBy formulation, not a task crash —
+    and (b) honor a non-bigint id column (the id rides through with its
+    own type)."""
+    from global_stock_data_warehouse_spark.operators.dedup import (
+        minhash_signatures,
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "quick brown fox jumps"), ("b", None), ("c", "")],
+        "doc_id string, text string",
+    )
+    mh = minhash_signatures(docs).collect()
+    assert {r.id for r in mh} == {"a"}  # null + empty dropped, string id kept
+    sh = simhash_signatures(docs).collect()
+    assert {r.id for r in sh} == {"a"}
+
+
 def test_embedding_neardup_auto_dispatch(spark):
     """The auto strategy must route big corpora to the sub-quadratic LSH
     path and small ones to the exact blocked path, with n_blocks derived
