@@ -207,6 +207,16 @@ def test_scan_sqlite_sparse_rowids_balanced(spark, tmp_path):
     assert [c for _, _, c in bounds] == [5, 5, 5, 5]
 
 
+def test_scan_sqlite_unbalanced_arithmetic_split(spark, tmp_path):
+    """balanced=False (the O(1) startup path for huge dense tables) must
+    still cover every row exactly once."""
+    db = _mk_db(tmp_path)
+    df = scan_sqlite(spark, db, "stock_prices", num_partitions=4, balanced=False)
+    rows = df.collect()
+    assert len(rows) == 40
+    assert {r.symbol for r in rows} == {"A", "B"}
+
+
 def test_scan_sqlite_without_rowid_fails_loudly(spark, tmp_path):
     p = str(tmp_path / "worid.db")
     con = sqlite3.connect(p)
