@@ -1352,6 +1352,346 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_topk(_t(spark, sf_dir, "documents"), n=2, k=25, min_count=2)
 
 
+def _cents(col: F.Column, scale: int = 10000) -> F.Column:
+    """Fixed-point bigint encoding of a money expression. Sums of bigints
+    are exact and order-independent, so ratios/totals derived from them
+    hash bit-identically across Spark and DuckDB regardless of partial-agg
+    ordering (the same trick q_market_share uses)."""
+    return F.round(col * scale, 0).cast("bigint")
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-scan predicate-pushdown aggregate — the
+    year/discount/quantity filters must reach the parquet reader
+    (PushedFilters) and the whole query is one WholeStageCodegen span
+    with a map-side partial sum. Fixed-point sum for cross-engine
+    stability."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))) / 10000.0, 4
+        ).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flow between two nations by ship year.
+    Both nation maps broadcast; the only shuffle of the fact table is the
+    lineitem->orders join + final tiny group. The symmetric pair filter
+    ((N1,N2) or (N2,N1)) is applied as soon as both nations are bound."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 10000.0,
+                4,
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name-filtered product line. No partsupp table in this schema, so
+    supply cost is modeled as 60% of p_retailprice (fixed deterministic
+    proxy). The selective part filter broadcasts into the fact scan
+    BEFORE the big lineitem->orders join, shrinking the shuffle."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("gear"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    amount = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.6 * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("order_year"))
+        .agg(F.round(F.sum(amount) / 10000.0, 4).alias("profit"))
+        .orderBy("supp_nation", F.col("order_year").desc())
+    )
+
+
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter. Orders carries the date filter; the R-flag filter rides the
+    lineitem scan; customer+nation broadcast; deterministic (revenue DESC,
+    custkey) TakeOrderedAndProject instead of a global sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 10000.0,
+                4,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode -> linestatus adapted to this schema):
+    per line status, how many 1997-shipped lines belong to high- vs
+    low-priority orders — the canonical conditional-count (CASE WHEN
+    inside SUM) pattern, one fact shuffle for the join, map-side partials
+    for the 2-row group."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_linestatus")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers — a left outer join whose unmatched
+    side must survive into count(o_orderkey)=0, then a second tiny
+    aggregation over the per-customer counts."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of one month's revenue from PROMO
+    parts. Part dim broadcasts; numerator and denominator are exact
+    bigint sums in ONE aggregate pass, so the ratio is bit-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias("_num"),
+            F.sum(rev).alias("_den"),
+        )
+        .select(
+            F.round(F.col("_num") * 100.0 / F.col("_den"), 6).alias("promo_share_pct"),
+            F.round(F.col("_den") / 10000.0, 4).alias("total_revenue"),
+        )
+    )
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
+    the correlated `rev = (SELECT max(...))` decorrelates into a window
+    max over the tiny per-supplier aggregate (|suppliers| rows), never a
+    second scan of the fact table. Exact bigint revenue makes the
+    max-equality tie semantics identical across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "rev_cents"
+        )
+    )
+    max_rev = F.max("rev_cents").over(Window.partitionBy())
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.withColumn("_max", max_rev)
+        .filter(F.col("rev_cents") == F.col("_max"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_cents") / 10000.0, 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute combo,
+    excluding flagged suppliers via NOT IN -> left ANTI join (pushed below
+    the distinct). The part-supplier association comes from lineitem
+    (no partsupp table in this schema); the brand/size filters broadcast
+    with the part dim."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    assoc = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    )
+    return (
+        assoc.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(100)
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR'd brand/size/quantity
+    branches. The disjunction references both sides of the join, so it
+    evaluates post-join — but the IMPLIED union of the per-branch part
+    filters (brand IN ..., size ranges) is applied to the broadcast part
+    dim up front, the classic Q19 pre-filter derivation."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 35)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 10000.0,
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the correlated `qty > 0.5 * (SELECT sum ...)`
+    threshold decorrelates into a window total over the per-(part,supp)
+    aggregate — partitioned by part, so it scales with the widest part,
+    not the table. Suppliers shipping a majority of any PROMO part's
+    volume semi-join into the supplier dim (distinct BEFORE the join)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    per_ps = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    # "ships more than 2.5x the average supplier's volume of that part" —
+    # same correlated-threshold shape as Q20's availqty > 0.5*sum(qty),
+    # calibrated to this data's near-uniform part-supplier fan-out
+    dominant = (
+        per_ps.withColumn("_total", F.sum("qty").over(w))
+        .withColumn("_nsupp", F.count(F.lit(1)).over(w))
+        .filter(F.col("qty") * F.col("_nsupp") > 2.5 * F.col("_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
 _STOP = {
     "en": ("the", "a", "and", "of", "to"),
     "es": ("el", "la", "los", "de", "y"),
@@ -1553,6 +1893,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "split_assign": q_split_assign,
         "market_share": q_market_share,
+        "forecast_revenue": q_forecast_revenue,
+        "volume_shipping": q_volume_shipping,
+        "product_profit": q_product_profit,
+        "returned_top_customers": q_returned_top_customers,
+        "priority_linestatus": q_priority_linestatus,
+        "custdist": q_custdist,
+        "promo_revenue_share": q_promo_revenue_share,
+        "top_revenue_supplier": q_top_revenue_supplier,
+        "supplier_part_counts": q_supplier_part_counts,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "dominant_suppliers": q_dominant_suppliers,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2442,6 +2793,150 @@ WITH toks AS (
 SELECT gram, n FROM counts WHERE n >= 2
 ORDER BY n DESC, gram ASC
 LIMIT 25
+""",
+        "forecast_revenue": """
+SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000, 0) AS BIGINT)) / 10000.0, 4)
+         AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24
+""",
+        "volume_shipping": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+       round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 4)
+         AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+        "product_profit": """
+SELECT sn.n_name AS supp_nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+       round(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                             - p.p_retailprice * 0.6 * l.l_quantity) * 10000, 0) AS BIGINT)) / 10000.0, 4)
+         AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY 1, 2
+ORDER BY 1 ASC, 2 DESC
+""",
+        "returned_top_customers": """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 4)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+        "priority_linestatus": """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+""",
+        "custdist": """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders
+                   WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+    ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+        "promo_revenue_share": """
+WITH j AS (
+  SELECT CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT) AS rev,
+         p.p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 100.0 / sum(rev), 6)
+         AS promo_share_pct,
+       round(sum(rev) / 10000.0, 4) AS total_revenue
+FROM j
+""",
+        "top_revenue_supplier": """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, round(ps.rev_cents / 10000.0, 4) AS total_revenue
+FROM per_supp ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+WHERE ps.rev_cents = (SELECT max(rev_cents) FROM per_supp)
+ORDER BY s.s_suppkey
+""",
+        "supplier_part_counts": """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+LIMIT 100
+""",
+        "disjunctive_revenue": """
+SELECT round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 4)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+        "dominant_suppliers": """
+WITH per_ps AS (
+  SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = 'PROMO'
+  GROUP BY 1, 2
+), dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM (SELECT l_suppkey, qty,
+               sum(qty) OVER (PARTITION BY l_partkey) AS total,
+               count(*) OVER (PARTITION BY l_partkey) AS nsupp
+        FROM per_ps)
+  WHERE qty * nsupp > 2.5 * total
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s.s_suppkey
 """,
         # minhash_neardup / simhash_neardup / ann_lsh_topk: approximate by
         # design -> no SQL oracle; driver records rows-only checks.
