@@ -1352,6 +1352,19 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_topk(_t(spark, sf_dir, "documents"), n=2, k=25, min_count=2)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (Dolma/C4 pass): first
+    occurrence of each distinct paragraph wins, docs reassembled from
+    survivors. The synthetic corpus has no blank-line breaks, so the
+    query splits on a frequent token boundary to exercise the operator;
+    real corpora use the default '\\n\\n'."""
+    from global_stock_data_warehouse_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(
+        _t(spark, sf_dir, "documents"), sep=" the "
+    ).orderBy("doc_id")
+
+
 def _cents(col: F.Column, scale: int = 10000) -> F.Column:
     """Fixed-point bigint encoding of a money expression. Sums of bigints
     are exact and order-independent, so ratios/totals derived from them
@@ -1904,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_counts": q_supplier_part_counts,
         "disjunctive_revenue": q_disjunctive_revenue,
         "dominant_suppliers": q_dominant_suppliers,
+        "paragraph_dedup": q_paragraph_dedup,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2937,6 +2951,26 @@ FROM supplier s
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
 ORDER BY s.s_suppkey
+""",
+        "paragraph_dedup": """
+WITH paras AS (
+  SELECT doc_id, trim(u.s.p) AS para, u.s.i AS idx
+  FROM (SELECT doc_id,
+               list_transform(string_split(text, ' the '), (x, i) -> {'p': x, 'i': i}) AS ps
+        FROM documents), UNNEST(ps) AS u(s)
+  WHERE trim(u.s.p) <> ''
+), ranked AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       string_agg(CASE WHEN rn = 1 THEN para END, ' the ' ORDER BY idx) AS text,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept
+FROM ranked GROUP BY doc_id
+HAVING n_kept > 0
+ORDER BY doc_id
 """,
         # minhash_neardup / simhash_neardup / ann_lsh_topk: approximate by
         # design -> no SQL oracle; driver records rows-only checks.

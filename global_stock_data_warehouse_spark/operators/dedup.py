@@ -42,6 +42,68 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup across the whole corpus (the Dolma /
+    C4-style pass): split every doc into paragraphs on ``sep``, keep only
+    the globally FIRST occurrence (by ``(doc_id, position)``) of each
+    distinct trimmed paragraph, and reassemble docs from their surviving
+    paragraphs in original order.
+
+    Returns ``(id_col, text, n_paras, n_kept)``; docs whose every
+    paragraph was seen earlier elsewhere are dropped (n_kept = 0 — the
+    standard corpus-cleaning behavior for fully-boilerplate docs).
+
+    Scale design: one ``posexplode`` (no self-join), then exactly two
+    shuffles — a window keyed on the paragraph's md5 fingerprint (64-char
+    key, never the paragraph text) to pick winners, and the doc_id group
+    to reassemble. Both are hash-partitioned on high-cardinality keys;
+    a boilerplate paragraph repeated a billion times skews its window
+    partition, which AQE's skew handling splits — the per-row state is
+    only (doc_id, idx), never the text.
+
+    ``sep`` is a literal string (regex-escaped before ``F.split``).
+    """
+    import re as _re
+
+    para = F.trim(F.col("_para"))
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+                "_idx", "_para"
+            ),
+        )
+        .select(F.col(id_col), F.col("_idx"), para.alias("_p"))
+        .filter(F.col("_p") != "")
+    )
+    w = Window.partitionBy(F.md5(F.col("_p"))).orderBy(id_col, "_idx")
+    ranked = exploded.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("_rn") == 1, F.struct("_idx", "_p"))
+                        )
+                    ),
+                    lambda s: s["_p"],
+                ),
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        )
+        .filter(F.col("n_kept") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles + exact n-gram Jaccard via inverted-index join
 # ---------------------------------------------------------------------------

@@ -341,3 +341,35 @@ def test_chunk_documents_shapes(spark):
     assert d1[0][1].split()[-1] == d1[1][1].split()[0]
     d2 = [r for r in out if r.doc_id == 2]
     assert len(d2) == 1 and d2[0].chunk_text == "a b c" and d2[0].n_chunk_tokens == 3
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from global_stock_data_warehouse_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha beta\n\nshared boilerplate\n\ngamma"),
+        (2, "shared boilerplate\n\ndelta"),          # para 1 already seen in doc 1
+        (3, "shared boilerplate"),                    # fully duplicate -> dropped
+        (4, "repeat me\n\nrepeat me\n\nunique tail"), # within-doc repeat
+        (5, "  \n\n \n\n"),                           # only empty paras -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+
+    assert set(out) == {1, 2, 4}
+    assert out[1].text == "alpha beta\n\nshared boilerplate\n\ngamma"
+    assert (out[1].n_paras, out[1].n_kept) == (3, 3)
+    assert out[2].text == "delta"
+    assert (out[2].n_paras, out[2].n_kept) == (2, 1)
+    assert out[4].text == "repeat me\n\nunique tail"
+    assert (out[4].n_paras, out[4].n_kept) == (3, 2)
+
+
+def test_paragraph_dedup_sep_is_literal_not_regex(spark):
+    from global_stock_data_warehouse_spark.operators.dedup import paragraph_dedup
+
+    # '|' is a regex alternation char; as a literal separator it must NOT
+    # split on every character
+    df = spark.createDataFrame([(1, "a b|c d"), (2, "c d|e f")], "doc_id long, text string")
+    out = {r.doc_id: r.text for r in paragraph_dedup(df, sep="|").collect()}
+    assert out == {1: "a b|c d", 2: "e f"}
