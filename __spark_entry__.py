@@ -1352,6 +1352,18 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_topk(_t(spark, sf_dir, "documents"), n=2, k=25, min_count=2)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means cells + within-cell greedy cosine dedup
+    (min-id representative kept). Approximate by construction (clustered
+    recall) -> rows-only; property/recall tests in
+    tests/test_dedup_similarity.py carry the correctness statement."""
+    from global_stock_data_warehouse_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.97, n_cells=16
+    ).orderBy("vec_id")
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide paragraph-level exact dedup (Dolma/C4 pass): first
     occurrence of each distinct paragraph wins, docs reassembled from
@@ -1926,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

@@ -373,3 +373,70 @@ def test_paragraph_dedup_sep_is_literal_not_regex(spark):
     df = spark.createDataFrame([(1, "a b|c d"), (2, "c d|e f")], "doc_id long, text string")
     out = {r.doc_id: r.text for r in paragraph_dedup(df, sep="|").collect()}
     assert out == {1: "a b|c d", 2: "e f"}
+
+
+def _clustered_vecs(spark):
+    # two tight clusters + one outlier; ids interleaved across clusters
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base_a = rng.normal(size=8)
+    base_b = rng.normal(size=8)
+    rows = []
+    for i in range(6):
+        v = (base_a if i % 2 == 0 else base_b) + rng.normal(scale=1e-3, size=8)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((99, [float(x) for x in rng.normal(size=8)]))  # outlier
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_keeps_min_id_per_cluster(spark):
+    from global_stock_data_warehouse_spark.operators.similarity import semantic_dedup
+
+    # n_cells=2: with more cells than natural clusters, k-means can place
+    # two near-identical centroids on one tight cluster and split a dup
+    # chain across cells — the documented clustered-recall trade, not a bug
+    out = {r.vec_id: r for r in semantic_dedup(
+        _clustered_vecs(spark), threshold=0.95, n_cells=2
+    ).collect()}
+    assert len(out) == 7  # every input row gets a verdict
+    kept = {i for i, r in out.items() if r.keep}
+    # min id of each near-dup chain survives; jittered copies do not
+    assert 0 in kept and 1 in kept and 99 in kept
+    assert not any(i in kept for i in (2, 3, 4, 5))
+    # dropped rows point at a genuinely similar predecessor
+    assert all(out[i].max_prev_sim >= 0.95 for i in (2, 3, 4, 5))
+
+
+def test_semantic_dedup_is_deterministic(spark):
+    from global_stock_data_warehouse_spark.operators.similarity import semantic_dedup
+
+    df = _clustered_vecs(spark)
+    a = sorted(map(tuple, semantic_dedup(df, threshold=0.95, n_cells=2).collect()))
+    b = sorted(map(tuple, semantic_dedup(df, threshold=0.95, n_cells=2).collect()))
+    assert a == b
+
+
+def test_semantic_dedup_single_cell_matches_exact_neardup(spark):
+    """With one cell (no clustering recall loss), every vec dropped by
+    semantic_dedup must appear as the higher id of an exact near-dup pair
+    at the same threshold, and vice versa for chain heads."""
+    import numpy as np
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        embedding_neardup,
+        semantic_dedup,
+    )
+
+    df = _clustered_vecs(spark)
+    dropped = {
+        r.vec_id
+        for r in semantic_dedup(df, threshold=0.95, n_cells=1).collect()
+        if not r.keep
+    }
+    pairs = embedding_neardup(df, threshold=0.95).collect()
+    higher_of_pairs = {max(p.id_a, p.id_b) for p in pairs}
+    assert dropped <= higher_of_pairs
+    # every chain head (min id of its component) is kept
+    lower_of_pairs = {min(p.id_a, p.id_b) for p in pairs}
+    heads = lower_of_pairs - higher_of_pairs
+    assert dropped.isdisjoint(heads)
