@@ -1352,6 +1352,20 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_topk(_t(spark, sf_dir, "documents"), n=2, k=25, min_count=2)
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM mean log-prob quality score (CCNet/KenLM-filter shape):
+    corpus-trained top-V vocab broadcast, add-one smoothing, OOV bucket.
+    Mean-of-logs sums in engine-dependent order -> 4dp round + EPS
+    compare in the local mirror (outside the driver hash window)."""
+    from global_stock_data_warehouse_spark.operators.corpus import unigram_logprob
+
+    # vocab_size=16 < the corpus's 31 distinct tokens, so the OOV bucket
+    # is genuinely exercised
+    return unigram_logprob(
+        _t(spark, sf_dir, "documents"), vocab_size=16
+    ).orderBy("doc_id")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cells + within-cell greedy cosine dedup
     (min-id representative kept). Approximate by construction (clustered
@@ -1930,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "dominant_suppliers": q_dominant_suppliers,
         "paragraph_dedup": q_paragraph_dedup,
+        "unigram_logprob": q_unigram_logprob,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2984,6 +2999,27 @@ SELECT doc_id,
 FROM ranked GROUP BY doc_id
 HAVING n_kept > 0
 ORDER BY doc_id
+""",
+        "unigram_logprob": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> t != '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(c) AS n_total FROM counts
+), vocab AS (
+  SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT 16
+)
+SELECT t.doc_id,
+       round(avg(ln((coalesce(v.c, 0) + 1.0) / (tot.n_total + 17.0))), 4)
+         AS avg_logprob,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok, tot
+GROUP BY t.doc_id
+ORDER BY t.doc_id
 """,
         # minhash_neardup / simhash_neardup / ann_lsh_topk: approximate by
         # design -> no SQL oracle; driver records rows-only checks.

@@ -498,3 +498,48 @@ def ngram_topk(
         .orderBy(F.col("n").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 2048,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Unigram-LM quality score per doc — the KenLM-perplexity-filter
+    shape (CCNet / Gopher data pipelines) reduced to its distributable
+    core: train a unigram model on the corpus itself, score every doc by
+    its mean token log-probability (higher = more typical text; strong
+    negative outliers are boilerplate/noise candidates).
+
+    ``log p(w) = ln((count_w + alpha) / (N + alpha*(vocab_size+1)))`` with
+    add-alpha smoothing; tokens outside the top-``vocab_size`` vocabulary
+    score as count 0 (one shared OOV bucket).
+
+    Scale design: the model is two tiny artifacts — the top-V vocab table
+    (V rows, broadcast) and the single-row total — both from ONE
+    token-keyed count aggregate whose explode is absorbed by map-side
+    partials. Scoring re-derives tokens map-side (recompute beats
+    materializing an exploded 100 TB corpus), broadcast-joins the vocab,
+    and the only corpus-scale shuffle is the final doc_id group, again
+    with map-side partials. Mean-of-logs is rounded to 4dp; like
+    ``rolling_beta`` the sum order differs across engines, so the oracle
+    comparison carries a one-last-digit epsilon (EPS_QUERIES) instead of
+    bit equality.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n_total"))
+    vocab = counts.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(vocab_size)
+    denom = F.col("n_total") + alpha * (vocab_size + 1)
+    return (
+        toks.join(broadcast(vocab), "tok", "left_outer")
+        .crossJoin(broadcast(total))
+        .withColumn("_logp", F.log((F.coalesce(F.col("c"), F.lit(0)) + alpha) / denom))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("_logp"), 4).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -282,3 +282,21 @@ def test_ngram_topk_is_take_ordered(spark, sf_dir):
     plan = _plan(ngram_topk(docs, n=2, k=25, min_count=2))
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial_count" in plan, plan  # map-side combine before the shuffle
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from global_stock_data_warehouse_spark.operators.corpus import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], "doc_id long, text string"
+    )
+    # counts: a=2, b=1, c=1; N=4; vocab_size=1 -> vocab={a}; denom=4+1*2=6
+    out = {r.doc_id: r for r in unigram_logprob(df, vocab_size=1).collect()}
+    lp_a, lp_oov = math.log(3 / 6), math.log(1 / 6)
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 1
+    assert out[1].avg_logprob == round((2 * lp_a + lp_oov) / 3, 4)
+    assert out[2].avg_logprob == round(lp_oov, 4)
+    # the common-token doc scores strictly higher than the OOV-only doc
+    assert out[1].avg_logprob > out[2].avg_logprob

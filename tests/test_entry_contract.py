@@ -23,6 +23,7 @@ def test_oracle_keys_subset_of_queries():
         "approx_distinct",
         "winnow_fingerprints",
         "embedding_neardup_lsh",
+        "semantic_dedup",
     }
     assert qs - oracles <= approx_ok, f"missing oracles: {qs - oracles - approx_ok}"
 
