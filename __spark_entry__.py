@@ -1841,6 +1841,74 @@ WHERE cosine_sim >= 0.4
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle over the event stream: cohort =
+    Monday-aligned week of a user's first event, offset = whole weeks
+    since first touch, value = distinct active users. Dates + integer
+    arithmetic only — bit-exact across engines."""
+    from global_stock_data_warehouse_spark.operators.behavior import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), period_days=7)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream. One window shuffle on user_id; the probability normalization
+    is a window over the |types|^2 aggregate. p is a single integer
+    division — order-independent, so exact at 6dp."""
+    from global_stock_data_warehouse_spark.operators.behavior import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 14d/7d hopping windows via Spark's native
+    window(ts, size, slide) generator: map-side replication absorbed by
+    partial aggregation. Fixed-point value sums for engine-exact
+    totals."""
+    from global_stock_data_warehouse_spark.operators.behavior import hopping_window_agg
+
+    return hopping_window_agg(
+        _t(spark, sf_dir, "events"), size="14 days", slide="7 days"
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier profile on documents: median +
+    MAD (both exact order statistics — no float-sum drift) and the count
+    beyond 3*MAD. n_chars is integral, so med/mad are exact .0/.5
+    doubles."""
+    from global_stock_data_warehouse_spark.operators.behavior import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "documents"), group_cols=("source",), value_col="n_chars", k=3.0
+    )
+
+
+def q_hist_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice (width 500): map-only
+    bin assignment (one IEEE division, bit-identical across engines) +
+    one tiny aggregate."""
+    from global_stock_data_warehouse_spark.operators.behavior import histogram_fixed
+
+    return histogram_fixed(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 500.0)
+
+
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword retrieval over a materialized inverted index:
+    posting build is one explode-absorbed shuffle; the query-term IN
+    filter prunes before the doc-keyed score shuffle; integer tf scoring
+    with a (score DESC, doc_id ASC) total order -> deterministic top-k
+    via TakeOrderedAndProject."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        inverted_index,
+        keyword_search,
+    )
+
+    idx = inverted_index(_t(spark, sf_dir, "documents"))
+    return keyword_search(idx, ["spark", "hash"], k=15)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks the first 50 entries against the
     # DuckDB oracle; entries beyond 50 get a weaker rows-only record.
@@ -1945,6 +2013,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_suppliers": q_dominant_suppliers,
         "paragraph_dedup": q_paragraph_dedup,
         "unigram_logprob": q_unigram_logprob,
+        "cohort_retention": q_cohort_retention,
+        "event_transitions": q_event_transitions,
+        "hopping_window": q_hopping_window,
+        "mad_outliers": q_mad_outliers,
+        "hist_bins": q_hist_bins,
+        "keyword_search": q_keyword_search,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3020,6 +3094,95 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN vocab v ON t.tok = v.tok, tot
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+""",
+        "cohort_retention": """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+), firsts AS (
+  SELECT user_id, min(d) AS first_d FROM d GROUP BY user_id
+)
+SELECT DATE '1970-01-05'
+         + CAST(CAST(f.first_d - DATE '1970-01-05' AS BIGINT) // 7 * 7 AS INTEGER)
+         AS cohort_start,
+       CAST(CAST(d.d - f.first_d AS BIGINT) // 7 AS INTEGER) AS period_offset,
+       count(DISTINCT d.user_id) AS n_users
+FROM d JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+""",
+        "event_transitions": """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+), m AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM m
+""",
+        "hopping_window": """
+WITH slots AS (
+  SELECT time_bucket(INTERVAL '14 days', ts, TIMESTAMP '1970-01-01')
+           AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '14 days', ts, TIMESTAMP '1970-01-08')
+           AS window_start, value FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL '14 days' AS window_end,
+       count(*) AS n_events,
+       sum(round(value * 100, 0)) / 100.0 AS sum_value
+FROM slots GROUP BY 1
+""",
+        "mad_outliers": """
+WITH med AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY source
+), j AS (
+  SELECT d.source, d.n_chars, m.med
+  FROM documents d JOIN med m USING (source)
+), mads AS (
+  SELECT source, quantile_cont(abs(n_chars - med), 0.5) AS mad,
+         any_value(med) AS med, count(*) AS n
+  FROM j GROUP BY source
+)
+SELECT j.source, m.med, m.mad, CAST(m.n AS BIGINT) AS n,
+       CAST(sum(CASE WHEN abs(j.n_chars - m.med) > 3.0 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM j JOIN mads m USING (source)
+GROUP BY j.source, m.med, m.mad, m.n
+""",
+        "hist_bins": """
+WITH binned AS (
+  SELECT CAST(floor(l_extendedprice / 500.0) AS BIGINT) AS bin_id,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT bin_id, count(*) AS n,
+       min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
+       bin_id * 500.0 AS bin_lo
+FROM binned GROUP BY bin_id
+""",
+        "keyword_search": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> t != '')) AS term
+  FROM documents
+), postings AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+), hits AS (
+  SELECT * FROM postings WHERE term IN ('spark', 'hash')
+), scored AS (
+  SELECT doc_id, count(DISTINCT term) AS n_terms, CAST(sum(tf) AS BIGINT) AS score
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score
+FROM scored WHERE n_terms = 2
+ORDER BY score DESC, doc_id ASC LIMIT 15
 """,
         # minhash_neardup / simhash_neardup / ann_lsh_topk: approximate by
         # design -> no SQL oracle; driver records rows-only checks.

@@ -1,0 +1,191 @@
+"""Event-stream behavioral analytics: cohort retention, transition
+matrices, hopping (sliding) windows.
+
+The reference's event-shaped workloads stop at per-symbol resampling
+(`transformer.py` resample loops); an analytics warehouse serving the
+same data also needs the user-journey shapes every product team runs.
+These are built on the `events` stream (user_id / ts / event_type /
+value).
+
+Scale notes (100 TB):
+- ``cohort_retention`` is two hash shuffles on ``user_id`` (first-touch
+  agg, then the fact re-join) that share a partitioning, plus a final
+  tiny (cohort, offset) agg whose partial absorbs map-side.
+- ``event_transitions`` is one window shuffle on ``user_id``; the
+  transition matrix itself is |event_type|^2 rows — the probability
+  normalization window runs on that tiny aggregate, not the fact table.
+- ``hopping_window_agg`` uses Spark's native ``window(ts, size, slide)``
+  generator: each event is replicated size/slide times map-side BEFORE
+  the partial aggregation, so the shuffle carries per-(window, key)
+  partials, never the replicated events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Classic cohort-retention triangle.
+
+    A user's cohort is the ``period_days``-aligned bucket (anchored at
+    1970-01-05, a Monday) of their FIRST event date; every later event
+    lands at integer offset ``floor(days_since_first / period_days)``.
+    Output: one row per (cohort_start, period_offset) with the distinct
+    active-user count.
+
+    Deterministic across engines: dates + integer arithmetic only.
+    """
+    d = F.to_date(ts_col)
+    firsts = events.groupBy(user_col).agg(F.min(d).alias("first_d"))
+    # anchor 1970-01-05 is a Monday, so period_days=7 cohorts align to
+    # ISO weeks; integer floor-division keeps the bucketing exact
+    anchor = F.lit("1970-01-05").cast("date")
+    cohort = F.date_add(
+        anchor,
+        (F.datediff(F.col("first_d"), anchor) / period_days).cast("int") * period_days,
+    )
+    joined = events.select(F.col(user_col), d.alias("d")).join(firsts, user_col)
+    return (
+        joined.withColumn("cohort_start", cohort)
+        .withColumn(
+            "period_offset",
+            (F.datediff(F.col("d"), F.col("first_d")) / period_days).cast("int"),
+        )
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences.
+
+    One window shuffle on ``user_col`` orders each user's stream; the
+    (from, to) bigram counts aggregate with map-side partials, and the
+    row-normalized probability is a window over the tiny matrix itself.
+    ``p`` is a single integer division — order-independent, so it is
+    exact across engines.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak_cols)
+    pairs = (
+        events.withColumn("to_type", F.lead(type_col).over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(row_total), 6)
+    )
+
+
+def hopping_window_agg(
+    events: DataFrame,
+    size: str = "14 days",
+    slide: str = "7 days",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Overlapping (hopping) time-window aggregation via Spark's native
+    ``window()`` generator — each event contributes to size/slide
+    consecutive windows, aligned to the 1970-01-01 epoch.
+
+    The per-window sum uses the engine's fixed-point idiom (sum of
+    ``round(value*100)`` integer-valued doubles) so the result is
+    independent of partial-sum order and bit-exact across engines.
+    """
+    win = F.window(F.col(ts_col), size, slide)
+    return (
+        events.select(win.alias("w"), F.col(value_col))
+        .groupBy(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col(value_col) * 100, 0)) / 100.0).alias("sum_value"),
+        )
+    )
+
+
+def _dev(col: str, med: Column) -> Column:
+    return F.abs(F.col(col) - med)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier profile: median, MAD (median absolute
+    deviation), and the count of points beyond ``k * MAD``.
+
+    Two grouped exact-percentile aggregations (median, then MAD) — each a
+    single hash shuffle on ``group_cols``, reusing the same partitioning —
+    then a map-side flag re-join. Order statistics, not accumulations:
+    ``percentile`` averages at most two values, so results are exact
+    across engines (no float-summation drift).
+
+    At 100 TB exact percentile holds the group's values per-partition
+    buffer-side; for billion-row groups swap ``F.percentile`` for
+    ``F.percentile_approx`` (same plan shape, bounded memory).
+    """
+    keys = [F.col(c) for c in group_cols]
+    med = df.groupBy(*keys).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("med")
+    )
+    with_med = df.join(med, list(group_cols))
+    mad = with_med.groupBy(*keys).agg(
+        F.percentile(F.abs(F.col(value_col) - F.col("med")), F.lit(0.5)).alias("mad"),
+        F.first("med").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flagged = with_med.drop("med").join(mad, list(group_cols))
+    return (
+        flagged.withColumn(
+            "is_outlier",
+            (F.abs(F.col(value_col) - F.col("med")) > F.lit(k) * F.col("mad")).cast("int"),
+        )
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.first("n").alias("n"),
+            F.sum("is_outlier").alias("n_outliers"),
+        )
+    )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    width: float,
+) -> DataFrame:
+    """Fixed-width histogram: bin id = floor(value / width).
+
+    Map-only binning + one tiny agg; the division is a single IEEE-754
+    operation so bin assignment is bit-identical across engines.
+    """
+    bin_id = F.floor(F.col(value_col) / F.lit(width)).cast("long")
+    return (
+        df.select(bin_id.alias("bin_id"), F.col(value_col))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+        .withColumn("bin_lo", F.col("bin_id") * F.lit(width))
+    )

@@ -543,3 +543,67 @@ def unigram_logprob(
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Materialize a term -> (doc, tf) posting table — the retrieval-side
+    sibling of ``bm25_score`` (which scores a FIXED query map-side; this
+    builds the reusable index for ad-hoc queries).
+
+    One shuffle: explode is absorbed by map-side partial counting into
+    per-(term, doc) partials; document frequency rides the same pass via
+    a term-partitioned window, so ``min_df`` pruning costs no extra
+    shuffle (the window reuses the groupBy's hash partitioning on term —
+    a prefix of (term, doc) clustering is NOT enough, so the window
+    repartitions by term only once).
+
+    Written sorted/partitioned by term (caller side), a keyword lookup
+    prunes to the query terms' partitions before any shuffle.
+    """
+    postings = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term")
+    out = postings.withColumn("df", F.count(F.lit(1)).over(w))
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    return out
+
+
+def keyword_search(
+    index: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    require_all: bool = True,
+) -> DataFrame:
+    """Top-k conjunctive (AND) keyword retrieval over an
+    ``inverted_index`` posting table.
+
+    The ``term IN (...)`` filter is a pushable predicate — against a
+    term-partitioned materialized index it prunes to |terms| partitions
+    before the single doc-keyed shuffle. Scoring is the integer total
+    term frequency, so ranking is exact across engines; (score DESC,
+    doc_id ASC) totally orders the result and compiles to
+    TakeOrderedAndProject (no global sort).
+    """
+    qterms = [t.lower() for t in terms]
+    hits = index.filter(F.col("term").isin(qterms))
+    scored = hits.groupBy(id_col).agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.sum("tf").alias("score"),
+    )
+    if require_all:
+        scored = scored.filter(F.col("n_terms") == len(set(qterms)))
+    return (
+        scored.select(id_col, "n_terms", "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,139 @@
+"""Behavioral analytics ops (cohort retention, transition matrix,
+hopping windows, MAD outliers, histograms) plus inverted-index keyword
+retrieval: semantics on hand-built frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from global_stock_data_warehouse_spark.operators.behavior import (
+    cohort_retention,
+    event_transitions,
+    histogram_fixed,
+    hopping_window_agg,
+    mad_outliers,
+)
+from global_stock_data_warehouse_spark.operators.corpus import (
+    inverted_index,
+    keyword_search,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_cohort_retention_offsets_and_alignment(spark):
+    # user 1 first touches in week of Mon 2024-01-01, returns 2 weeks later;
+    # user 2 joins the same cohort week; user 3 a later cohort.
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-02T10:00:00")),
+            (1, _ts("2024-01-16T10:00:00")),
+            (2, _ts("2024-01-03T09:00:00")),
+            (3, _ts("2024-01-10T09:00:00")),
+        ],
+        ["user_id", "ts"],
+    )
+    rows = {
+        (r.cohort_start.isoformat(), r.period_offset): r.n_users
+        for r in cohort_retention(ev, period_days=7).collect()
+    }
+    # 2024-01-01 is a Monday -> cohort starts align to Mondays
+    assert rows[("2024-01-01", 0)] == 2
+    assert rows[("2024-01-01", 2)] == 1
+    assert rows[("2024-01-08", 0)] == 1
+    assert len(rows) == 3
+
+
+def test_event_transitions_probabilities_row_normalize(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01T00:00:00"), "a"),
+            (1, 2, _ts("2024-01-01T00:01:00"), "b"),
+            (1, 3, _ts("2024-01-01T00:02:00"), "a"),
+            (1, 4, _ts("2024-01-01T00:03:00"), "c"),
+            (2, 5, _ts("2024-01-01T00:00:00"), "a"),
+            (2, 6, _ts("2024-01-01T00:01:00"), "b"),
+        ],
+        ["user_id", "event_id", "ts", "event_type"],
+    )
+    out = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in event_transitions(ev).collect()
+    }
+    # from 'a': a->b twice, a->c once
+    assert out[("a", "b")] == (2, 0.666667)
+    assert out[("a", "c")] == (1, 0.333333)
+    # from 'b': b->a once (user 1 only; user 2's 'b' is terminal)
+    assert out[("b", "a")] == (1, 1.0)
+    assert len(out) == 3
+
+
+def test_hopping_window_each_event_in_two_windows(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts("2024-01-03T00:00:00"), 10.0), (2, _ts("2024-01-20T00:00:00"), 5.0)],
+        ["event_id", "ts", "value"],
+    )
+    out = hopping_window_agg(ev, size="14 days", slide="7 days")
+    rows = out.collect()
+    # size/slide = 2 -> every event lands in exactly 2 windows
+    assert sum(r.n_events for r in rows) == 4
+    for r in rows:
+        assert (r.window_end - r.window_start).days == 14
+        # epoch-aligned starts: whole multiples of 7 days since 1970-01-01
+        assert (r.window_start - _ts("1970-01-01T00:00:00")).days % 7 == 0
+
+
+def test_mad_outliers_flags_far_point(spark):
+    df = spark.createDataFrame(
+        [("s", v) for v in [10, 10, 11, 9, 10, 100]] + [("t", 5), ("t", 7)],
+        ["source", "n_chars"],
+    )
+    out = {r.source: r for r in mad_outliers(df, ["source"], "n_chars", k=3.0).collect()}
+    assert out["s"].med == 10.0
+    assert out["s"].mad == 0.5
+    assert out["s"].n_outliers == 1  # only the 100
+    assert out["s"].n == 6
+    # two-point group: med=6, mad=1, no point beyond 3*mad
+    assert out["t"].n_outliers == 0
+
+
+def test_histogram_fixed_bins_and_bounds(spark):
+    df = spark.createDataFrame([(0.5,), (499.99,), (500.0,), (1250.0,)], ["v"])
+    out = {r.bin_id: r for r in histogram_fixed(df, "v", 500.0).collect()}
+    assert out[0].n == 2 and out[0].min_v == 0.5 and out[0].max_v == 499.99
+    assert out[1].n == 1 and out[1].bin_lo == 500.0
+    assert out[2].n == 1
+
+
+def test_keyword_search_and_semantics_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark hash spark"),
+            (2, "spark only here"),
+            (3, "hash spark hash hash"),
+            (4, "nothing relevant"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = inverted_index(docs)
+    # df rides the posting build: 'spark' appears in 3 docs
+    df_spark = idx.filter(F.col("term") == "spark").select("df").distinct().collect()
+    assert [r.df for r in df_spark] == [3]
+    out = keyword_search(idx, ["spark", "hash"], k=10).collect()
+    # AND semantics: doc 2 (no 'hash') and doc 4 excluded; score = total tf
+    assert [(r.doc_id, r.score) for r in out] == [(3, 4), (1, 3)]
+    # require_all=False admits doc 2
+    out_or = keyword_search(idx, ["spark", "hash"], k=10, require_all=False).collect()
+    assert {r.doc_id for r in out_or} == {1, 2, 3}
+
+
+def test_inverted_index_min_df_prunes(spark):
+    docs = spark.createDataFrame(
+        [(1, "rare shared"), (2, "shared")], ["doc_id", "text"]
+    )
+    kept = {r.term for r in inverted_index(docs, min_df=2).collect()}
+    assert kept == {"shared"}
