@@ -1909,6 +1909,29 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier->customer flow graph (who supplies
+    whom, via lineitem x orders). Iterative join+agg rounds with
+    dangling-mass conservation — rows-only (float fixpoint is
+    sum-order-dependent across engines); property tests in
+    tests/test_graph.py carry the correctness statement (uniform cycle,
+    closed-form two-node fixpoint, mass conservation)."""
+    from global_stock_data_warehouse_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, max_iter=8, tol=1e-6)
+    return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks the first 50 entries against the
     # DuckDB oracle; entries beyond 50 get a weaker rows-only record.
@@ -2028,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "semantic_dedup": q_semantic_dedup,
+        "pagerank": q_pagerank,
     }
 
 

@@ -205,3 +205,123 @@ def dedup_groups(
         )
         .select("keep_id", "group_size", "members")
     )
+
+
+def _pagerank_driver(
+    e: DataFrame, spark, damping: float, max_iter: int, tol: float
+) -> DataFrame:
+    """Driver-side power iteration for SMALL edge sets (size-gated by the
+    caller, same dispatch discipline as ``connected_components``): a
+    5M-edge graph is a few hundred MB of numpy, and one vectorized
+    iteration beats 2 distributed jobs/round of scheduling overhead by
+    ~100x. Edges land via Arrow (columnar, no per-row boxing) and ids are
+    densified with one factorize pass. Identical update rule to the
+    distributed path."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toArrow().to_pandas()
+    both = pd.concat([pdf["s"], pdf["d"]], ignore_index=True)
+    codes, uniques = pd.factorize(both, sort=True)
+    m = len(pdf)
+    s = codes[:m].astype(np.int64)
+    d = codes[m:].astype(np.int64)
+    n = len(uniques)
+    deg = np.bincount(s, minlength=n).astype(np.float64)
+    rank = np.ones(n, dtype=np.float64)
+    dangling_mask = deg == 0
+    for _ in range(max_iter):
+        dangling = rank[dangling_mask].sum()
+        contrib = np.zeros(n, dtype=np.float64)
+        np.add.at(contrib, d, rank[s] / deg[s])
+        new_rank = (1.0 - damping) + damping * (contrib + dangling / n)
+        delta = np.abs(new_rank - rank).max()
+        rank = new_rank
+        if delta <= tol:
+            break
+    out = pd.DataFrame({"node": uniques, "rank": rank})
+    return spark.createDataFrame(out)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    driver_max_edges: int = 5_000_000,
+) -> DataFrame:
+    """Distributed PageRank over a directed edge list — the link-quality
+    signal CommonCrawl-derived corpus pipelines use for host-level doc
+    filtering (alongside the dedup/quality ops in this package).
+
+    Semantics: the ``sum(rank) == n_nodes`` convention,
+    ``r(v) = (1-d) + d * (sum_{u->v} r(u)/deg(u) + dangling_mass/n)``,
+    with dangling (no-outlink) mass redistributed uniformly so total rank
+    is conserved every round. Stops early when no node moves more than
+    ``tol``.
+
+    Scale design: the edge list is repartitioned on ``src`` ONCE and
+    checkpointed outside the loop; each round is one co-partitioned
+    rank-join + grouped sum (map-side partials absorb multi-edges) plus a
+    scalar dangling/delta aggregate. ``localCheckpoint`` per round keeps
+    the plan flat (same discipline as ``connected_components``). Rank
+    state is 2 columns/node — at 100 TB of edges the per-round shuffle
+    carries only (dst, partial-contrib) pairs.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .repartition("s")
+        .localCheckpoint(eager=True)
+    )
+    if e.count() <= driver_max_edges:
+        return _pagerank_driver(e, edges.sparkSession, damping, max_iter, tol)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("out_deg"))
+    base = (
+        nodes.join(deg, "node", "left_outer")
+        .fillna({"out_deg": 0})
+        .repartition("node")
+        .localCheckpoint(eager=True)
+    )
+    n = base.count()
+    ranks = base.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        dangling = (
+            ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+        )
+        contribs = (
+            e.join(
+                ranks.filter(F.col("out_deg") > 0).select(
+                    F.col("node"), (F.col("rank") / F.col("out_deg")).alias("c")
+                ),
+                e.s == F.col("node"),
+            )
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = (
+            ranks.join(contribs, "node", "left_outer")
+            .withColumn(
+                "new_rank",
+                (1.0 - damping)
+                + damping * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangling / n),
+            )
+            .select(
+                "node",
+                "out_deg",
+                F.col("new_rank").alias("rank"),
+                (F.abs(F.col("new_rank") - F.col("rank"))).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        max_delta = new_ranks.agg(F.max("delta")).first()[0]
+        ranks = new_ranks.drop("delta")
+        if max_delta is not None and max_delta <= tol:
+            break
+    return ranks.select("node", "rank")

@@ -24,6 +24,7 @@ def test_oracle_keys_subset_of_queries():
         "winnow_fingerprints",
         "embedding_neardup_lsh",
         "semantic_dedup",
+        "pagerank",
     }
     assert qs - oracles <= approx_ok, f"missing oracles: {qs - oracles - approx_ok}"
 

@@ -81,3 +81,60 @@ def test_dedup_groups_shape(spark):
         for r in dedup_groups(e).collect()
     }
     assert got == {3: (3, [3, 5, 9]), 100: (2, [100, 101])}
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    from global_stock_data_warehouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    ranks = {r.node: r.rank for r in pagerank(edges).collect()}
+    assert len(ranks) == 3
+    for v in ranks.values():
+        assert abs(v - 1.0) < 1e-5
+
+
+def test_pagerank_conserves_mass_with_dangling(spark):
+    from global_stock_data_warehouse_spark.operators.graph import pagerank
+
+    # b is dangling (no out-edges): its mass must be redistributed, not lost
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    rows = pagerank(edges, max_iter=50, tol=1e-10).collect()
+    ranks = {r.node: r.rank for r in rows}
+    assert abs(sum(ranks.values()) - 2.0) < 1e-6
+    assert ranks[2] > ranks[1]
+    # closed form: r2 = 1.85 * r1 at the fixed point
+    assert abs(ranks[2] - 1.85 * ranks[1]) < 1e-5
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from global_stock_data_warehouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 6)], ["src", "dst"])
+    ranks = {r.node: r.rank for r in pagerank(edges).collect()}
+    assert all(ranks[0] > ranks[i] for i in range(1, 6))
+    assert abs(sum(ranks.values()) - 6.0) < 1e-4
+
+
+def test_pagerank_distributed_matches_driver(spark):
+    import random
+
+    from global_stock_data_warehouse_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(12), rng.randrange(12)) for _ in range(40)})
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    drv = {r.node: r.rank for r in pagerank(edges, tol=1e-9, max_iter=60).collect()}
+    dist = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, tol=1e-9, max_iter=60, driver_max_edges=0
+        ).collect()
+    }
+    assert drv.keys() == dist.keys()
+    for k in drv:
+        assert abs(drv[k] - dist[k]) < 1e-6
