@@ -94,3 +94,84 @@ def compact_parquet(
 
     after, _ = table_file_stats(spark, path)
     return {"files_before": n_files, "files_after": after, "bytes": total}
+
+
+def zorder_key(df, cols: list[str], bits: int = 8):
+    """Morton (Z-order) key over ``cols``: each column is normalized to a
+    ``bits``-bit integer bucket by min/max range, and the buckets' bits
+    are interleaved. Rows close in Z-key are close in EVERY clustered
+    dimension, so range-partitioning + sorting by this key gives parquet
+    files whose min/max stats are narrow in ALL the columns at once —
+    multi-dimensional data skipping, where ``cluster_by`` (lexicographic)
+    only prunes its leading column.
+
+    The normalization bounds come from one tiny min/max aggregate (a
+    single scan with column pruning). Uniform bucketing is the documented
+    trade-off: heavy skew in a column wastes its high bits (swap in
+    approxQuantile boundaries if that ever matters); pruning still
+    degrades gracefully. The key is built from shift/mask expressions —
+    pure codegen, no UDFs.
+
+    Returns (key_column, bounds) where bounds is {col: (min, max)}.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols],
+    ).first()
+    bounds = {c: (stats[f"min_{c}"], stats[f"max_{c}"]) for c in cols}
+    n_buckets = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo, hi = bounds[c]
+        span = (hi - lo) or 1
+        bucket = F.least(
+            F.lit(n_buckets),
+            F.floor((F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(span)) * n_buckets).cast("long"),
+        )
+        bucket = F.greatest(F.lit(0).cast("long"), bucket)
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1).cast("long")),
+                    b * len(cols) + i,
+                )
+            )
+    return key, bounds
+
+
+def compact_parquet_zorder(
+    spark: SparkSession,
+    path: str,
+    zorder_by: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 8,
+) -> dict:
+    """OPTIMIZE ZORDER for plain parquet: rewrite the table clustered on
+    the Morton key of ``zorder_by`` so point/range predicates on ANY of
+    those columns prune files via row-group statistics. Same local-FS
+    rename-swap contract (and caveat) as ``compact_parquet``."""
+    if "://" in path and not path.startswith("file:"):
+        raise ValueError(
+            "compact_parquet_zorder's rename swap requires a local "
+            "filesystem path (see compact_parquet)"
+        )
+    n_files, total = table_file_stats(spark, path)
+    want = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    key, _ = zorder_key(df, zorder_by, bits=bits)
+    out = (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(want, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    tmp = f"{path}__zorder_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after, _ = table_file_stats(spark, path)
+    return {"files_before": n_files, "files_after": after, "bytes": total}

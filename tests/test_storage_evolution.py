@@ -235,3 +235,66 @@ def test_delta_merge_contract(spark, tmp_path, monkeypatch):
 
     assert calls["cond"] == "t.date = s.date AND t.symbol = s.symbol"
     assert calls.get("matched") and calls.get("not_matched") and calls.get("executed")
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_compact_narrows_both_dimensions(spark, tmp_path):
+    from global_stock_data_warehouse_spark.storage.compact import (
+        compact_parquet_zorder,
+    )
+
+    path = str(tmp_path / "zt")
+    # two independent uniform dims; written in x-shuffled order so the
+    # baseline layout has no accidental clustering
+    df = spark.range(40_000).selectExpr(
+        "cast(id % 200 as double) as x",
+        "cast((id * 7919) % 200 as double) as y",
+        "id as payload",
+    )
+    df.repartition(8).write.mode("overwrite").parquet(path)
+
+    stats = compact_parquet_zorder(
+        spark, path, zorder_by=["x", "y"], target_file_bytes=45_000
+    )
+    assert stats["files_after"] >= 4
+
+    import glob
+
+    spans_x, spans_y = [], []
+    for f in glob.glob(path + "/part-*.parquet"):
+        row = (
+            spark.read.parquet(f)
+            .selectExpr("min(x) as x0", "max(x) as x1", "min(y) as y0", "max(y) as y1")
+            .first()
+        )
+        spans_x.append(row.x1 - row.x0)
+        spans_y.append(row.y1 - row.y0)
+    avg_x = sum(spans_x) / len(spans_x)
+    avg_y = sum(spans_y) / len(spans_y)
+    # Z-order: EVERY dimension's per-file span is well under the global
+    # 0..199 range (lexicographic clustering would leave y at ~full span)
+    assert avg_x < 120, avg_x
+    assert avg_y < 120, avg_y
+
+
+def test_zorder_key_interleaves_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from global_stock_data_warehouse_spark.storage.compact import zorder_key
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (255.0, 255.0), (255.0, 0.0)], ["x", "y"]
+    )
+    key, bounds = zorder_key(df, ["x", "y"], bits=8)
+    assert bounds == {"x": (0.0, 255.0), "y": (0.0, 255.0)}
+    rows = df.withColumn("k", key).orderBy("x", "y").collect()
+    ks = [r.k for r in rows]
+    # (0,0) -> 0; (255,255) -> all 16 bits set; (255,0) -> x bits only
+    assert ks[0] == 0
+    assert ks[2] == 0xFFFF
+    x_only = sum(1 << (2 * b) for b in range(8))
+    assert ks[1] == x_only
