@@ -1909,6 +1909,37 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity OLS trend (slope/intercept/R² of daily close over epoch
+    days) — grouped regression in one shuffle. The five OLS sums run over
+    integer-valued doubles (x = epoch day, y = close*100), so they are
+    exact and order-independent; each output is one closed-form division
+    over exact sums -> bit-stable across engines."""
+    from global_stock_data_warehouse_spark.operators.timeseries import (
+        daily_close,
+        trend_ols,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return trend_ols(daily_close(ev))
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine regularization + forward fill (asfreq('D').ffill(),
+    distributed): the spine explodes from ONE row per key (min/max agg),
+    the join back and the ignore-nulls last window reuse the key hash
+    partitioning. Values are copied, never computed -> bit-exact."""
+    from global_stock_data_warehouse_spark.operators.timeseries import (
+        daily_close,
+        gap_fill_ffill,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return gap_fill_ffill(daily_close(ev)).select(
+        "user_id", "d", "close", "is_filled"
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier->customer flow graph (who supplies
     whom, via lineitem x orders). Iterative join+agg rounds with
@@ -2042,6 +2073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "hist_bins": q_hist_bins,
         "keyword_search": q_keyword_search,
+        "trend_ols": q_trend_ols,
+        "gap_fill": q_gap_fill,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3189,6 +3222,53 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "trend_ols": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events GROUP BY 1, 2
+), sums AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(d - DATE '1970-01-01' AS DOUBLE)) AS sx,
+         sum(round(close * 100, 0)) AS sy,
+         sum(CAST(d - DATE '1970-01-01' AS DOUBLE)
+             * CAST(d - DATE '1970-01-01' AS DOUBLE)) AS sxx,
+         sum(CAST(d - DATE '1970-01-01' AS DOUBLE) * round(close * 100, 0)) AS sxy,
+         sum(round(close * 100, 0) * round(close * 100, 0)) AS syy
+  FROM daily GROUP BY user_id
+)
+SELECT user_id, n,
+       round(CASE WHEN n * sxx - sx * sx > 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100
+             END, 6) AS slope,
+       round(CASE WHEN n * sxx - sx * sx > 0
+                  THEN (sy / 100 - (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100 * sx) / n
+             END, 4) AS intercept,
+       round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 6) AS r2
+FROM sums
+""",
+        "gap_fill": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM spans
+)
+SELECT s.user_id, s.d,
+       last_value(dl.close IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+       dl.user_id IS NULL AS is_filled
+FROM spine s LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.d = dl.d
 """,
         "keyword_search": """
 WITH toks AS (

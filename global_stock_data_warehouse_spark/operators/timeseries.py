@@ -22,6 +22,8 @@ Scale design:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -281,3 +283,94 @@ def sessionize_two_phase(
         "session_id", F.col("_base") + F.col("_run_in") - F.col("_cont")
     )
     return out.drop("_bkt", "_new_in", "_first", "_run_in", "_cont", "_base")
+
+
+def trend_ols(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "d",
+    value_col: str = "close",
+    value_scale: int = 100,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend of value over time (epoch
+    days): slope, intercept, and R² — the grouped-regression shape
+    (screen every symbol for drift in one pass).
+
+    One hash shuffle with map-side partials. Instead of the engine's
+    covariance aggregates (incremental mean updates whose float error
+    depends on partial-sum order), the five OLS sums are accumulated over
+    INTEGER-VALUED doubles (x = epoch day, y scaled by ``value_scale``):
+    integer sums are exact and order-independent below 2^53, so slope /
+    intercept / R² are each a single closed-form expression over exact
+    inputs — bit-stable across engines. At 100 TB the guard is the 2^53
+    headroom: x*y*scale per row up to ~1e12 leaves ~8000x in row count
+    per group before precision loss; shrink ``value_scale`` (or demean
+    keys upstream) beyond that.
+    """
+    x = F.datediff(F.col(time_col), F.lit("1970-01-01").cast("date")).cast("double")
+    y = F.round(F.col(value_col) * value_scale, 0)
+    sums = daily.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # den_x == 0 (single day / single row): the trend is undefined — NULL,
+    # never NaN/Inf (which would poison downstream comparisons)
+    slope = F.when(den_x > 0, cov_n / den_x / value_scale)
+    intercept = F.when(
+        den_x > 0, (F.col("sy") / value_scale - slope * F.col("sx")) / F.col("n")
+    )
+    r2 = F.when(
+        (den_x > 0) & (den_y > 0), (cov_n * cov_n) / (den_x * den_y)
+    )
+    return sums.select(
+        F.col(key_col),
+        F.col("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def gap_fill_ffill(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "d",
+    value_cols: Sequence[str] = ("close",),
+) -> DataFrame:
+    """Regularize each key's daily series onto a complete date spine and
+    forward-fill missing days (pandas ``asfreq('D')`` + ``ffill``, the
+    reference's resample-prep step, distributed).
+
+    The spine is ``sequence(min_d, max_d)`` per key — generated FROM the
+    per-key aggregate (one row per key explodes into its own span), so
+    spine construction shuffles one row per key, not one per day. The
+    left join back and the ignore-nulls ``last`` window both reuse the
+    key hash partitioning. ``is_filled`` marks synthesized rows.
+    """
+    spine = (
+        daily.groupBy(key_col)
+        .agg(F.min(time_col).alias("d0"), F.max(time_col).alias("d1"))
+        .select(
+            key_col,
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias(time_col),
+        )
+    )
+    joined = spine.join(
+        daily.withColumn("_present", F.lit(1)), [key_col, time_col], "left_outer"
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.withColumn("is_filled", F.col("_present").isNull()).drop("_present")

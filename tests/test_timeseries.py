@@ -138,3 +138,52 @@ def test_sessionize_two_phase_matches_single_window(spark):
     # the heavy window's partition spec carries the bucket column
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "_bkt" in plan
+
+
+# ---------------------------------------------------------------------------
+# trend_ols / gap_fill_ffill
+# ---------------------------------------------------------------------------
+
+
+def test_trend_ols_recovers_perfect_line(spark):
+    import datetime as dt
+
+    from global_stock_data_warehouse_spark.operators.timeseries import trend_ols
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(days=i), 10.0 + 2.5 * i) for i in range(10)
+    ] + [("b", base, 5.0)]  # single point: undefined trend
+    df = spark.createDataFrame(rows, ["user_id", "d", "close"])
+    out = {r.user_id: r for r in trend_ols(df).collect()}
+    assert out["a"].slope == 2.5
+    assert out["a"].r2 == 1.0
+    # intercept at epoch day 0 extrapolates the line back to 1970-01-01
+    x0 = (base - dt.date(1970, 1, 1)).days
+    assert abs(out["a"].intercept - (10.0 - 2.5 * x0)) < 1e-4
+    assert out["b"].slope is None and out["b"].r2 is None
+
+
+def test_gap_fill_ffill_fills_and_flags(spark):
+    import datetime as dt
+
+    from global_stock_data_warehouse_spark.operators.timeseries import gap_fill_ffill
+
+    d = dt.date(2024, 3, 1)
+    df = spark.createDataFrame(
+        [
+            ("a", d, 1.0),
+            ("a", d + dt.timedelta(days=3), 4.0),
+            ("b", d, 9.0),
+        ],
+        ["user_id", "d", "close"],
+    )
+    rows = sorted(
+        gap_fill_ffill(df).collect(), key=lambda r: (r.user_id, r.d)
+    )
+    a = [r for r in rows if r.user_id == "a"]
+    assert [r.d.day for r in a] == [1, 2, 3, 4]
+    assert [r.close for r in a] == [1.0, 1.0, 1.0, 4.0]
+    assert [r.is_filled for r in a] == [False, True, True, False]
+    b = [r for r in rows if r.user_id == "b"]
+    assert len(b) == 1 and b[0].is_filled is False
