@@ -35,6 +35,14 @@ def get_spark(app_name: str = "gsdw-spark", master: str | None = None) -> SparkS
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for pandas interchange (similarity / multimodal UDF paths).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime bloom-filter semi-join reduction: a selective dim-side
+        # predicate plants a bloom filter on the fact side's join key, so
+        # most fact rows drop at the SCAN instead of riding the shuffle —
+        # at 100 TB this is the difference between shuffling a table and
+        # shuffling a filter's survivors.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Push count/min/max straight into parquet footer statistics.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # Timestamps in the data are naive; keep session TZ stable so
         # date_trunc/window bucketing is deterministic across environments.
         .config("spark.sql.session.timeZone", "UTC")
