@@ -1909,6 +1909,18 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_ngram_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory heavy-hitters top-k bigrams: per-task vectorized
+    candidate counters (space-saving truncation) + broadcast exact
+    recount — only candidate grams ride the final shuffle. At this SF
+    capacity exceeds per-task distinct grams, so the result is identical
+    to exact ngram_topk and shares its oracle; the lossy regime's recall
+    is property-tested."""
+    from global_stock_data_warehouse_spark.operators.corpus import ngram_topk_sketch
+
+    return ngram_topk_sketch(_t(spark, sf_dir, "documents"), n=2, k=25, min_count=2)
+
+
 def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity OLS trend (slope/intercept/R² of daily close over epoch
     days) — grouped regression in one shuffle. The five OLS sums run over
@@ -2075,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": q_keyword_search,
         "trend_ols": q_trend_ols,
         "gap_fill": q_gap_fill,
+        "ngram_topk_sketch": q_ngram_topk_sketch,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3222,6 +3235,21 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "ngram_topk_sketch": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), grams AS (
+  SELECT array_to_string(list_slice(t, i + 1, i + 2), ' ') AS gram
+  FROM toks, UNNEST(range(0, greatest(len(t) - 1, 0))) AS u(i)
+), counts AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY gram
+)
+SELECT gram, n FROM counts WHERE n >= 2
+ORDER BY n DESC, gram ASC
+LIMIT 25
 """,
         "trend_ols": """
 WITH daily AS (

@@ -607,3 +607,62 @@ def keyword_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ngram_topk_sketch(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 25,
+    min_count: int = 2,
+    capacity: int = 65536,
+    text_col: str = "text",
+) -> DataFrame:
+    """Heavy-hitters top-k n-grams with BOUNDED per-task memory — the
+    scale path for ``ngram_topk`` when the n-gram vocabulary itself is
+    too large to shuffle (100 TB of text has billions of distinct
+    bigrams; the exact operator's single gram-keyed shuffle carries all
+    of them).
+
+    Two passes, candidates-then-verify (same discipline as the LSH /
+    minhash near-dup operators):
+
+    1. candidate generation — ``mapInPandas`` keeps a per-task counter
+       frame merged batch-by-batch with vectorized ``value_counts`` (no
+       per-row Python); whenever it exceeds ``4*capacity`` it truncates
+       to the top ``2*capacity`` (space-saving-style bias: only tail
+       grams can be dropped). Emits each task's top-``capacity``.
+    2. exact verify — the candidate set (≤ tasks × capacity rows)
+       broadcast-joins the regrammed corpus and is recounted EXACTLY, so
+       reported counts carry no sketch error; only candidate grams ride
+       the final shuffle.
+
+    A true top-k gram is lost only if it fails to reach any task's local
+    top-``capacity`` — recall is property-tested on skewed corpora. With
+    ``capacity`` >= per-task distinct grams the result is identical to
+    ``ngram_topk`` (the oracle exercises this regime).
+    """
+    import pandas as pd
+
+    grams = df.select(F.explode(word_ngrams(tokens(text_col), n)).alias("gram"))
+
+    def _candidates(batches):
+        counts = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["gram"].value_counts()
+            counts = counts.add(vc, fill_value=0)
+            if len(counts) > 4 * capacity:
+                counts = counts.nlargest(2 * capacity)
+        top = counts.nlargest(capacity)
+        yield pd.DataFrame({"gram": top.index.astype(str)})
+
+    cands = grams.mapInPandas(_candidates, schema="gram string").distinct()
+    exact = (
+        grams.join(broadcast(cands), "gram")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(k)
+    )

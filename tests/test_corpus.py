@@ -300,3 +300,30 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[2].avg_logprob == round(lp_oov, 4)
     # the common-token doc scores strictly higher than the OOV-only doc
     assert out[1].avg_logprob > out[2].avg_logprob
+
+
+def test_ngram_topk_sketch_matches_exact_with_headroom(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        ngram_topk,
+        ngram_topk_sketch,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {'alpha beta ' * (i % 4)}end") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    exact = [(r.gram, r.n) for r in ngram_topk(docs, n=2, k=10).collect()]
+    approx = [(r.gram, r.n) for r in ngram_topk_sketch(docs, n=2, k=10).collect()]
+    assert approx == exact
+
+
+def test_ngram_topk_sketch_recovers_heavy_hitters_when_lossy(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import ngram_topk_sketch
+
+    # one overwhelming bigram + a long unique tail; capacity far below the
+    # tail's distinct count forces real truncation
+    rows = [(i, "hot gram") for i in range(400)]
+    rows += [(1000 + i, f"u{i} v{i}") for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    out = ngram_topk_sketch(docs, n=2, k=1, min_count=2, capacity=16).collect()
+    assert [(r.gram, r.n) for r in out] == [("hot gram", 400)]
