@@ -1909,6 +1909,28 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over orders: one fact shuffle to the per-customer
+    aggregate, then three ntile windows over one-row-per-customer with
+    customer-id tiebreaks (ntile is order-sensitive; the tiebreak makes
+    assignment engine-exact). Fixed-point monetary sums."""
+    from global_stock_data_warehouse_spark.operators.behavior import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "orders"))
+
+
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7d distinct users per day: the sliding-distinct shape —
+    events fan out map-side to the window-end days they influence
+    (bounded x7, absorbed by countDistinct partials), one day-keyed
+    shuffle; span bounds ride a broadcast 1-row aggregate."""
+    from global_stock_data_warehouse_spark.operators.behavior import (
+        rolling_distinct_users,
+    )
+
+    return rolling_distinct_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
 def q_ngram_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-memory heavy-hitters top-k bigrams: per-task vectorized
     candidate counters (space-saving truncation) + broadcast exact
@@ -2088,6 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_ols": q_trend_ols,
         "gap_fill": q_gap_fill,
         "ngram_topk_sketch": q_ngram_topk_sketch,
+        "rfm_segments": q_rfm_segments,
+        "rolling_distinct_users": q_rolling_distinct_users,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3235,6 +3259,29 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "rfm_segments": """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(round(o_totalprice * 100, 0)) / 100.0 AS monetary
+  FROM orders GROUP BY 1
+)
+SELECT custkey, last_order, frequency, monetary,
+       CAST(ntile(5) OVER (ORDER BY last_order DESC, custkey) AS INTEGER) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS INTEGER) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS INTEGER) AS m_score
+FROM per_cust
+""",
+        "rolling_distinct_users": """
+WITH b AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+), fan AS (
+  SELECT user_id, CAST(ts AS DATE) + CAST(i AS INTEGER) AS day
+  FROM events, b, UNNEST(range(0, 7)) AS u(i)
+  WHERE CAST(ts AS DATE) + CAST(i AS INTEGER) <= b.d1
+)
+SELECT day, count(DISTINCT user_id) AS users_7d FROM fan GROUP BY day
 """,
         "ngram_topk_sketch": """
 WITH toks AS (

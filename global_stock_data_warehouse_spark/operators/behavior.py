@@ -189,3 +189,75 @@ def histogram_fixed(
         )
         .withColumn("bin_lo", F.col("bin_id") * F.lit(width))
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary each
+    scored into ``n_tiles`` quantile buckets via ``ntile``.
+
+    One fact shuffle for the per-customer aggregate; the three ntile
+    windows run over ONE ROW PER CUSTOMER (orders of magnitude smaller
+    than the fact table) — a global sort each, made deterministic by the
+    customer-id tiebreak in every ORDER BY (ntile assignment is
+    order-sensitive; an untiebroken sort would be engine-dependent).
+    Monetary uses the fixed-point integer-sum idiom for cross-engine
+    exactness.
+    """
+    per_cust = orders.groupBy(F.col(customer_col).alias("custkey")).agg(
+        F.max(date_col).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(F.round(F.col(amount_col) * 100, 0)) / 100.0).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.col("last_order").desc(), F.col("custkey"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("custkey"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("custkey"))
+    return per_cust.select(
+        "custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(r_w).alias("r_score"),
+        F.ntile(n_tiles).over(f_w).alias("f_score"),
+        F.ntile(n_tiles).over(m_w).alias("m_score"),
+    )
+
+
+def rolling_distinct_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing ``window_days``-day distinct-user count per calendar day
+    — the sliding-distinct shape windows can't express (COUNT DISTINCT
+    has no mergeable frame state).
+
+    Replicate-then-aggregate: each event fans out map-side to the
+    ``window_days`` window-end days it influences (a bounded x7
+    replication, absorbed by countDistinct's partial dedup before the
+    single day-keyed shuffle), clipped to the observed [min_d, max_d]
+    span via a broadcast 1-row bounds aggregate. At 100 TB the
+    alternative — a per-day self-join over the spine — shuffles the fact
+    table ``window_days`` times; this shuffles (day, user) partials
+    once.
+    """
+    d = F.to_date(ts_col)
+    bounds = events.agg(F.min(d).alias("d0"), F.max(d).alias("d1"))
+    fan = events.select(F.col(user_col), d.alias("d")).crossJoin(
+        F.broadcast(bounds)
+    )
+    exploded = fan.select(
+        user_col,
+        F.explode(
+            F.expr(f"sequence(d, least(date_add(d, {window_days - 1}), d1))")
+        ).alias("day"),
+    )
+    return exploded.groupBy("day").agg(
+        F.countDistinct(user_col).alias(f"users_{window_days}d")
+    )

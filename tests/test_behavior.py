@@ -137,3 +137,53 @@ def test_inverted_index_min_df_prunes(spark):
     )
     kept = {r.term for r in inverted_index(docs, min_df=2).collect()}
     assert kept == {"shared"}
+
+
+def test_rfm_segments_scores_and_tiebreaks(spark):
+    import datetime as dt
+
+    from global_stock_data_warehouse_spark.operators.behavior import rfm_segments
+
+    d = dt.date(2024, 1, 1)
+    rows = []
+    for c in range(1, 11):
+        # customer c: c orders of 100 each, last order day c
+        for i in range(c):
+            rows.append((c, d + dt.timedelta(days=c), 100.0))
+    orders = spark.createDataFrame(rows, ["o_custkey", "o_orderdate", "o_totalprice"])
+    out = {r.custkey: r for r in rfm_segments(orders, n_tiles=5).collect()}
+    # customer 10: most recent, most frequent, highest spend -> all 1s
+    assert (out[10].r_score, out[10].f_score, out[10].m_score) == (1, 1, 1)
+    # customer 1: oldest, least frequent, lowest spend -> all 5s
+    assert (out[1].r_score, out[1].f_score, out[1].m_score) == (5, 5, 5)
+    assert out[10].frequency == 10 and out[10].monetary == 1000.0
+    # ntile(5) over 10 rows: exactly 2 customers per tile
+    from collections import Counter
+
+    assert Counter(r.r_score for r in out.values()) == {t: 2 for t in range(1, 6)}
+
+
+def test_rolling_distinct_users_window_counts(spark):
+    import datetime as dt
+
+    from global_stock_data_warehouse_spark.operators.behavior import (
+        rolling_distinct_users,
+    )
+
+    t0 = dt.datetime(2024, 5, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0),
+            (2, t0),
+            (1, t0 + dt.timedelta(days=3)),
+            (3, t0 + dt.timedelta(days=9)),
+        ],
+        ["user_id", "ts"],
+    )
+    out = {r.day.isoformat(): r.users_7d for r in rolling_distinct_users(ev, 7).collect()}
+    assert out["2024-05-01"] == 2          # users 1,2
+    assert out["2024-05-04"] == 2          # day-1 events still in window + day-4 event
+    assert out["2024-05-08"] == 1          # only the day-4 event remains (day-1 aged out)
+    assert out["2024-05-10"] == 2          # user 3 joins while day-4 event of user 1 in window
+    # clipped at the observed max day: no day beyond 2024-05-10
+    assert max(out) == "2024-05-10"
