@@ -1909,6 +1909,36 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's most
+    recent view/click within 7 days. One user-keyed window shuffle;
+    touch id and ts ride the same ignore-nulls carry-forward frame, so
+    they always come from the same touch row."""
+    from global_stock_data_warehouse_spark.operators.behavior import (
+        attribution_last_touch,
+    )
+
+    return attribution_last_touch(_t(spark, sf_dir, "events"))
+
+
+def q_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine regularization with LINEAR interpolation of interior
+    gaps (pandas interpolate(method='time'), distributed): prev/next
+    anchors via ignore-nulls last/first windows on one key partitioning;
+    the tail forward-fills. Identical arithmetic expression on both
+    engines -> 6dp-stable."""
+    from global_stock_data_warehouse_spark.operators.timeseries import (
+        daily_close,
+        gap_fill_ffill,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = gap_fill_ffill(daily_close(ev), method="linear")
+    return out.select(
+        "user_id", "d", F.round("close", 6).alias("close"), "is_filled"
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation over orders: one fact shuffle to the per-customer
     aggregate, then three ntile windows over one-row-per-customer with
@@ -2110,6 +2140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_ols": q_trend_ols,
         "gap_fill": q_gap_fill,
         "ngram_topk_sketch": q_ngram_topk_sketch,
+        "attribution_last_touch": q_attribution_last_touch,
+        "gap_fill_linear": q_gap_fill_linear,
         "rfm_segments": q_rfm_segments,
         "rolling_distinct_users": q_rolling_distinct_users,
         # --- rows-only from here (approximate / hash-value-specific) ---
@@ -3259,6 +3291,61 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "attribution_last_touch": """
+WITH tagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type IN ('view', 'click') THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_id,
+         last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_ts
+  FROM events
+)
+SELECT event_id AS conversion_id, user_id, ts AS conversion_ts,
+       CASE WHEN t_ts IS NOT NULL AND date_diff('second', t_ts, ts) <= 7 * 86400
+            THEN t_id END AS touch_id,
+       CASE WHEN t_ts IS NOT NULL AND date_diff('second', t_ts, ts) <= 7 * 86400
+            THEN t_ts END AS touch_ts,
+       CASE WHEN t_ts IS NOT NULL AND date_diff('second', t_ts, ts) <= 7 * 86400
+            THEN date_diff('second', t_ts, ts) END AS gap_sec
+FROM tagged WHERE event_type = 'purchase'
+""",
+        "gap_fill_linear": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM spans
+), j AS (
+  SELECT s.user_id, s.d, dl.close, dl.user_id IS NULL AS is_filled
+  FROM spine s LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.d = dl.d
+), anch AS (
+  SELECT user_id, d, close, is_filled,
+         last_value(close IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN NOT is_filled THEN d END IGNORE NULLS) OVER wb AS pd,
+         first_value(close IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN NOT is_filled THEN d END IGNORE NULLS) OVER wf AS nd
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, d,
+       round(CASE WHEN NOT is_filled THEN close
+                  WHEN nd IS NOT NULL
+                  THEN pv + (nv - pv) * (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+                  ELSE pv END, 6) AS close,
+       is_filled
+FROM anch
 """,
         "rfm_segments": """
 WITH per_cust AS (

@@ -261,3 +261,49 @@ def rolling_distinct_users(
     return exploded.groupBy("day").agg(
         F.countDistinct(user_col).alias(f"users_{window_days}d")
     )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion_type: str = "purchase",
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion is credited to
+    the user's most recent touch event within ``lookback_days``.
+
+    One window shuffle on ``user_col``: the carry-forward of the last
+    touch is ``last(CASE..., ignorenulls)`` over the ordered stream —
+    touch id and touch ts ride the SAME frame/condition so they always
+    come from the same row. Conversions outside the lookback keep NULL
+    attribution (never silently credit a stale touch).
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touch_id = F.last(F.when(is_touch, F.col(id_col)), ignorenulls=True).over(w)
+    touch_ts = F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True).over(w)
+    gap = F.col(ts_col).cast("long") - F.col("_touch_ts").cast("long")
+    in_window = F.col("_touch_ts").isNotNull() & (
+        gap <= lookback_days * 86400
+    )
+    return (
+        events.withColumn("_touch_id", touch_id)
+        .withColumn("_touch_ts", touch_ts)
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            F.col(id_col).alias("conversion_id"),
+            F.col(user_col),
+            F.col(ts_col).alias("conversion_ts"),
+            F.when(in_window, F.col("_touch_id")).alias("touch_id"),
+            F.when(in_window, F.col("_touch_ts")).alias("touch_ts"),
+            F.when(in_window, gap).alias("gap_sec"),
+        )
+    )

@@ -343,6 +343,7 @@ def gap_fill_ffill(
     key_col: str = "user_id",
     time_col: str = "d",
     value_cols: Sequence[str] = ("close",),
+    method: str = "ffill",
 ) -> DataFrame:
     """Regularize each key's daily series onto a complete date spine and
     forward-fill missing days (pandas ``asfreq('D')`` + ``ffill``, the
@@ -353,6 +354,12 @@ def gap_fill_ffill(
     spine construction shuffles one row per key, not one per day. The
     left join back and the ignore-nulls ``last`` window both reuse the
     key hash partitioning. ``is_filled`` marks synthesized rows.
+
+    ``method="linear"`` interpolates interior gaps instead (pandas
+    ``interpolate(method="time")``): prev/next anchors come from
+    ignore-nulls last/first windows over the SAME partitioning, and the
+    tail (no next anchor) forward-fills. The spine spans each key's
+    observed [min_d, max_d], so every gap has a prev anchor.
     """
     spine = (
         daily.groupBy(key_col)
@@ -371,6 +378,34 @@ def gap_fill_ffill(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = joined
-    for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    if method == "ffill":
+        for c in value_cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    elif method == "linear":
+        fwd = (
+            Window.partitionBy(key_col)
+            .orderBy(time_col)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        for c in value_cols:
+            prev_v = F.last(c, ignorenulls=True).over(w)
+            prev_d = F.last(
+                F.when(F.col("_present").isNotNull(), F.col(time_col)),
+                ignorenulls=True,
+            ).over(w)
+            next_v = F.first(c, ignorenulls=True).over(fwd)
+            next_d = F.first(
+                F.when(F.col("_present").isNotNull(), F.col(time_col)),
+                ignorenulls=True,
+            ).over(fwd)
+            frac = F.datediff(F.col(time_col), prev_d) / F.datediff(next_d, prev_d)
+            interp = prev_v + (next_v - prev_v) * frac
+            out = out.withColumn(
+                c,
+                F.when(F.col("_present").isNotNull(), F.col(c))
+                .when(next_d.isNotNull(), interp)
+                .otherwise(prev_v),
+            )
+    else:
+        raise ValueError(f"unknown gap-fill method: {method!r}")
     return out.withColumn("is_filled", F.col("_present").isNull()).drop("_present")

@@ -187,3 +187,41 @@ def test_rolling_distinct_users_window_counts(spark):
     assert out["2024-05-10"] == 2          # user 3 joins while day-4 event of user 1 in window
     # clipped at the observed max day: no day beyond 2024-05-10
     assert max(out) == "2024-05-10"
+
+
+def test_attribution_last_touch_credits_and_lookback(spark):
+    from global_stock_data_warehouse_spark.operators.behavior import (
+        attribution_last_touch,
+    )
+
+    t0 = dt.datetime(2024, 6, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, t0, "view"),
+            (2, 1, t0 + dt.timedelta(hours=1), "click"),
+            (3, 1, t0 + dt.timedelta(hours=2), "purchase"),     # -> click (2)
+            (4, 1, t0 + dt.timedelta(days=20), "purchase"),     # stale -> NULL
+            (5, 2, t0, "purchase"),                              # no touch -> NULL
+        ],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    out = {r.conversion_id: r for r in attribution_last_touch(ev).collect()}
+    assert out[3].touch_id == 2 and out[3].gap_sec == 3600
+    assert out[4].touch_id is None and out[4].gap_sec is None
+    assert out[5].touch_id is None
+    assert set(out) == {3, 4, 5}
+
+
+def test_gap_fill_linear_interpolates_interior_ffills_tail(spark):
+    from global_stock_data_warehouse_spark.operators.timeseries import gap_fill_ffill
+
+    d = dt.date(2024, 3, 1)
+    df = spark.createDataFrame(
+        [("a", d, 1.0), ("a", d + dt.timedelta(days=4), 9.0)],
+        ["user_id", "d", "close"],
+    )
+    rows = sorted(
+        gap_fill_ffill(df, method="linear").collect(), key=lambda r: r.d
+    )
+    assert [r.close for r in rows] == [1.0, 3.0, 5.0, 7.0, 9.0]
+    assert [r.is_filled for r in rows] == [False, True, True, True, False]
