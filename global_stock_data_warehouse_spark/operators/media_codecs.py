@@ -182,3 +182,83 @@ def default_decode(payload: bytes, media_type: str) -> np.ndarray:
         f"undecodable media payload (media_type={media_type!r}, "
         f"magic={payload[:4]!r}); supported: PPM P6, BMP 24/32-bit, WAV PCM16"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real feature kernels (pure numpy — no external DSP/vision libs)
+# ---------------------------------------------------------------------------
+
+
+def audio_features(samples: np.ndarray, sample_rate: int = 16000) -> np.ndarray:
+    """8-dim audio descriptor from mono PCM float samples:
+    [rms, zero-crossing rate (Hz), spectral centroid (Hz), spectral
+    rolloff-85 (Hz), spectral bandwidth (Hz), spectral flatness,
+    peak amplitude, duration (s)].
+
+    One rFFT over the clip — O(n log n), numpy-vectorized; no per-sample
+    Python. Centroid/rolloff/bandwidth are magnitude-weighted moments of
+    the spectrum, flatness is geometric/arithmetic mean ratio.
+    """
+    x = np.asarray(samples, dtype=np.float64).ravel()
+    n = x.size
+    if n == 0:
+        return np.zeros(8, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(x * x)))
+    zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    zcr_hz = zc / 2.0 / (n / sample_rate)
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+    total = mag.sum()
+    if total > 0:
+        centroid = float((freqs * mag).sum() / total)
+        cum = np.cumsum(mag)
+        rolloff = float(freqs[np.searchsorted(cum, 0.85 * total)])
+        bandwidth = float(
+            np.sqrt(((freqs - centroid) ** 2 * mag).sum() / total)
+        )
+        pos = mag[mag > 0]
+        flatness = float(np.exp(np.mean(np.log(pos))) / (mag.mean() or 1.0))
+    else:
+        centroid = rolloff = bandwidth = flatness = 0.0
+    return np.array(
+        [rms, zcr_hz, centroid, rolloff, bandwidth, flatness,
+         float(np.abs(x).max()), n / sample_rate],
+        dtype=np.float32,
+    )
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """8-dim image descriptor from an (H, W, C) or (H, W) uint8/float
+    array: [mean R, mean G, mean B, global std, horizontal gradient
+    energy, vertical gradient energy, aspect ratio, n_pixels].
+
+    Finite-difference gradients (numpy slicing) — the edge-energy proxy a
+    blur/quality filter thresholds on; grayscale inputs broadcast their
+    channel mean across RGB slots.
+    """
+    a = np.asarray(img, dtype=np.float64)
+    if a.size == 0:
+        return np.zeros(8, dtype=np.float32)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w = a.shape[:2]
+    chan = a.mean(axis=(0, 1))
+    rgb = np.resize(chan, 3)
+    gray = a.mean(axis=2)
+    gx = np.abs(np.diff(gray, axis=1)).mean() if w > 1 else 0.0
+    gy = np.abs(np.diff(gray, axis=0)).mean() if h > 1 else 0.0
+    return np.array(
+        [rgb[0], rgb[1], rgb[2], a.std(), gx, gy, w / h, float(h * w)],
+        dtype=np.float32,
+    )
+
+
+def typed_features(payload: bytes, media_type: str) -> np.ndarray:
+    """Dispatch decode + REAL feature extraction: WAV -> ``audio_features``
+    over decoded PCM, PPM/BMP -> ``image_features`` over decoded pixels.
+    Bytes win over the advisory ``media_type`` (same contract as
+    ``default_decode``); undecodable formats raise loudly."""
+    decoded = default_decode(payload, media_type)
+    if payload[:4] == b"RIFF":
+        return audio_features(decoded)
+    return image_features(decoded)

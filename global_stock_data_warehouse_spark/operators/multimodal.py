@@ -130,3 +130,49 @@ def frame_sample_plan(
             ),
         )
     )
+
+
+def extract_features_typed(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    type_col: str = "media_type",
+    target_rows_per_batch: int = 64,
+) -> DataFrame:
+    """Decode + REAL per-modality features in Arrow batches: WAV clips get
+    the 8-dim audio descriptor (RMS / zero-crossing rate / spectral
+    centroid / rolloff / bandwidth / flatness / peak / duration — one
+    numpy rFFT per clip), images the 8-dim channel/gradient descriptor.
+    Same batch shape and loud-failure contract as ``extract_features``;
+    the per-row loop only spans the opaque variable-length decode, all
+    arithmetic is vectorized numpy."""
+    from global_stock_data_warehouse_spark.operators.media_codecs import (
+        typed_features,
+    )
+
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats, nbytes = [], []
+            for payload, mtype in zip(pdf[payload_col], pdf[type_col]):
+                raw = bytes(payload) if payload is not None else b""
+                nbytes.append(len(raw))
+                feats.append(typed_features(raw, mtype))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    type_col: pdf[type_col].to_numpy(),
+                    "n_bytes": np.asarray(nbytes, dtype=np.int64),
+                    "feature": feats,
+                }
+            )
+
+    return df.select(id_col, type_col, payload_col).mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )

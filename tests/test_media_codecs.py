@@ -125,3 +125,95 @@ def test_default_decode_dispatches_bmp():
 
     img = np.full((2, 2, 3), 7, dtype=np.uint8)
     assert np.array_equal(default_decode(encode_bmp(img), "image"), img)
+
+
+# ---------------------------------------------------------------------------
+# Real feature kernels
+# ---------------------------------------------------------------------------
+
+
+def test_audio_features_sine_wave_physics():
+    import numpy as np
+
+    from global_stock_data_warehouse_spark.operators.media_codecs import (
+        audio_features,
+    )
+
+    sr = 16000
+    t = np.arange(sr) / sr  # exactly 1 second
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    f = audio_features(x, sample_rate=sr)
+    rms, zcr_hz, centroid, rolloff, bandwidth, flatness, peak, dur = f
+    assert abs(rms - 0.5 / np.sqrt(2)) < 1e-3        # sine RMS = A/sqrt(2)
+    assert abs(zcr_hz - 440) < 2                      # 2 crossings per cycle
+    assert abs(centroid - 440) < 25                   # energy at the tone
+    assert abs(rolloff - 440) < 25
+    assert flatness < 0.2                             # tonal, not noise
+    assert abs(peak - 0.5) < 1e-3
+    assert abs(dur - 1.0) < 1e-6
+
+
+def test_image_features_channels_and_gradients():
+    import numpy as np
+
+    from global_stock_data_warehouse_spark.operators.media_codecs import (
+        image_features,
+    )
+
+    # constant red image: zero gradients, exact channel means
+    img = np.zeros((10, 20, 3), dtype=np.uint8)
+    img[:, :, 0] = 200
+    f = image_features(img)
+    assert list(f[:3]) == [200.0, 0.0, 0.0]
+    assert f[4] == 0.0 and f[5] == 0.0                # no edges
+    assert abs(f[6] - 2.0) < 1e-6                     # aspect 20/10
+    assert f[7] == 200.0                              # 10*20 pixels
+    # vertical step edge -> horizontal gradient energy only
+    img2 = np.zeros((8, 8), dtype=np.uint8)
+    img2[:, 4:] = 255
+    f2 = image_features(img2)
+    assert f2[4] > 0 and f2[5] == 0.0
+
+
+def test_typed_features_dispatch_roundtrip():
+    import numpy as np
+
+    from global_stock_data_warehouse_spark.operators.media_codecs import (
+        encode_bmp,
+        encode_wav_pcm16,
+        typed_features,
+    )
+
+    wav = encode_wav_pcm16(0.25 * np.sin(np.arange(4000) * 0.2), sample_rate=8000)
+    fa = typed_features(wav, "audio")
+    assert fa.shape == (8,) and fa[0] > 0.1           # rms of the tone
+    img = np.full((4, 6, 3), 128, dtype=np.uint8)
+    fi = typed_features(encode_bmp(img), "image")
+    assert fi.shape == (8,) and abs(fi[0] - 128.0) < 1e-5
+
+
+def test_extract_features_typed_end_to_end(spark):
+    """Typed kernel through the full Spark path: audio rows get DSP
+    features, image rows get channel/gradient features, per modality."""
+    from global_stock_data_warehouse_spark.operators.multimodal import (
+        extract_features_typed,
+    )
+
+    sr = 16000
+    t = np.arange(sr // 4) / sr
+    wav = encode_wav_pcm16(0.5 * np.sin(2 * np.pi * 440 * t), sample_rate=sr)
+    img = np.full((4, 8, 3), 64, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav), "{}"),
+            (2, "image", bytearray(encode_ppm(img)), "{}"),
+        ],
+        "media_id long, media_type string, payload binary, meta string",
+    )
+    out = {r.media_id: r for r in extract_features_typed(df).collect()}
+    rms, zcr_hz = out[1].feature[0], out[1].feature[1]
+    assert abs(rms - 0.5 / np.sqrt(2)) < 1e-2
+    assert abs(zcr_hz - 440) < 10
+    assert abs(out[1].feature[7] - 0.25) < 1e-6       # duration
+    assert list(out[2].feature[:3]) == [64.0, 64.0, 64.0]
+    assert abs(out[2].feature[6] - 2.0) < 1e-6        # aspect 8/4
