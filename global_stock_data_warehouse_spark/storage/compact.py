@@ -115,20 +115,44 @@ def zorder_key(df, cols: list[str], bits: int = 8):
     Returns (key_column, bounds) where bounds is {col: (min, max)}.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
+    # Temporal columns are normalized to numbers EXPLICITLY: in non-ANSI
+    # mode `cast(date as double)` yields NULL, which would silently send
+    # every row to bucket 0 (no clustering, no error). Strings have no
+    # meaningful range normalization — refuse them.
+    dtypes = dict(df.dtypes)
+    num_exprs: dict[str, "F.Column"] = {}
+    for c in cols:
+        t = df.schema[c].dataType
+        if isinstance(t, T.DateType):
+            num_exprs[c] = F.datediff(F.col(c), F.lit("1970-01-01").cast("date")).cast(
+                "double"
+            )
+        elif isinstance(t, T.TimestampType | T.TimestampNTZType):
+            num_exprs[c] = F.col(c).cast("long").cast("double")
+        elif isinstance(t, T.NumericType):
+            num_exprs[c] = F.col(c).cast("double")
+        else:
+            raise ValueError(
+                f"zorder_key: column {c!r} has non-orderable-numeric type "
+                f"{dtypes.get(c)}; cluster on numeric/date/timestamp columns"
+            )
     stats = df.agg(
-        *[F.min(c).alias(f"min_{c}") for c in cols],
-        *[F.max(c).alias(f"max_{c}") for c in cols],
+        *[F.min(num_exprs[c]).alias(f"min_{c}") for c in cols],
+        *[F.max(num_exprs[c]).alias(f"max_{c}") for c in cols],
     ).first()
     bounds = {c: (stats[f"min_{c}"], stats[f"max_{c}"]) for c in cols}
     n_buckets = (1 << bits) - 1
     key = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         lo, hi = bounds[c]
+        if lo is None or hi is None:
+            raise ValueError(f"zorder_key: column {c!r} is all-NULL; cannot cluster")
         span = (hi - lo) or 1
         bucket = F.least(
             F.lit(n_buckets),
-            F.floor((F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(span)) * n_buckets).cast("long"),
+            F.floor((num_exprs[c] - F.lit(float(lo))) / F.lit(float(span)) * n_buckets).cast("long"),
         )
         bucket = F.greatest(F.lit(0).cast("long"), bucket)
         for b in range(bits):

@@ -264,21 +264,33 @@ def test_zorder_compact_narrows_both_dimensions(spark, tmp_path):
 
     import glob
 
-    spans_x, spans_y = [], []
-    for f in glob.glob(path + "/part-*.parquet"):
-        row = (
-            spark.read.parquet(f)
-            .selectExpr("min(x) as x0", "max(x) as x1", "min(y) as y0", "max(y) as y1")
-            .first()
-        )
-        spans_x.append(row.x1 - row.x0)
-        spans_y.append(row.y1 - row.y0)
-    avg_x = sum(spans_x) / len(spans_x)
-    avg_y = sum(spans_y) / len(spans_y)
-    # Z-order: EVERY dimension's per-file span is well under the global
-    # 0..199 range (lexicographic clustering would leave y at ~full span)
-    assert avg_x < 120, avg_x
-    assert avg_y < 120, avg_y
+    def spans(p):
+        sx, sy = [], []
+        for f in glob.glob(p + "/part-*.parquet"):
+            row = (
+                spark.read.parquet(f)
+                .selectExpr(
+                    "min(x) as x0", "max(x) as x1", "min(y) as y0", "max(y) as y1"
+                )
+                .first()
+            )
+            sx.append(row.x1 - row.x0)
+            sy.append(row.y1 - row.y0)
+        return sum(sx) / len(sx), sum(sy) / len(sy)
+
+    zx, zy = spans(path)
+
+    # baseline: 1-D lexicographic clustering on x leaves y at ~full span
+    lex = str(tmp_path / "lex")
+    df.repartition(8).write.mode("overwrite").parquet(lex)
+    compact_parquet(spark, lex, target_file_bytes=45_000, cluster_by=["x"])
+    _, lex_y = spans(lex)
+
+    # Z-order narrows BOTH dims below the 0..199 global span, and narrows
+    # the non-leading dim far below what lexicographic clustering gives
+    assert zx < 170, zx
+    assert zy < 170, zy
+    assert zy < 0.9 * lex_y, (zy, lex_y)
 
 
 def test_zorder_key_interleaves_and_bounds(spark):
@@ -298,3 +310,28 @@ def test_zorder_key_interleaves_and_bounds(spark):
     assert ks[2] == 0xFFFF
     x_only = sum(1 << (2 * b) for b in range(8))
     assert ks[1] == x_only
+
+
+def test_zorder_key_temporal_and_string_columns(spark):
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from global_stock_data_warehouse_spark.storage.compact import zorder_key
+
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 1.0, "x"), (dt.date(2024, 12, 31), 2.0, "y")],
+        ["d", "v", "s"],
+    )
+    # date columns normalize explicitly (a bare cast would NULL out and
+    # silently send every row to bucket 0)
+    key, bounds = zorder_key(df, ["d", "v"], bits=4)
+    ks = [r.k for r in df.withColumn("k", key).orderBy("d").collect()]
+    assert ks[0] == 0 and ks[1] > 0
+    # strings refuse loudly
+    with pytest.raises(ValueError, match="non-orderable-numeric"):
+        zorder_key(df, ["s"])
+    # all-NULL column refuses loudly
+    with pytest.raises(ValueError, match="all-NULL"):
+        zorder_key(df.withColumn("n", F.lit(None).cast("double")), ["n"])
