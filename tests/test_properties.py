@@ -178,3 +178,74 @@ def test_sql_view_surface(spark):
         """
     ).first()
     assert row.n > 0
+
+
+# ---------------------------------------------------------------------------
+# Behavioral-analytics invariants
+# ---------------------------------------------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),     # user_id
+        st.integers(min_value=0, max_value=40),    # day offset
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _mk_events(rows):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + dt.timedelta(days=d, minutes=i), t)
+        for i, (u, d, t) in enumerate(rows)
+    ]
+    return _get_spark().createDataFrame(
+        data, ["event_id", "user_id", "ts", "event_type"]
+    )
+
+
+@given(events_strategy)
+@SLOW
+def test_transition_rows_normalize_to_one(rows):
+    from global_stock_data_warehouse_spark.operators.behavior import event_transitions
+
+    out = event_transitions(_mk_events(rows)).collect()
+    by_from = {}
+    for r in out:
+        by_from.setdefault(r.from_type, []).append(r)
+    for from_type, grp in by_from.items():
+        assert abs(sum(r.p for r in grp) - 1.0) < 1e-4, from_type
+        # n-weighted: p == n / total(from_type) at 6dp
+        total = sum(r.n for r in grp)
+        for r in grp:
+            assert abs(r.p - r.n / total) < 1e-6
+
+
+@given(events_strategy)
+@SLOW
+def test_cohort_offset_zero_covers_every_user(rows):
+    from global_stock_data_warehouse_spark.operators.behavior import cohort_retention
+
+    ev = _mk_events(rows)
+    out = cohort_retention(ev, period_days=7).collect()
+    n_users = ev.select("user_id").distinct().count()
+    # every user is active at their own offset 0, cohorts partition users
+    assert sum(r.n_users for r in out if r.period_offset == 0) == n_users
+    # retention never exceeds the cohort's own size
+    cohort0 = {r.cohort_start: r.n_users for r in out if r.period_offset == 0}
+    for r in out:
+        assert r.n_users <= cohort0[r.cohort_start], r
+
+
+@given(events_strategy)
+@SLOW
+def test_hopping_window_conserves_events(rows):
+    from global_stock_data_warehouse_spark.operators.behavior import hopping_window_agg
+
+    ev = _mk_events(rows).withColumn("value", F.lit(1.0))
+    out = hopping_window_agg(ev, size="14 days", slide="7 days").collect()
+    # size/slide = 2: every event lands in exactly two windows
+    assert sum(r.n_events for r in out) == 2 * len(rows)
+    assert all(r.n_events >= 1 for r in out)
