@@ -1909,6 +1909,37 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names: brand-blocked candidate pairs
+    matched by Levenshtein <= 2 inside the join condition. One block-key
+    shuffle; the quadratic is bounded by the largest brand block."""
+    from global_stock_data_warehouse_spark.operators.dedup import record_linkage
+
+    return record_linkage(
+        _t(spark, sf_dir, "part"),
+        name_col="p_name",
+        block_cols=["p_brand"],
+        max_distance=2,
+        id_col="p_partkey",
+    )
+
+
+def q_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank windows (percent_rank + cume_dist) of order
+    value within each priority class — orderkey tiebreak makes both
+    order-sensitive functions engine-exact. One window shuffle over the
+    orders table."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase credited to the user's most
     recent view/click within 7 days. One user-keyed window shuffle;
@@ -2140,6 +2171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_ols": q_trend_ols,
         "gap_fill": q_gap_fill,
         "ngram_topk_sketch": q_ngram_topk_sketch,
+        "record_linkage": q_record_linkage,
+        "price_distribution": q_price_distribution,
         "attribution_last_touch": q_attribution_last_touch,
         "gap_fill_linear": q_gap_fill_linear,
         "rfm_segments": q_rfm_segments,
@@ -3291,6 +3324,22 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "record_linkage": """
+WITH l AS (SELECT p_brand, p_partkey AS id_a, p_name AS name_a FROM part),
+     r AS (SELECT p_brand, p_partkey AS id_b, p_name AS name_b FROM part)
+SELECT id_a, id_b, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS distance
+FROM l JOIN r ON l.p_brand = r.p_brand
+             AND id_a < id_b
+             AND levenshtein(name_a, name_b) <= 2
+""",
+        "price_distribution": """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """,
         "attribution_last_touch": """
 WITH tagged AS (

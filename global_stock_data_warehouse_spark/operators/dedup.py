@@ -736,3 +736,42 @@ def sample_per_group(
         .filter(F.col("rn") <= k)
         .select(group_col, id_col, "rn")
     )
+
+
+def record_linkage(
+    df: DataFrame,
+    name_col: str,
+    block_cols: list[str],
+    max_distance: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Entity resolution over STRUCTURED records: candidate pairs from
+    equality blocking, matched by Levenshtein edit distance — the
+    record-linkage sibling of the text near-dup operators (those handle
+    documents; this handles name/attribute fields like the reference's
+    symbol/company tables).
+
+    Scale shape: ONE shuffle on the block key; the quadratic is bounded
+    by the largest block (pick ``block_cols`` accordingly — e.g. brand,
+    nation, first-token; the standard blocking-key discipline). The edit
+    distance runs INSIDE the join condition (JVM codegen — Spark and
+    SQL engines agree on Levenshtein exactly), so rejected pairs are
+    dropped before the output materializes. ``id_a < id_b``
+    canonicalizes pairs.
+    """
+    left = df.select(
+        *[F.col(c).alias(f"b_{c}") for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+    )
+    right = df.select(
+        *[F.col(c).alias(f"b_{c}") for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    cond = [left[f"b_{c}"] == right[f"b_{c}"] for c in block_cols]
+    cond += [F.col("id_a") < F.col("id_b"), dist <= max_distance]
+    return left.join(right, cond).select(
+        "id_a", "id_b", "name_a", "name_b", dist.alias("distance")
+    )

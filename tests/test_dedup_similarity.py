@@ -440,3 +440,19 @@ def test_semantic_dedup_single_cell_matches_exact_neardup(spark):
     lower_of_pairs = {min(p.id_a, p.id_b) for p in pairs}
     heads = lower_of_pairs - higher_of_pairs
     assert dropped.isdisjoint(heads)
+
+
+def test_record_linkage_blocks_and_matches(spark):
+    from global_stock_data_warehouse_spark.operators.dedup import record_linkage
+
+    df = spark.createDataFrame(
+        [
+            (1, "blue bolt", "B1"),
+            (2, "blue belt", "B1"),   # distance 1, same block -> match
+            (3, "blue bolt", "B2"),   # identical name, DIFFERENT block -> no pair
+            (4, "red widget", "B1"),  # too far from everything
+        ],
+        ["doc_id", "name", "brand"],
+    )
+    out = record_linkage(df, name_col="name", block_cols=["brand"], max_distance=2).collect()
+    assert [(r.id_a, r.id_b, r.distance) for r in out] == [(1, 2, 1)]
