@@ -1909,6 +1909,34 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate by market segment, implemented ENTIRELY in
+    the SQL API (spark.sql over registered views) — the engine's ANSI
+    surface is first-class, same Catalyst plan as the DataFrame path.
+    Date-windowed LEFT JOIN keeps zero-order customers in the base;
+    single-division rate at 6dp is engine-exact."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH per_cust AS (
+          SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
+          FROM v_customer LEFT JOIN v_orders
+            ON c_custkey = o_custkey
+           AND o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate < DATE '1997-01-01'
+          GROUP BY 1, 2
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS repeat_customers,
+               round(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS repeat_rate
+        FROM per_cust GROUP BY c_mktsegment
+        """
+    )
+
+
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution over part names: brand-blocked candidate pairs
     matched by Levenshtein <= 2 inside the join condition. One block-key
@@ -2171,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_ols": q_trend_ols,
         "gap_fill": q_gap_fill,
         "ngram_topk_sketch": q_ngram_topk_sketch,
+        "repeat_purchase_rate": q_repeat_purchase_rate,
         "record_linkage": q_record_linkage,
         "price_distribution": q_price_distribution,
         "attribution_last_touch": q_attribution_last_touch,
@@ -3324,6 +3353,23 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "repeat_purchase_rate": """
+WITH per_cust AS (
+  SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey
+   AND o_orderdate >= DATE '1996-01-01'
+   AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS repeat_customers,
+       round(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS repeat_rate
+FROM per_cust GROUP BY c_mktsegment
 """,
         "record_linkage": """
 WITH l AS (SELECT p_brand, p_partkey AS id_a, p_name AS name_a FROM part),
