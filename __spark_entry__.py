@@ -1909,6 +1909,35 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round-trip: apply_changes(old, snapshot_diff(old, new)) must
+    reconstruct `new` EXACTLY — the oracle is the direct expression for
+    the new snapshot, so any drift in diff classification or apply
+    semantics (missed delete, stale update, dropped untouched row) is a
+    hash mismatch. One PK shuffle; work scales with |changes|."""
+    from global_stock_data_warehouse_spark.operators.cdc import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    # orders' o_orderkey is a true PK (the synthetic lineitem's
+    # (orderkey, linenumber) is NOT unique — CDC apply requires keyed rows)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderdate") < F.lit("1997-01-01")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderdate") >= F.lit("1996-01-01")).select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice") + 100)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    diff = snapshot_diff(old, new, ("o_orderkey",))
+    return apply_changes(old, diff, ("o_orderkey",))
+
+
 def q_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeat-purchase rate by market segment, implemented ENTIRELY in
     the SQL API (spark.sql over registered views) — the engine's ANSI
@@ -2199,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_ols": q_trend_ols,
         "gap_fill": q_gap_fill,
         "ngram_topk_sketch": q_ngram_topk_sketch,
+        "cdc_apply": q_cdc_apply,
         "repeat_purchase_rate": q_repeat_purchase_rate,
         "record_linkage": q_record_linkage,
         "price_distribution": q_price_distribution,
@@ -3353,6 +3383,12 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "cdc_apply": """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 100
+            ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderdate >= DATE '1996-01-01'
 """,
         "repeat_purchase_rate": """
 WITH per_cust AS (

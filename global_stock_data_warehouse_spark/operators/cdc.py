@@ -59,3 +59,28 @@ def snapshot_diff(
             *[f"new_{c}" for c in cols],
         )
     )
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Apply a ``snapshot_diff``-shaped changeset (``change_type`` +
+    ``new_<c>`` columns) to a keyed snapshot — the downstream half of
+    CDC: ``apply_changes(old, snapshot_diff(old, new)) == new`` exactly
+    (round-trip property-tested).
+
+    One shuffle on the PK (left-anti drop of deleted/updated keys union
+    the upserted rows; both sides hash-partition on the same key).
+    Deletes drop, updates replace, inserts append — unchanged rows pass
+    through untouched, so the work scales with |changes|, not |table|.
+    """
+    keys = list(key_cols)
+    value_cols = [c for c in snapshot.columns if c not in keys]
+    upserts = changes.filter(F.col("change_type").isin("insert", "update")).select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in value_cols]
+    )
+    touched = changes.select(*keys)
+    kept = snapshot.join(touched, keys, "left_anti")
+    return kept.unionByName(upserts)

@@ -30,3 +30,26 @@ def test_profile_table_counts(spark):
     assert (got["id"].n_nulls, got["id"].n_distinct) == (0, 2)
     assert (got["id"].min_value, got["id"].max_value) == ("1", "2")
     assert (got["s"].n_nulls, got["s"].n_distinct) == (1, 2)
+
+
+def test_apply_changes_roundtrip(spark):
+    """apply_changes(old, snapshot_diff(old, new)) == new — the CDC
+    round-trip identity, including insert, update, delete, and untouched
+    rows."""
+    from global_stock_data_warehouse_spark.operators.cdc import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)], ["k", "s", "v"]
+    )
+    diff = snapshot_diff(old, new, ["k"])
+    rebuilt = apply_changes(old, diff, ["k"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+    # empty changeset: identity
+    same = apply_changes(old, snapshot_diff(old, old, ["k"]), ["k"])
+    assert sorted(map(tuple, same.collect())) == sorted(map(tuple, old.collect()))
