@@ -1909,6 +1909,24 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from the event stream: per-user
+    event_type episodes with valid_from/valid_to intervals and a current
+    flag. One user-keyed shuffle serves both windows (duplicate-collapse
+    lag + episode-closing lead). Timestamps copied, never computed ->
+    bit-exact."""
+    from global_stock_data_warehouse_spark.operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(
+        ev,
+        key_cols=("user_id",),
+        value_col="event_type",
+        ts_col="ts",
+        tiebreak_cols=("event_id",),
+    )
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC round-trip: apply_changes(old, snapshot_diff(old, new)) must
     reconstruct `new` EXACTLY — the oracle is the direct expression for
@@ -2228,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_ols": q_trend_ols,
         "gap_fill": q_gap_fill,
         "ngram_topk_sketch": q_ngram_topk_sketch,
+        "scd2_history": q_scd2_history,
         "cdc_apply": q_cdc_apply,
         "repeat_purchase_rate": q_repeat_purchase_rate,
         "record_linkage": q_record_linkage,
@@ -3383,6 +3402,23 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "scd2_history": """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         (lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          OR event_type IS DISTINCT FROM
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS is_start
+  FROM events
+), ep AS (
+  SELECT user_id, ts, event_id, event_type FROM s WHERE is_start
+)
+SELECT user_id, event_type AS value, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM ep
 """,
         "cdc_apply": """
 SELECT o_orderkey,

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -84,3 +84,44 @@ def apply_changes(
     touched = changes.select(*keys)
     kept = snapshot.join(touched, keys, "left_anti")
     return kept.unionByName(upserts)
+
+
+def scd2_history(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    ts_col: str = "ts",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a keyed change
+    stream: collapse consecutive duplicate values, then emit one row per
+    value EPISODE with ``valid_from`` / ``valid_to`` (null = current) and
+    ``is_current`` — the dimension-history sibling of ``snapshot_diff``
+    (that compares two snapshots; this builds the full timeline).
+
+    ONE hash shuffle on ``key_cols``: the duplicate-collapse lag window,
+    the episode-closing lead window, and the ordering all reuse the same
+    partitioning. Null-safe value compare, so NULL is a legitimate
+    tracked value (NULL -> 'x' -> NULL yields three episodes).
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak_cols)
+    prev_ts = F.lag(ts_col).over(w)
+    prev_v = F.lag(value_col).over(w)
+    is_start = prev_ts.isNull() | ~F.col(value_col).eqNullSafe(prev_v)
+    episodes = (
+        events.select(*keys, ts_col, *tiebreak_cols, value_col)
+        .withColumn("_is_start", is_start)
+        .filter(F.col("_is_start"))
+    )
+    w2 = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak_cols)
+    return (
+        episodes.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .select(
+            *keys,
+            F.col(value_col).alias("value"),
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -53,3 +53,36 @@ def test_apply_changes_roundtrip(spark):
     # empty changeset: identity
     same = apply_changes(old, snapshot_diff(old, old, ["k"]), ["k"])
     assert sorted(map(tuple, same.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_scd2_history_episodes_and_null_values(spark):
+    import datetime as dt
+
+    from global_stock_data_warehouse_spark.operators.cdc import scd2_history
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, t0, "bronze"),
+            (2, 1, t0 + dt.timedelta(days=1), "bronze"),   # duplicate -> collapsed
+            (3, 1, t0 + dt.timedelta(days=2), "silver"),
+            (4, 1, t0 + dt.timedelta(days=3), None),       # NULL is a tracked value
+            (5, 1, t0 + dt.timedelta(days=4), "silver"),
+            (6, 2, t0, "gold"),
+        ],
+        ["event_id", "user_id", "ts", "tier"],
+    )
+    rows = sorted(
+        scd2_history(ev, ["user_id"], "tier", tiebreak_cols=["event_id"]).collect(),
+        key=lambda r: (r.user_id, r.valid_from),
+    )
+    u1 = [(r.value, r.valid_from.day, r.valid_to.day if r.valid_to else None, r.is_current)
+          for r in rows if r.user_id == 1]
+    assert u1 == [
+        ("bronze", 1, 3, False),
+        ("silver", 3, 4, False),
+        (None, 4, 5, False),
+        ("silver", 5, None, True),
+    ]
+    u2 = [r for r in rows if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current
