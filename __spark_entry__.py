@@ -1909,6 +1909,30 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions + earliest instant it is reached, via
+    the DISTRIBUTED sweep line (two-phase prefix sum: per-bucket running
+    sums, one-row-per-bucket cumulative offsets broadcast back) — never
+    a global single-task sort of the points."""
+    from global_stock_data_warehouse_spark.operators.behavior import max_concurrency
+
+    ev = _event_bars(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap_sec.isNull() | (gap_sec > 2 * 86400), 1).otherwise(0)
+    sessions = (
+        ev.withColumn(
+            "session_id",
+            F.sum(is_new).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"))
+    )
+    return max_concurrency(sessions)
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension history from the event stream: per-user
     event_type episodes with valid_from/valid_to intervals and a current
@@ -2246,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_ols": q_trend_ols,
         "gap_fill": q_gap_fill,
         "ngram_topk_sketch": q_ngram_topk_sketch,
+        "max_concurrency": q_max_concurrency,
         "scd2_history": q_scd2_history,
         "cdc_apply": q_cdc_apply,
         "repeat_purchase_rate": q_repeat_purchase_rate,
@@ -3402,6 +3427,39 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "max_concurrency": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) > 2 * 86400
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), tagged AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+  FROM tagged GROUP BY 1, 2
+), pts AS (
+  SELECT s AS ts, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT e AS ts, -1 AS delta FROM sessions
+), runs AS (
+  SELECT ts, CAST(sum(delta) OVER (ORDER BY ts, delta
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS run
+  FROM pts
+)
+SELECT max_concurrent, min(ts) AS at_ts
+FROM (SELECT ts, run, max(run) OVER () AS max_concurrent FROM runs)
+WHERE run = max_concurrent
+GROUP BY max_concurrent
 """,
         "scd2_history": """
 WITH s AS (

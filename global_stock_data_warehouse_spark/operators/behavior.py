@@ -307,3 +307,59 @@ def attribution_last_touch(
             F.when(in_window, gap).alias("gap_sec"),
         )
     )
+
+
+def max_concurrency(
+    intervals: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Peak concurrency over a set of [start, end) intervals (max
+    simultaneously-open sessions) and the earliest instant it is reached
+    — the sweep-line problem, DISTRIBUTED.
+
+    A naive sweep is a running sum over one global ordering — a
+    single-task window at any scale. This runs the classic two-phase
+    prefix sum instead (same discipline as ``sessionize_two_phase``):
+
+    1. endpoint deltas (+1 start / -1 end) bucket by coarse time; a
+       per-bucket window (bounded rows) computes local running sums and
+       each bucket's total.
+    2. ONE ROW PER BUCKET flows into a tiny cumulative-offset window;
+       offsets broadcast-join back, making every point's global running
+       sum exact without any global sort of the points.
+
+    End events sort before coincident starts (delta ASC at equal ts):
+    back-to-back intervals never double-count. Ties on the peak resolve
+    to the earliest timestamp. Output: one row (max_concurrent, at_ts).
+    """
+    starts = intervals.select(F.col(start_col).alias("ts"), F.lit(1).alias("delta"))
+    ends = intervals.select(F.col(end_col).alias("ts"), F.lit(-1).alias("delta"))
+    pts = starts.unionByName(ends).withColumn(
+        "bucket", F.floor(F.col("ts").cast("long") / (bucket_days * 86400))
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = pts.withColumn("local_run", F.sum("delta").over(wloc))
+    totals = local.groupBy("bucket").agg(F.sum("delta").alias("bucket_total"))
+    woff = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("bucket_total").over(woff), F.lit(0))
+    ).select("bucket", "offset")
+    runs = local.join(F.broadcast(offsets), "bucket").withColumn(
+        "run", F.col("local_run") + F.col("offset")
+    )
+    peak = runs.agg(F.max("run").alias("max_concurrent"))
+    return (
+        runs.join(F.broadcast(peak), runs.run == peak.max_concurrent)
+        .groupBy("max_concurrent")
+        .agg(F.min("ts").alias("at_ts"))
+        .select("max_concurrent", "at_ts")
+    )

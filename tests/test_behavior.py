@@ -225,3 +225,28 @@ def test_gap_fill_linear_interpolates_interior_ffills_tail(spark):
     )
     assert [r.close for r in rows] == [1.0, 3.0, 5.0, 7.0, 9.0]
     assert [r.is_filled for r in rows] == [False, True, True, True, False]
+
+
+def test_max_concurrency_sweep_and_ties(spark):
+    from global_stock_data_warehouse_spark.operators.behavior import max_concurrency
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def iv(s_h, e_h):
+        return (t0 + dt.timedelta(hours=s_h), t0 + dt.timedelta(hours=e_h))
+
+    # overlap pattern: peak of 3 during [2h, 3h); a later separate peak of 3
+    # at 10h — earliest instant must win
+    ivs = [iv(0, 4), iv(1, 3), iv(2, 5), iv(10, 12), iv(10, 12), iv(10, 12)]
+    df = spark.createDataFrame(ivs, ["session_start", "session_end"])
+    row = max_concurrency(df).first()
+    assert row.max_concurrent == 3
+    assert row.at_ts == t0 + dt.timedelta(hours=2)
+    # back-to-back intervals never double-count (end sorts before start)
+    df2 = spark.createDataFrame([iv(0, 1), iv(1, 2)], ["session_start", "session_end"])
+    assert max_concurrency(df2).first().max_concurrent == 1
+    # bucket boundaries do not corrupt the global running sum
+    wide = [iv(0, 24 * 30), iv(24 * 8, 24 * 9)]  # spans multiple 7d buckets
+    assert max_concurrency(
+        spark.createDataFrame(wide, ["session_start", "session_end"])
+    ).first().max_concurrent == 2
