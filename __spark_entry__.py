@@ -1909,6 +1909,54 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_vwap_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per brand: the canonical weighted
+    aggregate (VWAP) — numerator and denominator both integer-exact
+    (price cents x integral quantity), ONE broadcast dim join + one fact
+    shuffle; the ratio is a single division, engine-exact at 6dp."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    qty = F.round(F.col("l_quantity"), 0)
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(qty)).cast("bigint").alias("total_qty"),
+        F.round(
+            F.sum(_cents(F.col("l_extendedprice") * qty, 100)) / 100.0
+            / F.sum(qty),
+            6,
+        ).alias("vwap"),
+    )
+
+
+def q_market_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advancers / decliners / unchanged per day from daily closes — the
+    market-breadth monitor. Daily close agg + lag window share one
+    entity-key shuffle; the day rollup is a tiny aggregate. Counts only:
+    bit-exact."""
+    from global_stock_data_warehouse_spark.operators.timeseries import daily_close
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    d = daily_close(ev)
+    w = Window.partitionBy("user_id").orderBy("d")
+    prev = F.lag("close").over(w)
+    chg = F.when(prev.isNull(), None).when(F.col("close") > prev, 1).when(
+        F.col("close") < prev, -1
+    ).otherwise(0)
+    return (
+        d.withColumn("chg", chg)
+        .filter(F.col("chg").isNotNull())
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("chg") == 1, 1).otherwise(0)).alias("advancers"),
+            F.sum(F.when(F.col("chg") == -1, 1).otherwise(0)).alias("decliners"),
+            F.sum(F.when(F.col("chg") == 0, 1).otherwise(0)).alias("unchanged"),
+        )
+    )
+
+
 def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak simultaneous sessions + earliest instant it is reached, via
     the DISTRIBUTED sweep line (two-phase prefix sum: per-bucket running
@@ -2270,6 +2318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_ols": q_trend_ols,
         "gap_fill": q_gap_fill,
         "ngram_topk_sketch": q_ngram_topk_sketch,
+        "vwap_brand": q_vwap_brand,
+        "market_breadth": q_market_breadth,
         "max_concurrency": q_max_concurrency,
         "scd2_history": q_scd2_history,
         "cdc_apply": q_cdc_apply,
@@ -3427,6 +3477,34 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "vwap_brand": """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(round(l_quantity, 0)) AS BIGINT) AS total_qty,
+       round(sum(CAST(round(l_extendedprice * round(l_quantity, 0) * 100, 0) AS BIGINT))
+             / 100.0 / sum(round(l_quantity, 0)), 6) AS vwap
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+        "market_breadth": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events GROUP BY 1, 2
+), ch AS (
+  SELECT d,
+         CASE WHEN close > lag(close) OVER w THEN 1
+              WHEN close < lag(close) OVER w THEN -1
+              ELSE 0 END AS chg,
+         lag(close) OVER w IS NULL AS firstrow
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)
+)
+SELECT d,
+       CAST(sum(CASE WHEN chg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS advancers,
+       CAST(sum(CASE WHEN chg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS decliners,
+       CAST(sum(CASE WHEN chg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+FROM ch WHERE NOT firstrow GROUP BY d
 """,
         "max_concurrency": """
 WITH flagged AS (
