@@ -1,5 +1,7 @@
 """Event-stream behavioral analytics: cohort retention, transition
-matrices, hopping (sliding) windows.
+matrices, hopping (sliding) windows, RFM segmentation, sliding-window
+distinct counts, last-touch attribution, sweep-line peak concurrency,
+plus robust outlier profiles and histograms.
 
 The reference's event-shaped workloads stop at per-symbol resampling
 (`transformer.py` resample loops); an analytics warehouse serving the
@@ -18,6 +20,12 @@ Scale notes (100 TB):
   generator: each event is replicated size/slide times map-side BEFORE
   the partial aggregation, so the shuffle carries per-(window, key)
   partials, never the replicated events.
+- ``rfm_segments`` / ``rolling_distinct_users`` / ``attribution_last_touch``
+  each spend exactly one fact-table shuffle; their second-stage windows
+  and rollups run over per-customer / per-day / per-conversion rows.
+- ``max_concurrency`` replaces the naive global sweep (a single-task
+  window) with the two-phase prefix sum: bounded per-bucket windows plus
+  a one-row-per-bucket offset pass.
 """
 
 from __future__ import annotations
