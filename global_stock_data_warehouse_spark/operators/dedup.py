@@ -769,9 +769,16 @@ def record_linkage(
         F.col(id_col).alias("id_b"),
         F.col(name_col).alias("name_b"),
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # Thresholded Levenshtein (banded DP, O(d*n) per pair instead of
+    # O(n^2), returns -1 above the bound) guarded by the free length-gap
+    # prefilter |len(a)-len(b)| <= d — candidate pairs failing the cheap
+    # conjunct never reach the DP (Java && short-circuits in codegen).
+    len_gap_ok = (
+        F.abs(F.length("name_a") - F.length("name_b")) <= max_distance
+    )
+    dist = F.levenshtein("name_a", "name_b", max_distance)
     cond = [left[f"b_{c}"] == right[f"b_{c}"] for c in block_cols]
-    cond += [F.col("id_a") < F.col("id_b"), dist <= max_distance]
+    cond += [F.col("id_a") < F.col("id_b"), len_gap_ok, dist >= 0]
     return left.join(right, cond).select(
         "id_a", "id_b", "name_a", "name_b", dist.alias("distance")
     )
