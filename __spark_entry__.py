@@ -1909,6 +1909,22 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets of brands:
+    co-occurrence, support, confidence, lift. The pair self-join is
+    co-partitioned on the basket key (pair volume quadratic only in
+    basket size); supports broadcast back; all metrics are single
+    divisions of exact integer counts."""
+    from global_stock_data_warehouse_spark.operators.behavior import basket_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("basket_id"), F.col("p_brand").alias("item")
+    )
+    return basket_rules(baskets, min_pair_count=2)
+
+
 def q_vwap_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-weighted average price per brand: the canonical weighted
     aggregate (VWAP) — numerator and denominator both integer-exact
@@ -2318,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_ols": q_trend_ols,
         "gap_fill": q_gap_fill,
         "ngram_topk_sketch": q_ngram_topk_sketch,
+        "basket_rules": q_basket_rules,
         "vwap_brand": q_vwap_brand,
         "market_breadth": q_market_breadth,
         "max_concurrency": q_max_concurrency,
@@ -3477,6 +3494,27 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "basket_rules": """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bid, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (
+  SELECT count(DISTINCT bid) AS n_baskets FROM b
+), ic AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY item
+), pairs AS (
+  SELECT a.item AS item_a, c.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM b a JOIN b c ON a.bid = c.bid AND a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT item_a, item_b, n_ab,
+       round(n_ab / CAST(n_baskets AS DOUBLE), 6) AS support,
+       round(n_ab / CAST(ca.n_item AS DOUBLE), 6) AS confidence,
+       round(n_ab * CAST(n_baskets AS DOUBLE) / (ca.n_item * cb.n_item), 6) AS lift
+FROM pairs
+JOIN ic ca ON item_a = ca.item
+JOIN ic cb ON item_b = cb.item, n
 """,
         "vwap_brand": """
 SELECT p_brand,

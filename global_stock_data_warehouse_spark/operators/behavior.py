@@ -371,3 +371,54 @@ def max_concurrency(
         .agg(F.min("ts").alias("at_ts"))
         .select("max_concurrent", "at_ts")
     )
+
+
+def basket_rules(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) rows:
+    co-occurrence count, support, confidence, and lift per item pair
+    (item_a < item_b canonical).
+
+    The pair self-join runs on the basket key BOTH sides — one hash
+    shuffle that the pair aggregation's partials absorb; pair volume is
+    quadratic only in basket SIZE (bounded ~items-per-order), linear in
+    baskets. Item supports and the basket total are tiny aggregates that
+    broadcast back. Every metric is a single division of exact integer
+    counts — engine-exact at 6dp.
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = b.select("bid").distinct().count()
+    item_counts = b.groupBy(F.col("item")).agg(F.count(F.lit(1)).alias("n_item"))
+    left = b.select("bid", F.col("item").alias("item_a"))
+    right = b.select("bid", F.col("item").alias("item_b"))
+    pairs = (
+        left.join(right, ["bid"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    ca = item_counts.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    out = pairs.join(F.broadcast(ca), "item_a").join(F.broadcast(cb), "item_b")
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        F.round(F.col("n_ab") / F.lit(float(n_baskets)), 6).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+        F.round(
+            F.col("n_ab") * F.lit(float(n_baskets)) / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    )

@@ -250,3 +250,25 @@ def test_max_concurrency_sweep_and_ties(spark):
     assert max_concurrency(
         spark.createDataFrame(wide, ["session_start", "session_end"])
     ).first().max_concurrent == 2
+
+
+def test_basket_rules_counts_and_lift(spark):
+    from global_stock_data_warehouse_spark.operators.behavior import basket_rules
+
+    rows = [
+        (1, "beer"), (1, "chips"),
+        (2, "beer"), (2, "chips"),
+        (3, "beer"), (3, "soda"),
+        (4, "soda"),
+        (2, "beer"),           # duplicate item in a basket: counted once
+    ]
+    df = spark.createDataFrame(rows, ["basket_id", "item"])
+    out = {(r.item_a, r.item_b): r for r in basket_rules(df, min_pair_count=1).collect()}
+    bc = out[("beer", "chips")]
+    assert bc.n_ab == 2
+    assert bc.support == 0.5                       # 2 of 4 baskets
+    assert bc.confidence == round(2 / 3, 6)        # beer in 3 baskets
+    assert bc.lift == round(2 * 4 / (3 * 2), 6)    # > 1: positive association
+    bs = out[("beer", "soda")]
+    assert bs.n_ab == 1 and bs.lift == round(1 * 4 / (3 * 2), 6)  # < 1
+    assert ("chips", "soda") not in out
