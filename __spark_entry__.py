@@ -1909,6 +1909,60 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_salted_flag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the two-phase salted plan: lineitem
+    grouped by l_returnflag (3 values — every partial funnels through 3
+    reducers unsalted). salted_agg spreads phase 1 over (key, salt)
+    reducers and merges factor rows per key in phase 2 — identical
+    results to the plain GROUP BY (the oracle IS the unsalted form).
+    Fixed-point sums keep the merge exact."""
+    from global_stock_data_warehouse_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _cents(F.col("l_extendedprice"), 100).alias("cents"),
+        "l_quantity",
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        [
+            ("cents", "sum", "sum_cents"),
+            ("l_quantity", "count", "n_lines"),
+            ("l_quantity", "max", "max_qty"),
+            ("l_quantity", "min", "min_qty"),
+        ],
+    )
+    return out.select(
+        "l_returnflag",
+        (F.col("sum_cents") / 100.0).alias("sum_price"),
+        "n_lines",
+        "max_qty",
+        "min_qty",
+    )
+
+
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order->ship latency distribution per priority: exact interpolated
+    percentiles (order statistics — identical IEEE interpolation on both
+    engines) over integer day gaps; one fact co-partitioned join + one
+    grouped percentile pass."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("lat"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lat").alias("min_days"),
+        F.round(F.percentile("lat", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("lat", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("lat", F.lit(0.99)), 4).alias("p99"),
+        F.max("lat").alias("max_days"),
+    )
+
+
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets of brands:
     co-occurrence, support, confidence, lift. The pair self-join is
@@ -2334,6 +2388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_ols": q_trend_ols,
         "gap_fill": q_gap_fill,
         "ngram_topk_sketch": q_ngram_topk_sketch,
+        "salted_flag_totals": q_salted_flag_totals,
+        "latency_percentiles": q_latency_percentiles,
         "basket_rules": q_basket_rules,
         "vwap_brand": q_vwap_brand,
         "market_breadth": q_market_breadth,
@@ -3494,6 +3550,29 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "salted_flag_totals": """
+SELECT l_returnflag,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_price,
+       CAST(count(l_quantity) AS BIGINT) AS n_lines,
+       max(l_quantity) AS max_qty,
+       min(l_quantity) AS min_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+        "latency_percentiles": """
+WITH lat AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       min(lat) AS min_days,
+       round(quantile_cont(lat, 0.5), 4) AS p50,
+       round(quantile_cont(lat, 0.9), 4) AS p90,
+       round(quantile_cont(lat, 0.99), 4) AS p99,
+       max(lat) AS max_days
+FROM lat GROUP BY o_orderpriority
 """,
         "basket_rules": """
 WITH b AS (

@@ -55,3 +55,45 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
     )
     return salted_l.join(salted_r, [*keys, "_salt"], how).drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    specs: Sequence[tuple[str, str, str]],
+    factor: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for LOW-CARDINALITY / hot group keys:
+    ``specs`` is (column, fn, alias) with fn in {sum, count, min, max}
+    (the algebraic aggregates whose partials merge losslessly).
+
+    A plain ``groupBy(hot_key)`` funnels each hot key's entire partial
+    stream through ONE reducer; here phase 1 groups by (key, salt) —
+    ``factor``x more reducers absorb the map-side partials — and phase 2
+    merges ``factor`` rows per key (sum of sums / sum of counts / min of
+    mins / max of maxes), which is trivially tiny. Results are identical
+    to the unsalted aggregate (oracle-checked); only the exchange
+    topology changes.
+    """
+    salt = F.pmod(F.spark_partition_id(), F.lit(factor))
+    salted = df.withColumn("_salt", salt)
+    phase1 = []
+    merge = []
+    for col, fn, alias in specs:
+        p = f"_p_{alias}"
+        if fn == "sum":
+            phase1.append(F.sum(col).alias(p))
+            merge.append(F.sum(p).alias(alias))
+        elif fn == "count":
+            phase1.append(F.count(col).alias(p))
+            merge.append(F.sum(p).alias(alias))
+        elif fn == "min":
+            phase1.append(F.min(col).alias(p))
+            merge.append(F.min(p).alias(alias))
+        elif fn == "max":
+            phase1.append(F.max(col).alias(p))
+            merge.append(F.max(p).alias(alias))
+        else:
+            raise ValueError(f"salted_agg: non-algebraic fn {fn!r}")
+    part = salted.groupBy(*keys, "_salt").agg(*phase1)
+    return part.groupBy(*keys).agg(*merge)

@@ -47,3 +47,35 @@ def test_salted_join_matches_plain_join(spark):
         (r.k, r.v, r.w) for r in salted_join(left, right, "k", factor=8).collect()
     )
     assert salted == plain and len(salted) == 5050
+
+
+def test_salted_agg_matches_plain_aggregate(spark):
+    from pyspark.sql import functions as F
+
+    from global_stock_data_warehouse_spark.operators.skew import salted_agg
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 3).cast("string").alias("k"),   # 3 hot keys
+        (F.col("id") * 7 % 101).alias("v"),
+    ).repartition(8)
+    out = {
+        r.k: r
+        for r in salted_agg(
+            df, ["k"], [("v", "sum", "s"), ("v", "count", "n"), ("v", "max", "mx"), ("v", "min", "mn")]
+        ).collect()
+    }
+    plain = {
+        r.k: r
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"), F.max("v").alias("mx"), F.min("v").alias("mn"))
+        .collect()
+    }
+    assert out.keys() == plain.keys()
+    for k in plain:
+        assert (out[k].s, out[k].n, out[k].mx, out[k].mn) == (
+            plain[k].s, plain[k].n, plain[k].mx, plain[k].mn
+        )
+    import pytest
+
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_agg(df, ["k"], [("v", "avg", "a")])
