@@ -1909,6 +1909,50 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_unpivot_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape (UNPIVOT/melt) of the weekly OHLC bars: the
+    4 price columns stack into (metric, value) rows map-side — no
+    shuffle beyond the resample's own; the melt itself is a pure
+    projection (Expand), engine-exact value copies."""
+    bars = _wmy_resample_returns(spark, sf_dir, "W").select(
+        "user_id", "period_end", "open", "high", "low", "close"
+    )
+    return bars.unpivot(
+        ids=["user_id", "period_end"],
+        values=["open", "high", "low", "close"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def q_longest_up_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands on a VALUE condition: longest run of consecutive
+    up-days per entity. Island id = running count of non-up days; the
+    run length is a count per (user, island) of up rows; all windows and
+    groups share one user-key shuffle. Integer output — bit-exact."""
+    from global_stock_data_warehouse_spark.operators.timeseries import daily_close
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    d = daily_close(ev)
+    w = Window.partitionBy("user_id").orderBy("d")
+    up = (F.col("close") > F.lag("close").over(w)).cast("int")
+    flagged = d.withColumn("up", F.coalesce(up, F.lit(0)))
+    grp = F.sum(1 - F.col("up")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        flagged.withColumn("grp", grp)
+        .filter(F.col("up") == 1)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    streaks = runs.groupBy("user_id").agg(F.max("run_len").alias("longest_up_streak"))
+    all_users = d.select("user_id").distinct()
+    return all_users.join(streaks, "user_id", "left_outer").select(
+        "user_id", F.coalesce("longest_up_streak", F.lit(0)).alias("longest_up_streak")
+    )
+
+
 def q_salted_flag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key aggregation through the two-phase salted plan: lineitem
     grouped by l_returnflag (3 values — every partial funnels through 3
@@ -2388,6 +2432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_ols": q_trend_ols,
         "gap_fill": q_gap_fill,
         "ngram_topk_sketch": q_ngram_topk_sketch,
+        "unpivot_ohlc": q_unpivot_ohlc,
+        "longest_up_streak": q_longest_up_streak,
         "salted_flag_totals": q_salted_flag_totals,
         "latency_percentiles": q_latency_percentiles,
         "basket_rules": q_basket_rules,
@@ -3550,6 +3596,46 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "unpivot_ohlc": """
+WITH bars AS (
+  SELECT user_id,
+         CAST(ts AS DATE) + CAST((5 - isodow(CAST(ts AS DATE)) + 7) % 7 AS INTEGER)
+           AS period_end,
+         first(value ORDER BY ts, event_id) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, period_end, 'open' AS metric, open AS value FROM bars
+UNION ALL SELECT user_id, period_end, 'high', high FROM bars
+UNION ALL SELECT user_id, period_end, 'low', low FROM bars
+UNION ALL SELECT user_id, period_end, 'close', close FROM bars
+""",
+        "longest_up_streak": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT user_id, d,
+         CASE WHEN close > lag(close) OVER (PARTITION BY user_id ORDER BY d)
+              THEN 1 ELSE 0 END AS up
+  FROM daily
+), g AS (
+  SELECT user_id, up,
+         sum(1 - up) OVER (PARTITION BY user_id ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM f
+), runs AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS run_len
+  FROM g WHERE up = 1 GROUP BY 1, 2
+), s AS (
+  SELECT user_id, max(run_len) AS m FROM runs GROUP BY 1
+)
+SELECT du.user_id, CAST(coalesce(s.m, 0) AS BIGINT) AS longest_up_streak
+FROM (SELECT DISTINCT user_id FROM daily) du LEFT JOIN s USING (user_id)
 """,
         "salted_flag_totals": """
 SELECT l_returnflag,
