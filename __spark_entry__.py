@@ -1909,6 +1909,58 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the ordered event-type journey per session,
+    frequency-counted. The ordered concatenation is array_sort over
+    (ts, event_id, type) structs collected in ONE grouped pass — fully
+    deterministic — and the path rollup is a tiny aggregate over
+    distinct journeys."""
+    ev = _event_bars(spark, sf_dir)
+    typed = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    e = ev.join(typed, "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap_sec.isNull() | (gap_sec > 2 * 86400), 1).otherwise(0)
+    sess = e.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document from the materialized inverted
+    index: weight = tf * ln(N/df) with a fixed evaluation order (single
+    expression — engine-exact at 6dp); per-doc top-k via a rank window
+    with (weight DESC, term ASC) total order."""
+    from global_stock_data_warehouse_spark.operators.corpus import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    idx = inverted_index(docs)
+    weighted = idx.withColumn(
+        "w",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    rw = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term").asc())
+    return (
+        weighted.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "w")
+    )
+
+
 def q_unpivot_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long reshape (UNPIVOT/melt) of the weekly OHLC bars: the
     4 price columns stack into (metric, value) rows map-side — no
@@ -2432,6 +2484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_ols": q_trend_ols,
         "gap_fill": q_gap_fill,
         "ngram_topk_sketch": q_ngram_topk_sketch,
+        "session_paths": q_session_paths,
+        "tfidf_topterms": q_tfidf_topterms,
         "unpivot_ohlc": q_unpivot_ohlc,
         "longest_up_streak": q_longest_up_streak,
         "salted_flag_totals": q_salted_flag_totals,
@@ -3596,6 +3650,52 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "session_paths": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) > 2 * 86400
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+), p AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM tagged GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY path
+""",
+        "tfidf_topterms": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> t != '')) AS term
+  FROM documents
+), postings AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), wdf AS (
+  SELECT term, doc_id, tf,
+         CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+  FROM postings
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), wt AS (
+  SELECT doc_id, term, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS w
+  FROM wdf, n
+)
+SELECT doc_id, rnk, term, w FROM (
+  SELECT doc_id, term, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term ASC) AS rnk
+  FROM wt)
+WHERE rnk <= 3
 """,
         "unpivot_ohlc": """
 WITH bars AS (
