@@ -1909,6 +1909,50 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(idx, ["spark", "hash"], k=15)
 
 
+def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contiguous surrogate keys for a dimension: distinct
+    sources ranked by (doc count DESC, source ASC) — a total order, so
+    ids are stable across runs and engines (monotonically_increasing_id
+    is neither contiguous nor rerun-stable; this is the warehouse-grade
+    alternative). The rank window runs over one-row-per-distinct-value."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("source").asc())
+    return counts.select(
+        (F.row_number().over(w) - 1).alias("source_id"), "source", "n_docs"
+    )
+
+
+def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order value: boundaries from
+    exact interpolated percentiles (order statistics — identical IEEE
+    interpolation both engines), then a map-only bucket assignment by
+    value comparison (deterministic, unlike ntile over a non-unique
+    order). Two passes: one tiny percentile agg broadcast back, one
+    bucket count."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    probs = [i / 10.0 for i in range(1, 10)]
+    bounds = o.agg(
+        *[
+            F.percentile("o_totalprice", F.lit(p)).alias(f"b{i}")
+            for i, p in enumerate(probs, start=1)
+        ]
+    )
+    j = o.crossJoin(F.broadcast(bounds))
+    bucket = sum(
+        (F.col("o_totalprice") > F.col(f"b{i}")).cast("int") for i in range(1, 10)
+    )
+    return (
+        j.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path analysis: the ordered event-type journey per session,
     frequency-counted. The ordered concatenation is array_sort over
@@ -2484,6 +2528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_ols": q_trend_ols,
         "gap_fill": q_gap_fill,
         "ngram_topk_sketch": q_ngram_topk_sketch,
+        "dense_ids": q_dense_ids,
+        "equi_depth_hist": q_equi_depth_hist,
         "session_paths": q_session_paths,
         "tfidf_topterms": q_tfidf_topterms,
         "unpivot_ohlc": q_unpivot_ohlc,
@@ -3650,6 +3696,40 @@ SELECT bin_id, count(*) AS n,
        min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
        bin_id * 500.0 AS bin_lo
 FROM binned GROUP BY bin_id
+""",
+        "dense_ids": """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+)
+SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, source ASC) - 1 AS INTEGER)
+         AS source_id,
+       source, n_docs
+FROM counts
+""",
+        "equi_depth_hist": """
+WITH bounds AS (
+  SELECT quantile_cont(o_totalprice, 0.1) AS b1,
+         quantile_cont(o_totalprice, 0.2) AS b2,
+         quantile_cont(o_totalprice, 0.3) AS b3,
+         quantile_cont(o_totalprice, 0.4) AS b4,
+         quantile_cont(o_totalprice, 0.5) AS b5,
+         quantile_cont(o_totalprice, 0.6) AS b6,
+         quantile_cont(o_totalprice, 0.7) AS b7,
+         quantile_cont(o_totalprice, 0.8) AS b8,
+         quantile_cont(o_totalprice, 0.9) AS b9
+  FROM orders
+)
+SELECT (CAST(o_totalprice > b1 AS INTEGER) + CAST(o_totalprice > b2 AS INTEGER)
+      + CAST(o_totalprice > b3 AS INTEGER) + CAST(o_totalprice > b4 AS INTEGER)
+      + CAST(o_totalprice > b5 AS INTEGER) + CAST(o_totalprice > b6 AS INTEGER)
+      + CAST(o_totalprice > b7 AS INTEGER) + CAST(o_totalprice > b8 AS INTEGER)
+      + CAST(o_totalprice > b9 AS INTEGER)) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM orders, bounds
+GROUP BY 1
 """,
         "session_paths": """
 WITH flagged AS (
