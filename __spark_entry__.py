@@ -904,6 +904,22 @@ def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sessionized(spark: SparkSession, sf_dir: str, extra_cols: tuple = ()) -> DataFrame:
+    """Shared gap>2d sessionization (ONE definition for q_sessionize /
+    q_session_paths / q_max_concurrency — the window, gap rule, and
+    tiebreak must stay in lockstep with the matching oracle SQL):
+    events + a per-user running session_id."""
+    cols = ["user_id", "event_id", "ts", *extra_cols]
+    ev = _t(spark, sf_dir, "events").select(*cols)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap_sec.isNull() | (gap_sec > 2 * 86400), 1).otherwise(0)
+    return ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts after a >2-day quiet
     period per user. Running-sum-over-flags window pattern; one shuffle.
@@ -915,14 +931,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge window) for hot-key corpora; this query keeps the one-shuffle
     form because the driver fixture has no hot keys and the plan is
     cheaper."""
-    ev = _event_bars(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    is_new = F.when(gap_sec.isNull() | (gap_sec > 2 * 86400), 1).otherwise(0)
-    sessions = ev.withColumn(
-        "session_id",
-        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
+    sessions = _sessionized(spark, sf_dir, extra_cols=("value",))
     # fixed-point sum: event values are exact 2-decimal quantities, so
     # summing round(value*100) integers is ORDER-INDEPENDENT (exact integer
     # doubles), unlike a float sum whose last-ulp depends on partial-sum
@@ -933,7 +942,6 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         (F.sum(F.round(F.col("value") * 100, 0)) / 100.0).alias("sum_value"),
     )
-
 
 def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: correlation, sample stddev/variance, exact
@@ -1955,20 +1963,12 @@ def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path analysis: the ordered event-type journey per session,
-    frequency-counted. The ordered concatenation is array_sort over
+    frequency-counted. One scan (event_type rides the sessionization
+    projection); the ordered concatenation is array_sort over
     (ts, event_id, type) structs collected in ONE grouped pass — fully
     deterministic — and the path rollup is a tiny aggregate over
     distinct journeys."""
-    ev = _event_bars(spark, sf_dir)
-    typed = _t(spark, sf_dir, "events").select("event_id", "event_type")
-    e = ev.join(typed, "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    is_new = F.when(gap_sec.isNull() | (gap_sec > 2 * 86400), 1).otherwise(0)
-    sess = e.withColumn(
-        "session_id",
-        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
+    sess = _sessionized(spark, sf_dir, extra_cols=("event_type",))
     paths = sess.groupBy("user_id", "session_id").agg(
         F.array_join(
             F.transform(
@@ -1981,7 +1981,6 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
-
 
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document from the materialized inverted
@@ -2171,25 +2170,15 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak simultaneous sessions + earliest instant it is reached, via
     the DISTRIBUTED sweep line (two-phase prefix sum: per-bucket running
     sums, one-row-per-bucket cumulative offsets broadcast back) — never
-    a global single-task sort of the points."""
+    a global single-task sort of the points. Sessions are CLOSED
+    [min ts, max ts] intervals, so single-event sessions count at their
+    instant."""
     from global_stock_data_warehouse_spark.operators.behavior import max_concurrency
 
-    ev = _event_bars(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    is_new = F.when(gap_sec.isNull() | (gap_sec > 2 * 86400), 1).otherwise(0)
-    sessions = (
-        ev.withColumn(
-            "session_id",
-            F.sum(is_new).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .groupBy("user_id", "session_id")
-        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"))
+    sessions = _sessionized(spark, sf_dir).groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
     )
     return max_concurrency(sessions)
-
 
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension history from the event stream: per-user
@@ -3912,7 +3901,7 @@ WITH flagged AS (
   UNION ALL
   SELECT e AS ts, -1 AS delta FROM sessions
 ), runs AS (
-  SELECT ts, CAST(sum(delta) OVER (ORDER BY ts, delta
+  SELECT ts, CAST(sum(delta) OVER (ORDER BY ts ASC, delta DESC
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS run
   FROM pts
@@ -4016,9 +4005,9 @@ WITH daily AS (
 ), anch AS (
   SELECT user_id, d, close, is_filled,
          last_value(close IGNORE NULLS) OVER wb AS pv,
-         last_value(CASE WHEN NOT is_filled THEN d END IGNORE NULLS) OVER wb AS pd,
+         last_value(CASE WHEN close IS NOT NULL THEN d END IGNORE NULLS) OVER wb AS pd,
          first_value(close IGNORE NULLS) OVER wf AS nv,
-         first_value(CASE WHEN NOT is_filled THEN d END IGNORE NULLS) OVER wf AS nd
+         first_value(CASE WHEN close IS NOT NULL THEN d END IGNORE NULLS) OVER wf AS nd
   FROM j
   WINDOW wb AS (PARTITION BY user_id ORDER BY d
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),

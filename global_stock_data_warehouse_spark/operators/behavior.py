@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -57,16 +57,20 @@ def cohort_retention(
     # anchor 1970-01-05 is a Monday, so period_days=7 cohorts align to
     # ISO weeks; integer floor-division keeps the bucketing exact
     anchor = F.lit("1970-01-05").cast("date")
+    # FLOOR division (not cast-to-int truncation): truncation rounds
+    # toward zero, so pre-anchor dates (negative datediff) would bucket
+    # one period too late and diverge from SQL's floor `//` semantics
     cohort = F.date_add(
         anchor,
-        (F.datediff(F.col("first_d"), anchor) / period_days).cast("int") * period_days,
+        (F.floor(F.datediff(F.col("first_d"), anchor) / period_days) * period_days)
+        .cast("int"),
     )
     joined = events.select(F.col(user_col), d.alias("d")).join(firsts, user_col)
     return (
         joined.withColumn("cohort_start", cohort)
         .withColumn(
             "period_offset",
-            (F.datediff(F.col("d"), F.col("first_d")) / period_days).cast("int"),
+            F.floor(F.datediff(F.col("d"), F.col("first_d")) / period_days).cast("int"),
         )
         .groupBy("cohort_start", "period_offset")
         .agg(F.countDistinct(user_col).alias("n_users"))
@@ -125,10 +129,6 @@ def hopping_window_agg(
             (F.sum(F.round(F.col(value_col) * 100, 0)) / 100.0).alias("sum_value"),
         )
     )
-
-
-def _dev(col: str, med: Column) -> Column:
-    return F.abs(F.col(col) - med)
 
 
 def mad_outliers(
@@ -322,6 +322,7 @@ def max_concurrency(
     start_col: str = "session_start",
     end_col: str = "session_end",
     bucket_days: int = 7,
+    closed: bool = True,
 ) -> DataFrame:
     """Peak concurrency over a set of [start, end) intervals (max
     simultaneously-open sessions) and the earliest instant it is reached
@@ -338,18 +339,24 @@ def max_concurrency(
        offsets broadcast-join back, making every point's global running
        sum exact without any global sort of the points.
 
-    End events sort before coincident starts (delta ASC at equal ts):
-    back-to-back intervals never double-count. Ties on the peak resolve
-    to the earliest timestamp. Output: one row (max_concurrent, at_ts).
+    ``closed=True`` (default) treats intervals as closed [start, end]:
+    starts sort before coincident ends, so a zero-length interval
+    (start == end — e.g. a single-event session) still counts 1 at its
+    instant, and two closed intervals meeting at a point overlap there.
+    ``closed=False`` gives half-open [start, end) semantics (ends sort
+    first; back-to-back intervals never double-count, but zero-length
+    intervals are invisible). Ties on the peak resolve to the earliest
+    timestamp. Output: one row (max_concurrent, at_ts).
     """
     starts = intervals.select(F.col(start_col).alias("ts"), F.lit(1).alias("delta"))
     ends = intervals.select(F.col(end_col).alias("ts"), F.lit(-1).alias("delta"))
     pts = starts.unionByName(ends).withColumn(
         "bucket", F.floor(F.col("ts").cast("long") / (bucket_days * 86400))
     )
+    delta_order = F.col("delta").desc() if closed else F.col("delta").asc()
     wloc = (
         Window.partitionBy("bucket")
-        .orderBy("ts", "delta")
+        .orderBy(F.col("ts"), delta_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = pts.withColumn("local_run", F.sum("delta").over(wloc))

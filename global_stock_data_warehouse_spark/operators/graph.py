@@ -275,7 +275,13 @@ def pagerank(
         .repartition("s")
         .localCheckpoint(eager=True)
     )
-    if e.count() <= driver_max_edges:
+    n_edges = e.count()
+    if n_edges == 0:
+        # empty graph: empty (node, rank) result, not a divide-by-zero
+        return e.select(
+            F.col("s").alias("node"), F.lit(0.0).alias("rank")
+        ).limit(0)
+    if n_edges <= driver_max_edges:
         return _pagerank_driver(e, edges.sparkSession, damping, max_iter, tol)
     nodes = (
         e.select(F.col("s").alias("node"))

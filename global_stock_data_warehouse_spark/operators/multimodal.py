@@ -143,36 +143,21 @@ def extract_features_typed(
     the 8-dim audio descriptor (RMS / zero-crossing rate / spectral
     centroid / rolloff / bandwidth / flatness / peak / duration — one
     numpy rFFT per clip), images the 8-dim channel/gradient descriptor.
-    Same batch shape and loud-failure contract as ``extract_features``;
-    the per-row loop only spans the opaque variable-length decode, all
-    arithmetic is vectorized numpy."""
+
+    Thin parameterization of ``extract_features``: the typed kernels
+    already emit 8-dim vectors, and the pooling pass with
+    ``feature_dim=8`` is the identity on them — one batch loop to
+    maintain, same schema and loud-failure contract."""
     from global_stock_data_warehouse_spark.operators.media_codecs import (
         typed_features,
     )
 
-    spark = df.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch)
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            feats, nbytes = [], []
-            for payload, mtype in zip(pdf[payload_col], pdf[type_col]):
-                raw = bytes(payload) if payload is not None else b""
-                nbytes.append(len(raw))
-                feats.append(typed_features(raw, mtype))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    type_col: pdf[type_col].to_numpy(),
-                    "n_bytes": np.asarray(nbytes, dtype=np.int64),
-                    "feature": feats,
-                }
-            )
-
-    return df.select(id_col, type_col, payload_col).mapInPandas(
-        run, schema=FEATURE_SCHEMA
+    return extract_features(
+        df,
+        decode=typed_features,
+        feature_dim=8,
+        payload_col=payload_col,
+        id_col=id_col,
+        type_col=type_col,
+        target_rows_per_batch=target_rows_per_batch,
     )

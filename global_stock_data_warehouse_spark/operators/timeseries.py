@@ -388,14 +388,17 @@ def gap_fill_ffill(
             .rowsBetween(0, Window.unboundedFollowing)
         )
         for c in value_cols:
+            # anchor DATES share the value column's non-null condition —
+            # keying them off _present would pair a present-but-NULL row's
+            # date with an older row's value and bend the interpolation line
             prev_v = F.last(c, ignorenulls=True).over(w)
             prev_d = F.last(
-                F.when(F.col("_present").isNotNull(), F.col(time_col)),
+                F.when(F.col(c).isNotNull(), F.col(time_col)),
                 ignorenulls=True,
             ).over(w)
             next_v = F.first(c, ignorenulls=True).over(fwd)
             next_d = F.first(
-                F.when(F.col("_present").isNotNull(), F.col(time_col)),
+                F.when(F.col(c).isNotNull(), F.col(time_col)),
                 ignorenulls=True,
             ).over(fwd)
             frac = F.datediff(F.col(time_col), prev_d) / F.datediff(next_d, prev_d)

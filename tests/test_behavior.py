@@ -242,9 +242,17 @@ def test_max_concurrency_sweep_and_ties(spark):
     row = max_concurrency(df).first()
     assert row.max_concurrent == 3
     assert row.at_ts == t0 + dt.timedelta(hours=2)
-    # back-to-back intervals never double-count (end sorts before start)
+    # closed semantics (default): two closed intervals meeting at a point
+    # overlap there; half-open (closed=False) never double-counts
     df2 = spark.createDataFrame([iv(0, 1), iv(1, 2)], ["session_start", "session_end"])
-    assert max_concurrency(df2).first().max_concurrent == 1
+    assert max_concurrency(df2).first().max_concurrent == 2
+    assert max_concurrency(df2, closed=False).first().max_concurrent == 1
+    # zero-length intervals (single-event sessions) count at their instant
+    df3 = spark.createDataFrame(
+        [iv(5, 5), iv(5, 5), iv(5, 5)], ["session_start", "session_end"]
+    )
+    assert max_concurrency(df3).first().max_concurrent == 3
+    assert max_concurrency(df3, closed=False).first().max_concurrent == 0
     # bucket boundaries do not corrupt the global running sum
     wide = [iv(0, 24 * 30), iv(24 * 8, 24 * 9)]  # spans multiple 7d buckets
     assert max_concurrency(
@@ -272,3 +280,15 @@ def test_basket_rules_counts_and_lift(spark):
     bs = out[("beer", "soda")]
     assert bs.n_ab == 1 and bs.lift == round(1 * 4 / (3 * 2), 6)  # < 1
     assert ("chips", "soda") not in out
+
+
+def test_cohort_retention_pre_anchor_floor_division(spark):
+    # dates BEFORE the 1970-01-05 anchor must floor (bucket 1969-12-29),
+    # not truncate toward zero (which would bucket them AFTER the event)
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(1970, 1, 2, 12, 0, 0))], ["user_id", "ts"]
+    )
+    rows = cohort_retention(ev, period_days=7).collect()
+    assert len(rows) == 1
+    assert rows[0].cohort_start.isoformat() == "1969-12-29"
+    assert rows[0].period_offset == 0

@@ -138,3 +138,12 @@ def test_pagerank_distributed_matches_driver(spark):
     assert drv.keys() == dist.keys()
     for k in drv:
         assert abs(drv[k] - dist[k]) < 1e-6
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from global_stock_data_warehouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(edges)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
