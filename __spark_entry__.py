@@ -45,10 +45,12 @@ from global_stock_data_warehouse_spark.operators.resample import ohlc_resample
 from global_stock_data_warehouse_spark.operators.returns import with_date_gap, with_period_return
 from global_stock_data_warehouse_spark.operators.similarity import (
     brute_force_topk,
+    class_centroids,
     embedding_neardup,
     embedding_neardup_lsh,
     ivf_topk,
     lsh_topk,
+    quantize_embeddings,
 )
 from global_stock_data_warehouse_spark.operators.text import (
     chunk_documents,
@@ -60,12 +62,14 @@ from global_stock_data_warehouse_spark.operators.cdc import snapshot_diff
 from global_stock_data_warehouse_spark.operators.corpus import (
     PII_PATTERNS,
     bm25_score,
+    bpe_merge_candidates,
     decontaminate,
     duplicate_spans,
     ngram_topk,
     pack_sequences,
     pii_scrub,
     rebalance_sample,
+    remove_duplicate_spans,
     temperature_sample,
     with_split,
 )
@@ -1353,6 +1357,34 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup REWRITE (Lee et al. 2022 scoped to 4-token
+    spans): non-first occurrences of corpus-duplicated spans are cut and
+    the text reassembled. All string/integer logic -> bit-exact oracle."""
+    return remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), n=4, min_count=2
+    )
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: corpus-weighted adjacent char-pair
+    counts via the two-phase vocab trick (pair fan-out scales with
+    |vocab|, not corpus size). Top-40, integer counts -> bit-exact."""
+    return bpe_merge_candidates(_t(spark, sf_dir, "documents"), k=40)
+
+
+def q_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (long format), fixed-point BIGINT
+    accumulation so float sum order can't drift between engines."""
+    return class_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global per-dim min/max int8 scalar quantization (SQ-compressed ANN
+    prep); floor(x+0.5) tie-break, integral codes -> bit-exact."""
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-25 bigrams with min-support prune — wordcount at
     scale: map-side partial agg absorbs the explode, deterministic
@@ -2538,6 +2570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_linear": q_gap_fill_linear,
         "rfm_segments": q_rfm_segments,
         "rolling_distinct_users": q_rolling_distinct_users,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "class_centroids": q_class_centroids,
+        "quantize_embeddings": q_quantize_embeddings,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3414,6 +3450,81 @@ SELECT span, n_docs, members FROM g
 WHERE n_docs >= 2
 ORDER BY n_docs DESC, span ASC
 LIMIT 100
+""",
+        "remove_duplicate_spans": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(t, i + 1, i + 4), ' ') AS span,
+         doc_id * 4294967296 + i AS okey
+  FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0))) AS u(i)
+), stats AS (
+  SELECT span, min(okey) AS first_key
+  FROM occ GROUP BY span HAVING count(*) >= 2
+), dup AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN stats s USING (span)
+  WHERE o.okey != s.first_key
+), covered AS (
+  SELECT DISTINCT doc_id, pos + j AS tpos
+  FROM dup, UNNEST(range(0, 4)) AS v(j)
+), tok_rows AS (
+  SELECT doc_id, i AS tpos, t[i + 1] AS tok
+  FROM toks, UNNEST(range(0, len(t))) AS w(i)
+), kept AS (
+  SELECT tr.doc_id, tr.tpos, tr.tok FROM tok_rows tr
+  ANTI JOIN covered c ON tr.doc_id = c.doc_id AND tr.tpos = c.tpos
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+""",
+        "bpe_merge_candidates": """
+WITH vocab AS (
+  SELECT word, count(*) AS wcount FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              t -> t != '')) AS word
+    FROM documents
+  ) GROUP BY word
+), pairs AS (
+  SELECT substr(word, i, 2) AS pair, wcount
+  FROM vocab, UNNEST(range(1, greatest(len(word), 1))) AS u(i)
+)
+SELECT pair, CAST(sum(wcount) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 40
+""",
+        "class_centroids": """
+SELECT label, i AS dim,
+       round(sum(CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000, 0) AS BIGINT))
+             / (count(*) * 1000000.0), 6) AS centroid,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+GROUP BY label, dim
+ORDER BY label, dim
+""",
+        "quantize_embeddings": """
+WITH dims AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+), stats AS (
+  SELECT dim, min(v) AS lo, max(v) AS hi FROM dims GROUP BY dim
+)
+SELECT d.vec_id, d.dim,
+       CAST(CASE WHEN s.hi = s.lo THEN 0
+                 ELSE floor((d.v - s.lo) / (s.hi - s.lo) * 255 + 0.5)
+            END AS INT) AS code
+FROM dims d JOIN stats s USING (dim)
+ORDER BY d.vec_id, d.dim
 """,
         "ngram_topk": """
 WITH toks AS (

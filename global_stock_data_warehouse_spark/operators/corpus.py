@@ -666,3 +666,108 @@ def ngram_topk_sketch(
         .orderBy(F.col("n").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 4,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring deduplication — the REWRITE step (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", scoped to
+    fixed ``n``-token spans): every span whose exact token sequence occurs
+    >= ``min_count`` times corpus-wide keeps only its globally-first
+    occurrence (ordered by (doc_id, pos)); tokens covered by any later
+    occurrence are cut from the document, and the text is reassembled.
+    ``duplicate_spans`` *detects* boilerplate; this operator *removes* it.
+
+    Scale design (the 100x question): the only corpus-wide shuffle is the
+    span-stats aggregation (map-side partial count+min). First-occurrence
+    identity packs (doc_id, pos) into ONE BIGINT (doc_id * 2^32 + pos) so
+    min() needs no struct comparator and is bit-exact on any engine. The
+    join back is span-keyed (AQE can broadcast when the duplicated-span
+    set is small); covered-position expansion, the anti-join, and the
+    reassembly are all doc-keyed — they repartition once and stay narrow.
+    At 100 TB you would key the span shuffle on xxhash64(span) instead of
+    the raw string to cut shuffle width; kept as the string here for
+    cross-engine oracle comparability (documented trade, not a limit).
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    occ = toks.select(
+        F.col(id_col), F.posexplode(word_ngrams(F.col("t"), n)).alias("pos", "span")
+    ).withColumn(
+        "okey", F.col(id_col).cast("long") * F.lit(1 << 32) + F.col("pos")
+    )
+    stats = (
+        occ.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("okey").alias("first_key"))
+        .filter(F.col("n_occ") >= min_count)
+    )
+    dup = occ.join(stats, "span").filter(F.col("okey") != F.col("first_key"))
+    covered = dup.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tpos"),
+    ).distinct()
+    tok_rows = toks.select(F.col(id_col), F.posexplode("t").alias("tpos", "tok"))
+    kept = tok_rows.join(covered, [id_col, "tpos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        toks.select(F.col(id_col), F.size("t").alias("_n_tokens"))
+        .join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("_n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """First BPE merge iteration at corpus scale: corpus-weighted adjacent
+    character-pair counts (Sennrich et al. 2016). Real BPE trainers never
+    scan the corpus per merge — they aggregate the WORD VOCABULARY once
+    (the expensive, corpus-sized shuffle, keyed on word with map-side
+    partials) and then count pairs over distinct words weighted by word
+    frequency, so the pair fan-out scales with |vocab|, not corpus size.
+    This operator is that two-phase shape; a full trainer would iterate
+    phase 2 on the (small) vocab after each merge without touching the
+    corpus again. All-integer counts -> bit-exact across engines."""
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        F.col("wcount"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wcount").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(k)
+    )

@@ -609,3 +609,78 @@ def semantic_dedup(
         )
 
     return assigned.groupBy("cell").applyInPandas(dedup_cell, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# embedding statistics & compression
+# ---------------------------------------------------------------------------
+
+
+def class_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-class centroid (prototype) computation — the building block for
+    nearest-class-mean classifiers, SemDeDup cell seeding, and dataset
+    cartography. Output is long-format (label, dim, centroid).
+
+    Bit-exactness trick: float summation is order-dependent, so a naive
+    avg() would drift between engines/partitionings. Each component is
+    first quantized to a fixed-point BIGINT (round(v * scale)); integer
+    sums are associative in any order, and the final divide happens once
+    on the driver-visible aggregate. One shuffle, map-side partials; the
+    per-dim result set is |labels| x dim — tiny, whatever the corpus size.
+    """
+    fx = F.round(F.col("v").cast("double") * scale, 0).cast("long")
+    return (
+        df.select(F.col(label_col).alias("label"), F.posexplode(vec_col).alias("dim", "v"))
+        .select("label", "dim", fx.alias("fx"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum("fx") / (F.count(F.lit(1)) * F.lit(float(scale))), 6
+            ).alias("centroid"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Global per-dimension min/max scalar quantization (the int8 encoding
+    step of an SQ-compressed ANN index, cf. FAISS ScalarQuantizer). Codes:
+    floor((v - lo) / (hi - lo) * (2^bits - 1) + 0.5), constant dims -> 0.
+
+    Scale shape: the stats pass reduces the whole corpus to ONE row per
+    dimension (map-side partial min/max), which broadcasts back; the
+    encode pass is map-only. floor(x + 0.5) is used instead of round()
+    so half-way ties break identically on every engine. Output is
+    long-format (id, dim, code) — integral, bit-exact, and directly
+    joinable as a compressed column store; at deployment you would
+    re-assemble per-row int arrays with a vectorized kernel instead of
+    paying this explode, but the stats/encode split is the same.
+    """
+    levels = (1 << bits) - 1
+    dims = df.select(F.col(id_col), F.posexplode(vec_col).alias("dim", "v"))
+    stats = dims.groupBy("dim").agg(
+        F.min(F.col("v").cast("double")).alias("lo"),
+        F.max(F.col("v").cast("double")).alias("hi"),
+    )
+    span = F.col("hi") - F.col("lo")
+    code = F.when(span == 0, F.lit(0)).otherwise(
+        F.floor(
+            (F.col("v").cast("double") - F.col("lo")) / span * levels + F.lit(0.5)
+        )
+    )
+    return (
+        dims.join(F.broadcast(stats), "dim")
+        .select(F.col(id_col), "dim", code.cast("int").alias("code"))
+        .orderBy(id_col, "dim")
+    )

@@ -327,3 +327,76 @@ def test_ngram_topk_sketch_recovers_heavy_hitters_when_lossy(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
     out = ngram_topk_sketch(docs, n=2, k=1, min_count=2, capacity=16).collect()
     assert [(r.gram, r.n) for r in out] == [("hot gram", 400)]
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans (exact substring dedup rewrite)
+# ---------------------------------------------------------------------------
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    # doc 0 holds the first occurrence of the 3-token span "x y z";
+    # doc 1 repeats it verbatim -> those 3 tokens are cut from doc 1 only.
+    df = spark.createDataFrame(
+        [(0, "x y z tail"), (1, "head x y z")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in remove_duplicate_spans(df, n=3, min_count=2).collect()
+    }
+    assert out[0] == ("x y z tail", 0)
+    assert out[1] == ("head", 3)
+
+
+def test_remove_duplicate_spans_overlapping_spans_union_coverage(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    # "a b a b a b" vs itself in doc 1: every position of doc 1 is covered
+    # by some duplicated span -> doc 1 empties entirely but keeps its row.
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "a b a b a b")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in remove_duplicate_spans(df, n=2, min_count=2).collect()
+    }
+    assert out[1] == ("", 6)
+    # doc 0: internal repeats ("a b" occurs 3x within doc 0 itself) —
+    # only the globally-first occurrence at pos 0 survives untouched;
+    # later in-doc repeats are cut too (Lee et al. semantics, not per-doc).
+    assert out[0][0].startswith("a b")
+    assert out[0][1] > 0
+
+
+def test_remove_duplicate_spans_short_docs_untouched(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame([(0, "one two"), (1, "one two")], ["doc_id", "text"])
+    out = remove_duplicate_spans(df, n=4, min_count=2).collect()
+    assert all(r.n_removed == 0 for r in out)
+    assert sorted(r.clean_text for r in out) == ["one two", "one two"]
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_candidates
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merge_candidates_weighted_by_word_frequency(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        bpe_merge_candidates,
+    )
+
+    # "ab" appears 3x as a word -> pair "ab" weight 3; "abc" once -> pairs
+    # "ab"+1, "bc"+1. Single-char words contribute nothing.
+    df = spark.createDataFrame([("ab ab ab abc a",)], ["text"])
+    out = {r.pair: r.n for r in bpe_merge_candidates(df, k=10).collect()}
+    assert out == {"ab": 4, "bc": 1}

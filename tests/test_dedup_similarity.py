@@ -456,3 +456,42 @@ def test_record_linkage_blocks_and_matches(spark):
     )
     out = record_linkage(df, name_col="name", block_cols=["brand"], max_distance=2).collect()
     assert [(r.id_a, r.id_b, r.distance) for r in out] == [(1, 2, 1)]
+
+
+def test_class_centroids_fixed_point_mean(spark):
+    from global_stock_data_warehouse_spark.operators.similarity import class_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7), (2, [3.0, 1.0], 7), (3, [5.0, 5.0], 9)],
+        ["vec_id", "embedding", "label"],
+    )
+    out = {(r.label, r.dim): (r.centroid, r.n_vectors) for r in class_centroids(df).collect()}
+    assert out[(7, 0)] == (2.0, 2)
+    assert out[(7, 1)] == (0.5, 2)
+    assert out[(9, 0)] == (5.0, 1)
+
+
+def test_quantize_embeddings_codes_and_constant_dim(spark):
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    # dim 0 spans [0, 2] -> codes 0 / 255; dim 1 is constant -> code 0.
+    df = spark.createDataFrame(
+        [(1, [0.0, 4.0]), (2, [2.0, 4.0]), (3, [1.0, 4.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {(r.vec_id, r.dim): r.code for r in quantize_embeddings(df).collect()}
+    assert out[(1, 0)] == 0 and out[(2, 0)] == 255
+    assert out[(3, 0)] == 128  # floor(0.5*255 + 0.5) = 128: half-up tie-break
+    assert all(out[(i, 1)] == 0 for i in (1, 2, 3))
+
+
+def test_quantize_embeddings_stats_side_broadcasts(spark, sf_dir):
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
