@@ -1385,6 +1385,42 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 triangle participants in the part co-purchase graph (parts
+    co-occurring in >= 2 orders — the support threshold is the standard
+    density control: the raw 1-co-occurrence graph is noise-dense, ~41M
+    wedges at sf0.1, while support>=2 keeps the signal edges). Degree-
+    ordered node-iterator (wedge volume bounded O(m^1.5), each triangle
+    generated once at its lowest-ranked corner); integer counts ->
+    bit-exact oracle."""
+    from global_stock_data_warehouse_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Pair generation WITHOUT a self-join: one groupBy(order) shuffle,
+    # then in-array combination expansion map-side (baskets are small —
+    # <= ~17 lines — so the per-row pair array is tiny; a self-join would
+    # shuffle the fact table twice and rejoin it).
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .filter(F.col("n_cooccur") >= 2)
+    )
+    return triangle_count(pairs, k=20)
+
+
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-25 bigrams with min-support prune — wordcount at
     scale: map-side partial agg absorbs the explode, deterministic
@@ -2574,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "class_centroids": q_class_centroids,
         "quantize_embeddings": q_quantize_embeddings,
+        "triangle_count": q_triangle_count,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3511,6 +3548,40 @@ SELECT label, i AS dim,
 FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
 GROUP BY label, dim
 ORDER BY label, dim
+""",
+        "triangle_count": """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) GROUP BY node
+), e AS (
+  SELECT CASE WHEN (da.deg, und.a) < (db.deg, und.b) THEN und.a ELSE und.b END AS u,
+         CASE WHEN (da.deg, und.a) < (db.deg, und.b) THEN und.b ELSE und.a END AS v,
+         CASE WHEN (da.deg, und.a) < (db.deg, und.b) THEN db.deg ELSE da.deg END AS dv
+  FROM und
+  JOIN deg da ON und.a = da.node
+  JOIN deg db ON und.b = db.node
+), tri AS (
+  SELECT e1.u, e1.v AS v1, e2.v AS v2
+  FROM e e1 JOIN e e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+  WHERE EXISTS (SELECT 1 FROM e c WHERE c.u = e1.v AND c.v = e2.v)
+), corners AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v1 AS node FROM tri
+    UNION ALL SELECT v2 AS node FROM tri
+  ) GROUP BY node
+)
+SELECT node, n_triangles FROM corners
+ORDER BY n_triangles DESC, node ASC
+LIMIT 20
 """,
         "quantize_embeddings": """
 WITH dims AS (

@@ -331,3 +331,66 @@ def pagerank(
         if max_delta is not None and max_delta <= tol:
             break
     return ranks.select("node", "rank")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst", k: int = 20
+) -> DataFrame:
+    """Per-node triangle participation counts (top-``k``) via the
+    degree-ordered node-iterator algorithm (Schank & Wagner 2005; the
+    MapReduce formulation is Suri & Vassilvitskii, WWW'11).
+
+    Why degree orientation matters at 100 TB: a naive wedge join explodes
+    on hubs (a degree-d node spawns d^2 wedges — a celebrity node in a
+    co-purchase graph with d=10^6 would emit 10^12 rows). Orienting every
+    edge from the (degree, id)-smaller endpoint to the larger one turns
+    the graph into a DAG where each node's OUT-degree is O(sqrt(m)), so
+    total wedge volume is bounded by sum(outdeg^2) <= O(m^1.5) — the
+    optimal bound — and each triangle is generated exactly once (at its
+    lowest-ranked corner). The total order is the LEXICOGRAPHIC
+    (degree, id) pair compared directly as a struct — no global rank
+    window (a row_number over all nodes would funnel the node set
+    through one task; struct comparison keeps the orientation map-side).
+    Pipeline: canonicalize + distinct, degree agg (joined back — AQE
+    broadcasts it when small), wedge self-join on the low corner,
+    closing-edge semi join, 3-way explode for per-node counts.
+    Integer counts -> bit-exact across engines."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    a_first = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    e = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    e1 = e.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    e2 = e.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = e1.join(e2, "u").filter(
+        F.struct(F.col("dv1"), F.col("v1")) < F.struct(F.col("dv2"), F.col("v2"))
+    )
+    closing = e.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tris = wedges.join(closing, ["v1", "v2"], "left_semi").select("u", "v1", "v2")
+    corners = (
+        tris.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return corners.orderBy(F.col("n_triangles").desc(), F.col("node").asc()).limit(k)

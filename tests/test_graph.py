@@ -147,3 +147,29 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = pagerank(edges)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def test_triangle_count_known_graph(spark):
+    from global_stock_data_warehouse_spark.operators.graph import triangle_count
+
+    # K4 on {a,b,c,d} has 4 triangles; each node sits in 3 of them.
+    # Pendant node e-a joins no triangle and must not appear.
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("e", "a"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_count_ignores_direction_dupes_and_loops(spark):
+    from global_stock_data_warehouse_spark.operators.graph import triangle_count
+
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "b"),  # one undirected edge
+        ("b", "c"), ("c", "a"), ("a", "a"),  # loop dropped
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}
