@@ -390,24 +390,41 @@ def basket_rules(
     co-occurrence count, support, confidence, and lift per item pair
     (item_a < item_b canonical).
 
-    The pair self-join runs on the basket key BOTH sides — one hash
-    shuffle that the pair aggregation's partials absorb; pair volume is
-    quadratic only in basket SIZE (bounded ~items-per-order), linear in
-    baskets. Item supports and the basket total are tiny aggregates that
-    broadcast back. Every metric is a single division of exact integer
-    counts — engine-exact at 6dp.
+    Pair generation is NOT a self-join: ONE groupBy(basket) shuffle
+    builds the per-basket distinct item set (collect_set dedups in the
+    aggregate, so no pre-distinct shuffle either), and pairs expand
+    map-side from the sorted array — quadratic only in basket SIZE
+    (bounded ~items-per-order), linear in baskets. Item supports derive
+    from the same aggregate, so the basket exchange is computed once and
+    reused. Supports broadcast back over the pair counts. Every metric
+    is a single division of exact integer counts — engine-exact at 6dp.
     """
-    b = baskets.select(
-        F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
-    ).distinct()
-    n_baskets = b.select("bid").distinct().count()
-    item_counts = b.groupBy(F.col("item")).agg(F.count(F.lit(1)).alias("n_item"))
-    left = b.select("bid", F.col("item").alias("item_a"))
-    right = b.select("bid", F.col("item").alias("item_b"))
+    basket_items = (
+        baskets.select(F.col(basket_col).alias("bid"), F.col(item_col).alias("item"))
+        .groupBy("bid")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+    )
+    # basket total as a 1-row broadcast scalar (bm25_score pattern): no
+    # driver-side count() job, and the basket exchange is shared with the
+    # pair/item aggregations below via ReuseExchange
+    totals = basket_items.agg(F.count(F.lit(1)).alias("_n_baskets"))
+    item_counts = (
+        basket_items.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
     pairs = (
-        left.join(right, ["bid"])
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        basket_items.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_pair_count)
     )
@@ -417,15 +434,20 @@ def basket_rules(
     cb = item_counts.select(
         F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
     )
-    out = pairs.join(F.broadcast(ca), "item_a").join(F.broadcast(cb), "item_b")
+    out = (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(totals))
+    )
     return out.select(
         "item_a",
         "item_b",
         "n_ab",
-        F.round(F.col("n_ab") / F.lit(float(n_baskets)), 6).alias("support"),
+        F.round(F.col("n_ab") / F.col("_n_baskets").cast("double"), 6).alias("support"),
         F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
         F.round(
-            F.col("n_ab") * F.lit(float(n_baskets)) / (F.col("n_a") * F.col("n_b")),
+            F.col("n_ab") * F.col("_n_baskets").cast("double")
+            / (F.col("n_a") * F.col("n_b")),
             6,
         ).alias("lift"),
     )
