@@ -1385,6 +1385,18 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 vectors farthest from their own class centroid (cleanlab-
+    style label-noise audit). Distance is integer arithmetic in the
+    shared fixed-point space -> bit-exact; only the final sqrt/scale is
+    float (IEEE-deterministic)."""
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    return centroid_outliers(_t(spark, sf_dir, "embeddings"), k=25)
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 triangle participants in the part co-purchase graph (parts
     co-occurring in >= 2 orders — the support threshold is the standard
@@ -2611,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_centroids": q_class_centroids,
         "quantize_embeddings": q_quantize_embeddings,
         "triangle_count": q_triangle_count,
+        "centroid_outliers": q_centroid_outliers,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3548,6 +3561,26 @@ SELECT label, i AS dim,
 FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
 GROUP BY label, dim
 ORDER BY label, dim
+""",
+        "centroid_outliers": """
+WITH dims AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS fxv
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+), cents AS (
+  SELECT label, dim,
+         CAST(round(round(sum(fxv) / (count(*) * 1000000.0), 6) * 1000000, 0) AS BIGINT) AS fxc
+  FROM dims GROUP BY label, dim
+), dist2 AS (
+  SELECT d.vec_id, d.label,
+         CAST(sum((d.fxv - c.fxc) * (d.fxv - c.fxc)) AS BIGINT) AS dist2_fx
+  FROM dims d JOIN cents c ON d.label = c.label AND d.dim = c.dim
+  GROUP BY d.vec_id, d.label
+)
+SELECT vec_id, label, round(sqrt(dist2_fx) / 1000000.0, 6) AS dist
+FROM dist2
+ORDER BY dist DESC, vec_id ASC
+LIMIT 25
 """,
         "triangle_count": """
 WITH li AS (

@@ -684,3 +684,47 @@ def quantize_embeddings(
         .select(F.col(id_col), "dim", code.cast("int").alias("code"))
         .orderBy(id_col, "dim")
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 25,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Label-noise / outlier detection: distance of each vector to its own
+    class centroid, top-``k`` farthest (the confident-mislabel heuristic
+    behind cleanlab-style auditing and coreset pruning).
+
+    Composes ``class_centroids``: both vector components and centroids
+    live in the same fixed-point BIGINT space, so the squared distance
+    sum((fx_v - fx_c)^2) is integer arithmetic — associative in any
+    order, bit-exact on any engine — and only the final sqrt/scale
+    division touches floats (once, deterministically). The centroid side
+    is |labels| x dim rows and broadcasts; the per-vector pass is
+    map-only after one explode. Top-k compiles to TakeOrderedAndProject.
+    """
+    fx = F.round(F.col("v").cast("double") * scale, 0).cast("long")
+    dims = df.select(
+        F.col(id_col), F.col(label_col).alias("label"), F.posexplode(vec_col).alias("dim", "v")
+    ).select(F.col(id_col), "label", "dim", fx.alias("fxv"))
+    cents = class_centroids(df, vec_col=vec_col, label_col=label_col, scale=scale).select(
+        "label",
+        "dim",
+        F.round(F.col("centroid") * scale, 0).cast("long").alias("fxc"),
+    )
+    d = F.col("fxv") - F.col("fxc")
+    return (
+        dims.join(F.broadcast(cents), ["label", "dim"])
+        .groupBy(F.col(id_col), "label")
+        .agg(F.sum(d * d).alias("dist2_fx"))
+        .select(
+            F.col(id_col),
+            "label",
+            F.round(F.sqrt(F.col("dist2_fx")) / scale, 6).alias("dist"),
+        )
+        .orderBy(F.col("dist").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

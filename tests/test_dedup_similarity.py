@@ -495,3 +495,27 @@ def test_quantize_embeddings_stats_side_broadcasts(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_centroid_outliers_flags_farthest_vector(spark):
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    # three tight vectors + one far outlier in label 1; the outlier must
+    # rank first and its distance to the centroid be the largest.
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 1),
+            (2, [0.1, 0.0], 1),
+            (3, [0.0, 0.1], 1),
+            (4, [9.0, 9.0], 1),
+            (5, [5.0, 5.0], 2),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    out = centroid_outliers(df, k=3).collect()
+    assert out[0].vec_id == 4 and out[0].label == 1
+    # singleton class: its only vector IS the centroid -> distance 0,
+    # so vec 5 can never outrank the label-1 members
+    assert all(r.vec_id != 5 for r in out)
