@@ -1084,6 +1084,25 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries_df, k=5)
 
 
+def q_ann_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection (64 -> 16 dims) then brute-force cosine top-5
+    on the COMPRESSED vectors — the standard memory/recall trade for ANN
+    at scale (4x smaller vectors, one map-only Arrow pass; the seeded
+    projection matrix is rebuilt per task, nothing broadcast).
+    Approximate by construction -> rows-only; the distance-preservation
+    property test carries correctness."""
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    low = random_projection(emb, out_dim=16)
+    queries_df = low.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return brute_force_topk(low, queries_df, k=5)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (scale path; rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2630,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_projected_topk": q_ann_projected_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "semantic_dedup": q_semantic_dedup,

@@ -21,7 +21,7 @@ per comparison — fine per row, ruinous across 10^7+ pairs.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -728,3 +728,48 @@ def centroid_outliers(
         .orderBy(F.col("dist").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: compress ``vec_col`` to
+    ``out_dim`` dimensions with a seeded Gaussian matrix scaled by
+    1/sqrt(out_dim), preserving pairwise distances within (1 +/- eps)
+    w.h.p. — the standard pre-ANN / pre-clustering compression step.
+
+    Scale shape: the projection matrix is a pure function of
+    (seed, in_dim, out_dim), so every task REBUILDS it locally from the
+    seed — nothing is collected, broadcast, or shuffled; the whole
+    operator is one map-only Arrow pass with a single BLAS matmul per
+    batch. Output floats are rounded to 6dp so downstream exact
+    comparisons are reproducible, but the operator is approximate by
+    construction (rows-only check; distance-preservation property test
+    carries correctness)."""
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proj = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _stack(pdf[vec_col])
+            if proj is None or proj.shape[0] != mat.shape[1]:
+                rng = np.random.default_rng(seed)
+                proj = rng.standard_normal((mat.shape[1], out_dim)) / np.sqrt(out_dim)
+            low = np.round(mat.astype(np.float64) @ proj, 6)
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy()
+            out[vec_col] = list(low.astype(np.float32))
+            yield pd.DataFrame(out)
+
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+    schema = f"{id_col} long{keep_schema}, {vec_col} array<float>"
+    return df.select(id_col, *keep_cols, vec_col).mapInPandas(project, schema=schema)

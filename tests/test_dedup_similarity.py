@@ -519,3 +519,28 @@ def test_centroid_outliers_flags_farthest_vector(spark):
     # singleton class: its only vector IS the centroid -> distance 0,
     # so vec 5 can never outrank the label-1 members
     assert all(r.vec_id != 5 for r in out)
+
+
+def test_random_projection_preserves_relative_distances(spark):
+    import numpy as np
+
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        random_projection,
+    )
+
+    # two tight clusters far apart in 64-d; after projecting to 16-d,
+    # within-cluster distances must stay well below between-cluster ones
+    # (JL guarantee at these dimensions), and the output must be
+    # deterministic across runs (seeded matrix, no state).
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 0.1, (10, 64)) + 0.0
+    b = rng.normal(0, 0.1, (10, 64)) + 10.0
+    rows = [(i, v.astype("float32").tolist()) for i, v in enumerate(list(a) + list(b))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out1 = {r.vec_id: np.array(r.embedding) for r in random_projection(df).collect()}
+    out2 = {r.vec_id: np.array(r.embedding) for r in random_projection(df).collect()}
+    assert all((out1[i] == out2[i]).all() for i in out1)
+    assert len(out1[0]) == 16
+    within = np.linalg.norm(out1[0] - out1[1])
+    between = np.linalg.norm(out1[0] - out1[10])
+    assert between > 5 * within
