@@ -355,6 +355,13 @@ def triangle_count(
     broadcasts it when small), wedge self-join on the low corner,
     closing-edge semi join, 3-way explode for per-node counts.
     Integer counts -> bit-exact across engines."""
+    # The triangle machinery references the edge set many times (degree
+    # union x2, orientation join, wedge self-join x2, closing side):
+    # without a cut, EVERY reference re-executes the caller's whole edge-
+    # building lineage (the audited plan had 60 exchanges from subtree
+    # duplication). localCheckpoint materializes the canonical and
+    # oriented edge lists exactly once — at 100 TB you'd persist the edge
+    # list to storage for the same reason.
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -362,6 +369,7 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -380,6 +388,7 @@ def triangle_count(
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
             F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
+        .localCheckpoint(eager=True)
     )
     e1 = e.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
     e2 = e.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
