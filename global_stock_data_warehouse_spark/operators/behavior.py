@@ -359,7 +359,12 @@ def max_concurrency(
         .orderBy(F.col("ts"), delta_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = pts.withColumn("local_run", F.sum("delta").over(wloc))
+    # referenced by both the bucket-total aggregate and the final join:
+    # materialize once so the caller's interval-building lineage (often a
+    # sessionize pass) isn't re-executed per consumer
+    local = pts.withColumn("local_run", F.sum("delta").over(wloc)).localCheckpoint(
+        eager=True
+    )
     totals = local.groupBy("bucket").agg(F.sum("delta").alias("bucket_total"))
     woff = (
         Window.orderBy("bucket")
@@ -371,12 +376,12 @@ def max_concurrency(
     runs = local.join(F.broadcast(offsets), "bucket").withColumn(
         "run", F.col("local_run") + F.col("offset")
     )
-    peak = runs.agg(F.max("run").alias("max_concurrent"))
-    return (
-        runs.join(F.broadcast(peak), runs.run == peak.max_concurrent)
-        .groupBy("max_concurrent")
-        .agg(F.min("ts").alias("at_ts"))
-        .select("max_concurrent", "at_ts")
+    # peak + earliest instant in ONE aggregation: min_by over the key
+    # (-run, ts) picks the row with the largest run, earliest ts — no
+    # second pass over `runs` and no peak-value re-join
+    return runs.agg(
+        F.max("run").alias("max_concurrent"),
+        F.expr("min_by(ts, named_struct('nr', -run, 'ts', ts))").alias("at_ts"),
     )
 
 
@@ -403,6 +408,10 @@ def basket_rules(
         baskets.select(F.col(basket_col).alias("bid"), F.col(item_col).alias("item"))
         .groupBy("bid")
         .agg(F.sort_array(F.collect_set("item")).alias("items"))
+        # three consumers (totals, item supports, pairs) would each
+        # re-execute the caller's scan + this aggregation; materialize it
+        # once (at 100 TB: persist the basketized frame)
+        .localCheckpoint(eager=True)
     )
     # basket total as a 1-row broadcast scalar (bm25_score pattern): no
     # driver-side count() job, and the basket exchange is shared with the
