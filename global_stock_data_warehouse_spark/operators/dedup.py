@@ -475,6 +475,10 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # the self-join below would otherwise execute the signature kernel
+    # (scan -> shingle hash -> numpy minhash) once PER SIDE; materialize
+    # the banded frame once
+    banded = banded.localCheckpoint(eager=True)
     x = banded.alias("x")
     y = banded.alias("y")
     return (
@@ -557,6 +561,8 @@ def minhash_neardup(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # self-join: without a cut the signature kernel runs once per side
+    banded = banded.localCheckpoint(eager=True)
     x, y = banded.alias("x"), banded.alias("y")
     # estimate computed IN the join output and filtered before the pair
     # dedup: only passing pairs reach the distinct's shuffle.
@@ -693,6 +699,9 @@ def simhash_neardup(
             )
         ).alias("c"),
     ).select("id", "sh", "c.chunk_idx", "c.chunk")
+    # self-join: materialize once so the signature expression pipeline
+    # (scan -> tokenize -> 64 weighted bit sums) doesn't run per side
+    chunks = chunks.localCheckpoint(eager=True)
     x = chunks.alias("x")
     y = chunks.alias("y")
     # Hamming predicate INSIDE the join: far pairs die in the join stage

@@ -25,6 +25,7 @@ def test_oracle_keys_subset_of_queries():
         "embedding_neardup_lsh",
         "semantic_dedup",
         "pagerank",
+        "ann_projected_topk",
     }
     assert qs - oracles <= approx_ok, f"missing oracles: {qs - oracles - approx_ok}"
 
