@@ -209,7 +209,13 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias("sh"),
     )
-    inv = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("h"))
+    # the exploded posting list feeds the document-frequency aggregate,
+    # the prefix ranking, and (under max_shingle_df) the shingle-set
+    # rebuild — materialize it once instead of re-running the
+    # scan -> tokenize -> shingle -> hash -> explode chain per consumer
+    inv = sh.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("h")
+    ).localCheckpoint(eager=True)
     dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("sh_df"))
     if max_shingle_df is not None:
         dfreq = dfreq.filter(F.col("sh_df") <= max_shingle_df)
@@ -228,6 +234,8 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("rk") <= prefix_len)
         .select("id", "h")
+        # self-join below: cut so the prefix ranking runs once, not per side
+        .localCheckpoint(eager=True)
     )
     a = ranked.alias("a")
     b = ranked.alias("b")
@@ -306,6 +314,9 @@ def _ngram_jaccard_dense(
         .withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
         .groupBy("blk")
         .agg(F.collect_list(F.struct("id", "vixs")).alias("docs"))
+        # both sides of the block-pair join read this (tiny: B rows of
+        # packed arrays); cut so the bitmap build runs once, not twice
+        .localCheckpoint(eager=True)
     )
     # Upper-triangle block pairs as an EQUI-join: each block explodes its
     # own id to every >= block id (the replication the pair join must do
