@@ -249,3 +249,55 @@ def test_hopping_window_conserves_events(rows):
     # size/slide = 2: every event lands in exactly two windows
     assert sum(r.n_events for r in out) == 2 * len(rows)
     assert all(r.n_events >= 1 for r in out)
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges_strategy)
+@SLOW
+def test_triangle_count_matches_brute_force(pairs):
+    from itertools import combinations
+
+    from global_stock_data_warehouse_spark.operators.graph import triangle_count
+
+    spark = _get_spark()
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    out = {r.node: r.n_triangles for r in triangle_count(df, k=100).collect()}
+
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = {v for e in und for v in e}
+    expected: dict[int, int] = {}
+    for u, v, w in combinations(sorted(nodes), 3):
+        if {(u, v), (u, w), (v, w)} <= und:
+            for x in (u, v, w):
+                expected[x] = expected.get(x, 0) + 1
+    assert out == expected
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=24), min_size=1, max_size=8))
+@SLOW
+def test_remove_duplicate_spans_conservation(texts):
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = remove_duplicate_spans(df, n=2, min_count=2).collect()
+    assert len(out) == len(texts)
+    by_id = {r.doc_id: r for r in out}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        r = by_id[i]
+        kept = r.clean_text.split() if r.clean_text else []
+        # conservation: kept + removed == original token count
+        assert len(kept) + r.n_removed == len(toks)
+        assert 0 <= r.n_removed <= len(toks)
+        # kept tokens are a subsequence of the original token stream
+        it = iter(toks)
+        assert all(any(tok == o for o in it) for tok in kept)
