@@ -1416,21 +1416,11 @@ def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_outliers(_t(spark, sf_dir, "embeddings"), k=25)
 
 
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 triangle participants in the part co-purchase graph (parts
-    co-occurring in >= 2 orders — the support threshold is the standard
-    density control: the raw 1-co-occurrence graph is noise-dense, ~41M
-    wedges at sf0.1, while support>=2 keeps the signal edges). Degree-
-    ordered node-iterator (wedge volume bounded O(m^1.5), each triangle
-    generated once at its lowest-ranked corner); integer counts ->
-    bit-exact oracle."""
-    from global_stock_data_warehouse_spark.operators.graph import triangle_count
-
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-purchase graph with support >= 2 (shared by the graph
+    queries): one groupBy(order) shuffle + map-side in-array pair
+    expansion — no fact-table self-join."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # Pair generation WITHOUT a self-join: one groupBy(order) shuffle,
-    # then in-array combination expansion map-side (baskets are small —
-    # <= ~17 lines — so the per-row pair array is tiny; a self-join would
-    # shuffle the fact table twice and rejoin it).
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -1443,13 +1433,35 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
+    return (
         baskets.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n_cooccur"))
         .filter(F.col("n_cooccur") >= 2)
     )
-    return triangle_count(pairs, k=20)
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-purchase graph (iterative peeling to the
+    dense sub-network — the spam-ring/boilerplate trim). Greatest
+    fixpoint, not SQL-recursive-CTE-expressible -> rows-only; brute-force
+    peeling equivalence is property-tested in tests/test_graph.py."""
+    from global_stock_data_warehouse_spark.operators.graph import k_core
+
+    return k_core(_copurchase_edges(spark, sf_dir), k=3)
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 triangle participants in the part co-purchase graph (parts
+    co-occurring in >= 2 orders — the support threshold is the standard
+    density control: the raw 1-co-occurrence graph is noise-dense, ~41M
+    wedges at sf0.1, while support>=2 keeps the signal edges). Degree-
+    ordered node-iterator (wedge volume bounded O(m^1.5), each triangle
+    generated once at its lowest-ranked corner); integer counts ->
+    bit-exact oracle."""
+    from global_stock_data_warehouse_spark.operators.graph import triangle_count
+
+    return triangle_count(_copurchase_edges(spark, sf_dir), k=20)
 
 
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2650,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_projected_topk": q_ann_projected_topk,
+        "k_core": q_k_core,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "semantic_dedup": q_semantic_dedup,

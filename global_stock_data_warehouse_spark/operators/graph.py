@@ -403,3 +403,104 @@ def triangle_count(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return corners.orderBy(F.col("n_triangles").desc(), F.col("node").asc()).limit(k)
+
+
+def _k_core_driver(rows: list, k: int, spark, node_type: str) -> DataFrame:
+    """Driver-side peeling for SMALL edge sets (size-gated by the caller):
+    a graph of a few thousand edges should not pay dozens of distributed
+    rounds of job-scheduling overhead. Labels match the distributed path
+    exactly."""
+    und = {(a, b) for a, b in rows}
+    while True:
+        deg: dict = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            break
+        und = {(a, b) for a, b in und if a not in drop and b not in drop}
+    out: dict = {}
+    for a, b in und:
+        out[a] = out.get(a, 0) + 1
+        out[b] = out.get(b, 0) + 1
+    df = spark.createDataFrame(
+        sorted(out.items(), key=lambda t: (-t[1], t[0])),
+        schema=f"node {node_type}, core_degree bigint",
+    )
+    return df.orderBy(F.col("core_degree").desc(), F.col("node").asc())
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    driver_max_edges: int = 200_000,
+) -> DataFrame:
+    """Nodes of the ``k``-core: the maximal subgraph where every node has
+    degree >= ``k`` (Seidman 1983) — the standard trim for spam rings /
+    boilerplate clusters in similarity graphs (peripheral nodes peel
+    away; the dense core survives).
+
+    Iterative peeling: drop nodes with current degree < k, recompute
+    degrees on the induced subgraph, repeat to fixpoint. Each round is
+    one degree aggregation + two semi joins — all DataFrame ops, keyed
+    on node ids (no global ordering anywhere); ``localCheckpoint`` per
+    round keeps the plan flat, and rounds are bounded by the peeling
+    depth (<= graph degeneracy + 1, small for real graphs). Raises on
+    non-convergence rather than returning a wrong subgraph.
+
+    Stats-dispatched like ``connected_components``: the canonical edge
+    count (free — the frame is already checkpointed) routes small graphs
+    to driver-side peeling (identical result, no per-round scheduling
+    overhead); big ones run the distributed loop.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if und.count() <= driver_max_edges:
+        return _k_core_driver(
+            [(r[0], r[1]) for r in und.collect()],
+            k,
+            edges.sparkSession,
+            und.schema["a"].dataType.simpleString(),
+        )
+    cur = und
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node").localCheckpoint(eager=True)
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == cur.count():
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        raise RuntimeError(
+            f"k_core did not converge in {max_iter} peeling rounds; "
+            "raise max_iter (rounds are bounded by graph degeneracy)"
+        )
+    return (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy(F.col("core_degree").desc(), F.col("node").asc())
+    )

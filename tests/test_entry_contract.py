@@ -26,6 +26,7 @@ def test_oracle_keys_subset_of_queries():
         "semantic_dedup",
         "pagerank",
         "ann_projected_topk",
+        "k_core",
     }
     assert qs - oracles <= approx_ok, f"missing oracles: {qs - oracles - approx_ok}"
 

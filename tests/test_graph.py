@@ -173,3 +173,63 @@ def test_triangle_count_ignores_direction_dupes_and_loops(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
     assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_k_core_peels_to_dense_core(spark):
+    from global_stock_data_warehouse_spark.operators.graph import k_core
+
+    # K4 core ({a,b,c,d}, all degree 3) plus a pendant chain e-f hanging
+    # off a: chain peels away at k=2, the K4 survives with degree 3.
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("a", "e"), ("e", "f"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r.core_degree for r in k_core(df, k=2).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # k above the max degree peels everything
+    assert k_core(df, k=4).count() == 0
+
+
+def test_k_core_matches_brute_force_peeling(spark):
+    import random
+
+    from global_stock_data_warehouse_spark.operators.graph import k_core
+
+    rng = random.Random(11)
+    pairs = {(rng.randint(0, 14), rng.randint(0, 14)) for _ in range(45)}
+    df = spark.createDataFrame(sorted(pairs), ["src", "dst"])
+    out = {r.node: r.core_degree for r in k_core(df, k=3).collect()}
+
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {n for n, d in deg.items() if d < 3}
+        if not drop:
+            break
+        und = {(a, b) for a, b in und if a not in drop and b not in drop}
+    expected: dict[int, int] = {}
+    for a, b in und:
+        expected[a] = expected.get(a, 0) + 1
+        expected[b] = expected.get(b, 0) + 1
+    assert out == expected
+
+
+def test_k_core_driver_and_distributed_paths_agree(spark):
+    import random
+
+    from global_stock_data_warehouse_spark.operators.graph import k_core
+
+    rng = random.Random(23)
+    pairs = sorted({(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(70)})
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    small = {(r.node, r.core_degree) for r in k_core(df, k=3).collect()}
+    big = {
+        (r.node, r.core_degree)
+        for r in k_core(df, k=3, driver_max_edges=0).collect()
+    }
+    assert small == big
