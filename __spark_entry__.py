@@ -1441,6 +1441,16 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for lineitem keyed on l_suppkey: key
+    concentration stats as one row (the pre-flight check before keying a
+    100 TB shuffle). Exact integer counts + single divisions ->
+    bit-exact."""
+    from global_stock_data_warehouse_spark.operators.profile import skew_report
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), keys=["l_suppkey"], top_n=10)
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the part co-purchase graph (iterative peeling to the
     dense sub-network — the spam-ring/boilerplate trim). Greatest
@@ -2655,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "triangle_count": q_triangle_count,
         "centroid_outliers": q_centroid_outliers,
+        "skew_report": q_skew_report,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3594,6 +3605,26 @@ SELECT label, i AS dim,
 FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
 GROUP BY label, dim
 ORDER BY label, dim
+""",
+        "skew_report": """
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
+), totals AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(n) AS BIGINT) AS max_key_rows,
+         round(quantile_cont(n, 0.5), 6) AS p50_key_rows
+  FROM counts
+), topn AS (
+  SELECT CAST(sum(n) AS BIGINT) AS top_rows FROM (
+    SELECT n FROM counts ORDER BY n DESC, l_suppkey ASC LIMIT 10
+  )
+)
+SELECT n_rows, n_keys, max_key_rows, p50_key_rows,
+       round(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS top1_share,
+       round(CAST(top_rows AS DOUBLE) / n_rows, 6) AS topn_share,
+       round(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows, 6) AS skew_ratio
+FROM totals, topn
 """,
         "centroid_outliers": """
 WITH dims AS (

@@ -81,3 +81,55 @@ def profile_table(
     for p in per_col[1:]:
         out = out.unionByName(p)
     return out
+
+
+def skew_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostic — the pre-flight check before
+    keying a 100 TB shuffle: per-key concentration statistics as ONE row
+    (n_rows, n_keys, max_key_rows, p50_key_rows, top1_share, topN_share,
+    skew_ratio = max / mean). A skew_ratio in the hundreds says "salt
+    this key or let AQE split it" before the job, not after the straggler.
+
+    One shuffle (the per-key count, map-side partials); the stats and
+    top-N sides both read the counts frame, so it is checkpointed and
+    computed once. The top-N sum compiles to TakeOrderedAndProject; the
+    median of key sizes is exact (one task over n_keys rows — fine for
+    realistic key cardinalities; swap to approx_percentile beyond ~10^8
+    keys). All shares are single divisions of exact counts -> 6dp
+    engine-exact.
+    """
+    kcols = [F.col(c) for c in keys]
+    counts = (
+        df.groupBy(*kcols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_key_rows"),
+        F.expr("percentile(n, 0.5)").alias("p50_key_rows"),
+    )
+    topn = (
+        counts.orderBy(F.col("n").desc(), *[F.col(c).asc() for c in keys])
+        .limit(top_n)
+        .agg(F.sum("n").alias("_top_rows"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(topn))
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("max_key_rows").cast("long").alias("max_key_rows"),
+            F.round("p50_key_rows", 6).alias("p50_key_rows"),
+            F.round(F.col("max_key_rows") / F.col("n_rows"), 6).alias("top1_share"),
+            F.round(F.col("_top_rows") / F.col("n_rows"), 6).alias("topn_share"),
+            F.round(
+                F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("skew_ratio"),
+        )
+    )

@@ -86,3 +86,18 @@ def test_scd2_history_episodes_and_null_values(spark):
     ]
     u2 = [r for r in rows if r.user_id == 2]
     assert len(u2) == 1 and u2[0].is_current
+
+
+def test_skew_report_stats(spark):
+    from global_stock_data_warehouse_spark.operators.profile import skew_report
+
+    # key 'hot' has 6 rows, 'a'..'d' one each: n_rows=10, n_keys=5,
+    # max=6, p50=1, top1_share=0.6, skew_ratio = 6/(10/5) = 3.
+    rows = [("hot",)] * 6 + [("a",), ("b",), ("c",), ("d",)]
+    df = spark.createDataFrame(rows, ["k"])
+    r = skew_report(df, keys=["k"], top_n=2).collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_key_rows) == (10, 5, 6)
+    assert r.p50_key_rows == 1.0
+    assert r.top1_share == 0.6
+    assert r.topn_share == 0.7  # hot(6) + a(1)
+    assert r.skew_ratio == 3.0
