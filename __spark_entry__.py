@@ -1441,6 +1441,19 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source || corpus) unigram drift per document source — the
+    data-mixture health check. One (source, term) shuffle; corpus stats
+    re-aggregate that frame. Contributions are 1e-9 fixed-point before
+    summing; ln() can differ by an ulp across libms, so the mirror
+    compares under EPS (outside the driver hash window)."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        source_kl_divergence,
+    )
+
+    return source_kl_divergence(_t(spark, sf_dir, "documents"))
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostic for lineitem keyed on l_suppkey: key
     concentration stats as one row (the pre-flight check before keying a
@@ -2666,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "centroid_outliers": q_centroid_outliers,
         "skew_report": q_skew_report,
+        "source_kl": q_source_kl,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3605,6 +3619,31 @@ SELECT label, i AS dim,
 FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
 GROUP BY label, dim
 ORDER BY label, dim
+""",
+        "source_kl": """
+WITH counts AS (
+  SELECT source AS grp, t, count(*) AS n_gt FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x != '')) AS t
+    FROM documents
+  ) GROUP BY grp, t
+), grp_tot AS (
+  SELECT grp, sum(n_gt) AS n_g FROM counts GROUP BY grp
+), term_tot AS (
+  SELECT t, sum(n_gt) AS n_t FROM counts GROUP BY t
+), corpus_tot AS (
+  SELECT sum(n_gt) AS n_corpus FROM counts
+)
+SELECT c.grp AS source,
+       CAST(max(g.n_g) AS BIGINT) AS n_tokens,
+       round(sum(CAST(round((c.n_gt / g.n_g) * ln((c.n_gt / g.n_g) / (tt.n_t / ct.n_corpus)) * 1e9, 0) AS BIGINT)) / 1e9, 4) AS kl_nats
+FROM counts c
+JOIN grp_tot g ON c.grp = g.grp
+JOIN term_tot tt ON c.t = tt.t
+CROSS JOIN corpus_tot ct
+GROUP BY c.grp
+ORDER BY source
 """,
         "skew_report": """
 WITH counts AS (

@@ -771,3 +771,49 @@ def bpe_merge_candidates(
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(k)
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift monitor: KL(source || corpus) over unigram
+    distributions, per source — the standard data-mixture health check
+    (a source whose token distribution diverges from the corpus is
+    over/under-represented or broken upstream).
+
+    ONE corpus-sized shuffle (the (group, term) count; map-side partials
+    absorb the explode). Everything else derives from that aggregate:
+    group totals, corpus term totals, and corpus size are re-aggregations
+    of the (group, term) frame — |groups| x |vocab| rows, not corpus rows
+    — so the checkpointed counts frame is read three times and computed
+    once. Every source term exists in the corpus by construction, so
+    q > 0 and no smoothing is needed. Per-term contributions are
+    quantized to a 1e-9 fixed-point grid before summing (order-stable);
+    ln() itself can differ by an ulp across engines' libm, so the local
+    mirror compares this query under EPS, not the hash.
+    """
+    counts = (
+        df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t"))
+        .groupBy("grp", "t")
+        .agg(F.count(F.lit(1)).alias("n_gt"))
+        .localCheckpoint(eager=True)
+    )
+    grp_tot = counts.groupBy("grp").agg(F.sum("n_gt").alias("n_g"))
+    term_tot = counts.groupBy("t").agg(F.sum("n_gt").alias("n_t"))
+    corpus_tot = counts.agg(F.sum("n_gt").alias("n_corpus"))
+    p = F.col("n_gt") / F.col("n_g")
+    q = F.col("n_t") / F.col("n_corpus")
+    contrib_fx = F.round(p * F.log(p / q) * 1e9, 0).cast("long")
+    return (
+        counts.join(grp_tot, "grp")
+        .join(term_tot, "t")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy(F.col("grp").alias("source"))
+        .agg(
+            F.max("n_g").cast("long").alias("n_tokens"),
+            F.round(F.sum(contrib_fx) / 1e9, 4).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

@@ -400,3 +400,26 @@ def test_bpe_merge_candidates_weighted_by_word_frequency(spark):
     df = spark.createDataFrame([("ab ab ab abc a",)], ["text"])
     out = {r.pair: r.n for r in bpe_merge_candidates(df, k=10).collect()}
     assert out == {"ab": 4, "bc": 1}
+
+
+def test_source_kl_zero_for_identical_distributions(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        source_kl_divergence,
+    )
+
+    # identical sources match the corpus distribution exactly -> KL == 0
+    same = spark.createDataFrame(
+        [(0, "a b", "s1"), (1, "a b", "s2")], ["doc_id", "text", "source"]
+    )
+    out = {r.source: (r.n_tokens, r.kl_nats) for r in source_kl_divergence(same).collect()}
+    assert out == {"s1": (2, 0.0), "s2": (2, 0.0)}
+
+    # skew: corpus is a:6 b:2 -> q=(0.75, 0.25); s1's p=(0.5, 0.5):
+    # KL = 0.5 ln(0.5/0.75) + 0.5 ln(0.5/0.25) = 0.1438 nats
+    skewed = spark.createDataFrame(
+        [(0, "a b", "s1"), (1, "a b", "s2"), (2, "a a a a", "s3")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r.source: r.kl_nats for r in source_kl_divergence(skewed).collect()}
+    assert out["s1"] == 0.1438 == out["s2"]
+    assert out["s3"] > 0  # 1.0 ln(4/6 / 0.75) ... a-only source diverges too
