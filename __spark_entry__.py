@@ -1097,7 +1097,11 @@ def q_ann_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     low = random_projection(emb, out_dim=16)
-    queries_df = low.filter(F.col("vec_id") < 8).select(
+    # project the pre-filtered query frame separately: the projection is
+    # row-wise/deterministic, so this is identical to filtering `low` but
+    # avoids running the full-corpus projection a second time just to
+    # collect 8 query rows (the filter can't push below mapInPandas)
+    queries_df = random_projection(emb.filter(F.col("vec_id") < 8), out_dim=16).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return brute_force_topk(low, queries_df, k=5)
@@ -1420,19 +1424,15 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part co-purchase graph with support >= 2 (shared by the graph
     queries): one groupBy(order) shuffle + map-side in-array pair
     expansion — no fact-table self-join."""
+    from global_stock_data_warehouse_spark.operators.behavior import (
+        sorted_array_pairs,
+    )
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
-                lambda y: F.struct(x.alias("src"), y.alias("dst")),
-            ),
-        )
-    )
+    pair_structs = sorted_array_pairs(F.col("ps"), "src", "dst")
     return (
         baskets.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))

@@ -378,10 +378,28 @@ def max_concurrency(
     )
     # peak + earliest instant in ONE aggregation: min_by over the key
     # (-run, ts) picks the row with the largest run, earliest ts — no
-    # second pass over `runs` and no peak-value re-join
+    # second pass over `runs` and no peak-value re-join; the isNotNull
+    # filter preserves the empty-input contract (0 rows, not 1 null row)
     return runs.agg(
         F.max("run").alias("max_concurrent"),
         F.expr("min_by(ts, named_struct('nr', -run, 'ts', ts))").alias("at_ts"),
+    ).filter(F.col("max_concurrent").isNotNull())
+
+
+def sorted_array_pairs(arr, a_name: str = "a", b_name: str = "b"):
+    """All unordered pairs (arr[i], arr[j]), i < j, as an array of structs
+    — map-side combination expansion for per-group pair generation (the
+    join-free alternative to a group-keyed self-join: one groupBy shuffle
+    builds the sorted array, pairs expand in the projection). Quadratic
+    only in ARRAY size; callers bound group size by construction."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
     )
 
 
@@ -422,15 +440,7 @@ def basket_rules(
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n_item"))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
+    pair_structs = sorted_array_pairs(F.col("items"), "item_a", "item_b")
     pairs = (
         basket_items.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))

@@ -333,6 +333,22 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected edge list (a < b, loops dropped, distinct),
+    materialized once — shared preamble of the multi-reference graph
+    operators (every consumer would otherwise re-execute the caller's
+    edge-building lineage)."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst", k: int = 20
 ) -> DataFrame:
@@ -362,15 +378,7 @@ def triangle_count(
     # duplication). localCheckpoint materializes the canonical and
     # oriented edge lists exactly once — at 100 TB you'd persist the edge
     # list to storage for the same reason.
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = _canonical_undirected(edges, src, dst)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -448,24 +456,22 @@ def k_core(
     degrees on the induced subgraph, repeat to fixpoint. Each round is
     one degree aggregation + two semi joins — all DataFrame ops, keyed
     on node ids (no global ordering anywhere); ``localCheckpoint`` per
-    round keeps the plan flat, and rounds are bounded by the peeling
-    depth (<= graph degeneracy + 1, small for real graphs). Raises on
-    non-convergence rather than returning a wrong subgraph.
+    round keeps the plan flat. NOTE: parallel peeling removes all
+    sub-``k`` nodes per round, so round count is the graph's "peeling
+    cascade depth" — small for dense/clustered graphs, but O(n) worst
+    case on long chains (a path peels only its endpoints each round at
+    k=2); raise ``max_iter`` for such graphs. Raises on non-convergence
+    rather than returning a wrong subgraph. Each round's checkpoint
+    stays materialized for the job's lifetime (two frames per round);
+    for very deep peels prefer a larger ``driver_max_edges`` or peel in
+    coarser k-stages.
 
     Stats-dispatched like ``connected_components``: the canonical edge
     count (free — the frame is already checkpointed) routes small graphs
     to driver-side peeling (identical result, no per-round scheduling
     overhead); big ones run the distributed loop.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = _canonical_undirected(edges, src, dst)
     if und.count() <= driver_max_edges:
         return _k_core_driver(
             [(r[0], r[1]) for r in und.collect()],
@@ -494,8 +500,9 @@ def k_core(
         cur = nxt
     else:
         raise RuntimeError(
-            f"k_core did not converge in {max_iter} peeling rounds; "
-            "raise max_iter (rounds are bounded by graph degeneracy)"
+            f"k_core did not converge in {max_iter} peeling rounds; raise "
+            "max_iter (chain-heavy graphs can need O(n) rounds — parallel "
+            "peeling is NOT bounded by degeneracy)"
         )
     return (
         cur.select(F.col("a").alias("node"))

@@ -129,7 +129,8 @@ def skew_report(
             F.round(F.col("max_key_rows") / F.col("n_rows"), 6).alias("top1_share"),
             F.round(F.col("_top_rows") / F.col("n_rows"), 6).alias("topn_share"),
             F.round(
-                F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows"), 6
+                F.col("max_key_rows").cast("double") * F.col("n_keys") / F.col("n_rows"),
+                6,
             ).alias("skew_ratio"),
         )
     )

@@ -771,5 +771,6 @@ def random_projection(
     keep_schema = "".join(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
     )
-    schema = f"{id_col} long{keep_schema}, {vec_col} array<float>"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}{keep_schema}, {vec_col} array<float>"
     return df.select(id_col, *keep_cols, vec_col).mapInPandas(project, schema=schema)

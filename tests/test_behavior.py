@@ -292,3 +292,18 @@ def test_cohort_retention_pre_anchor_floor_division(spark):
     assert len(rows) == 1
     assert rows[0].cohort_start.isoformat() == "1969-12-29"
     assert rows[0].period_offset == 0
+
+
+def test_max_concurrency_empty_input_yields_no_rows(spark):
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    from global_stock_data_warehouse_spark.operators.behavior import max_concurrency
+
+    schema = StructType(
+        [
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert max_concurrency(empty).count() == 0
