@@ -1,0 +1,77 @@
+"""Fixed-width text source (exchange EOD dump format).
+
+Many exchange end-of-day files ship as fixed-width records rather than
+CSV (the reference ingests only CSV/HTML/XLSX; this rounds out the
+landing surface for the same class of feeds). One ``spark.read.text``
+scan plus a pure-``substring`` projection — every field extraction is a
+codegen'd expression fused into the scan's WholeStageCodegen span, so the
+whole parse is map-only, splittable, and shuffle-free at any scale (a
+Python row parser here would be the classic 100x UDF mistake).
+
+Typing: extracted slices are trimmed then cast through Spark's standard
+cast rules; a malformed numeric field becomes NULL (cast semantics) and
+is optionally counted via a ``_corrupt_fields`` column rather than
+killing the scan — same dead-letter philosophy as ``scan_json``
+(landing.py) and ``scan_csv_dir_quarantined`` (csv_dir.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# (name, start_1_based, length, type) — type is any Spark cast target
+ColSpec = tuple[str, int, int, str]
+
+
+def scan_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: Sequence[ColSpec],
+    skip_header_lines: int = 0,
+    corrupt_count_col: str | None = None,
+) -> DataFrame:
+    """Parse ``path`` (a file or directory of fixed-width text files) into
+    typed columns per ``colspecs``.
+
+    ``skip_header_lines`` drops the first N PHYSICAL lines of each file
+    without a driver-side read: a per-file ``row_number`` over the
+    monotonically-increasing-id order within ``input_file_name`` — the
+    window is per-file and header counts are tiny, so this stays
+    distributed (files are the parallelism unit, as with any text
+    format whose header is positional).
+
+    When ``corrupt_count_col`` is set, it receives the number of fields
+    whose raw slice was non-empty but cast to NULL — the row-level
+    malformedness signal callers route to quarantine.
+    """
+    from pyspark.sql import Window
+
+    lines = spark.read.text(str(path))
+    if skip_header_lines:
+        w = Window.partitionBy(F.input_file_name()).orderBy(
+            F.monotonically_increasing_id()
+        )
+        lines = (
+            lines.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > skip_header_lines)
+            .drop("_rn")
+        )
+    cols = []
+    corrupt_terms = []
+    for name, start, length, dtype in colspecs:
+        raw = F.trim(F.substring(F.col("value"), start, length))
+        typed = F.when(raw == "", None).otherwise(raw).cast(dtype)
+        cols.append(typed.alias(name))
+        if corrupt_count_col is not None and dtype.lower() not in ("string",):
+            corrupt_terms.append(
+                ((raw != "") & typed.isNull()).cast("int")
+            )
+    if corrupt_count_col is not None:
+        counter = (
+            sum(corrupt_terms, F.lit(0)) if corrupt_terms else F.lit(0)
+        )
+        cols.append(counter.alias(corrupt_count_col))
+    return lines.select(*cols)

@@ -85,3 +85,47 @@ def test_fetch_timeseries_fanout_and_quarantine(spark):
     dead_rows = dead.collect()
     assert len(dead_rows) == 1
     assert dead_rows[0].symbol == "BOOM" and "upstream 500" in dead_rows[0]._fetch_error
+
+
+def test_scan_fixed_width_parses_typed_columns(spark, tmp_path):
+    from global_stock_data_warehouse_spark.sources.fixed_width import (
+        scan_fixed_width,
+    )
+
+    # classic EOD layout: symbol(6) date(8) close(10) volume(10)
+    lines = [
+        "SYMBOL  DATE      CLOSE     VOLUME   ",  # header
+        "AAPL  20240102    185.64  58414460",
+        "MSFT  20240102    370.87  25258600",
+        "BAD   20240102    oops          42",  # close fails the cast
+    ]
+    p = tmp_path / "eod.txt"
+    p.write_text("\n".join(lines) + "\n")
+    colspecs = [
+        ("symbol", 1, 6, "string"),
+        ("trade_date", 7, 8, "string"),
+        ("close", 15, 10, "double"),
+        ("volume", 25, 10, "long"),
+    ]
+    out = scan_fixed_width(
+        spark, str(p), colspecs, skip_header_lines=1, corrupt_count_col="n_bad"
+    ).collect()
+    rows = {r.symbol: r for r in out}
+    assert len(rows) == 3
+    assert rows["AAPL"].close == 185.64 and rows["AAPL"].volume == 58414460
+    assert rows["MSFT"].trade_date == "20240102"
+    assert rows["BAD"].close is None and rows["BAD"].n_bad == 1
+    assert rows["AAPL"].n_bad == 0
+
+
+def test_scan_fixed_width_is_codegen_map_only(spark, tmp_path):
+    from global_stock_data_warehouse_spark.sources.fixed_width import (
+        scan_fixed_width,
+    )
+
+    p = tmp_path / "x.txt"
+    p.write_text("AB12\n")
+    df = scan_fixed_width(spark, str(p), [("a", 1, 2, "string"), ("n", 3, 2, "int")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # shuffle-free parse
+    assert "BatchEvalPython" not in plan
