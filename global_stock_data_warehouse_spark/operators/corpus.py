@@ -694,7 +694,15 @@ def remove_duplicate_spans(
     the raw string to cut shuffle width; kept as the string here for
     cross-engine oracle comparability (documented trade, not a limit).
     """
-    toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    # three consumers (span occurrences, token rows, original-length
+    # join) would each re-run the scan + tokenization; materialize the
+    # tokenized corpus once. The EXPLODED span frame is deliberately NOT
+    # checkpointed — at corpus scale re-exploding from the token arrays
+    # is cheaper than materializing n_spans rows (same trade as
+    # duplicate_spans).
+    toks = df.select(F.col(id_col), tokens(text_col).alias("t")).localCheckpoint(
+        eager=True
+    )
     occ = toks.select(
         F.col(id_col), F.posexplode(word_ngrams(F.col("t"), n)).alias("pos", "span")
     ).withColumn(
