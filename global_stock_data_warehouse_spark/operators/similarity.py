@@ -60,6 +60,8 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _stack(series: pd.Series) -> np.ndarray:
+    if len(series) == 0:  # np.stack raises on an empty list
+        return np.zeros((0, 0), dtype=np.float64)
     return np.stack([np.asarray(v, dtype=np.float64) for v in series])
 
 
@@ -85,6 +87,10 @@ def brute_force_topk(
     """
     spark = corpus.sparkSession
     q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:  # total on empty query sets: typed empty result
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, rank int, neighbor_id long, cosine_sim double"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = _normalize(_stack(pd.Series([r[1] for r in q_rows])))
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
@@ -404,6 +410,8 @@ def train_centroids(
         .collect()
     )
     mat = _normalize(_stack(pd.Series([r[1] for r in rows])))
+    if mat.shape[0] == 0:  # empty corpus: no centroids (callers guard)
+        return mat
     cents = mat[: min(n_cells, len(rows))].copy()
     for _ in range(iters):
         assign = np.argmax(mat @ cents.T, axis=1)
@@ -459,9 +467,13 @@ def ivf_topk(
     doubles as a partition key at rest: a corpus stored partitioned by
     cell turns each probe into partition pruning instead of a filter."""
     cents = train_centroids(corpus, n_cells, iters, id_col, vec_col)
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if cents.shape[0] == 0 or not q_rows:  # empty corpus or query set
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, rank int, neighbor_id long, cosine_sim double"
+        )
     assigned = with_ivf_cell(corpus.select(id_col, vec_col), cents, vec_col)
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
     q_mat = _normalize(_stack(pd.Series([r[1] for r in q_rows])))
     order = np.argsort(-(q_mat @ cents.T), axis=1)[:, : min(n_probe, cents.shape[0])]
     probe_rows = [
@@ -561,6 +573,10 @@ def semantic_dedup(
     if centroids is None:
         centroids = train_centroids(
             corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        )
+    if centroids.shape[0] == 0:  # empty corpus: typed empty result
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, cell long, max_prev_sim double, keep boolean"
         )
     assigned = with_ivf_cell(
         corpus.select(id_col, vec_col), centroids, vec_col=vec_col, out_col="cell"

@@ -64,3 +64,26 @@ def test_every_query_runs_at_sf0001(spark, sf_dir):
         except Exception as exc:  # collect all breaks, report once
             failures[name] = f"{type(exc).__name__}: {exc}"
     assert not failures, failures
+
+
+def test_every_query_is_total_on_empty_tables(spark, tmp_path):
+    """Totality gate: all declared queries must run (returning 0+ rows,
+    never raising) against schemally-identical but EMPTY input tables —
+    the empty-partition / empty-source edge every production pipeline
+    eventually feeds an operator."""
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sf_empty")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        entrymod._t(spark, src, t).limit(0).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    failures = []
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, dst).write.format("noop").mode("overwrite").save()
+        except Exception as ex:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {type(ex).__name__}: {str(ex).splitlines()[0][:90]}")
+    assert not failures, "queries not total on empty input:\n" + "\n".join(failures)
