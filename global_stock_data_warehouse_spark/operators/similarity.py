@@ -65,6 +65,15 @@ def _stack(series: pd.Series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in series])
 
 
+def _vecs(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop rows with a NULL vector — a null embedding cannot participate
+    in any similarity computation, and np.stack would otherwise fail on
+    the first null batch. Applied at every vector-operator entry so the
+    policy is uniform (callers wanting to AUDIT nulls should count them
+    upstream, e.g. via profile_table)."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -86,7 +95,7 @@ def brute_force_topk(
     Deterministic: ties broken by neighbor id.
     """
     spark = corpus.sparkSession
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _vecs(queries, vec_col).select(query_id_col, vec_col).collect()
     if not q_rows:  # total on empty query sets: typed empty result
         return spark.createDataFrame(
             [], f"{query_id_col} long, rank int, neighbor_id long, cosine_sim double"
@@ -119,7 +128,7 @@ def brute_force_topk(
                     }
                 )
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(
+    scored = _vecs(corpus, vec_col).select(id_col, vec_col).mapInPandas(
         score, schema=f"{query_id_col} long, neighbor_id long, cosine_sim double"
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -216,7 +225,7 @@ def _embedding_neardup_exact(
     use ``embedding_neardup_lsh``, which trades recall for candidates).
     """
     spark = corpus.sparkSession
-    src = corpus.select(id_col, vec_col)
+    src = _vecs(corpus, vec_col).select(id_col, vec_col)
     blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int")
     pairs_dim = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "pa int, pb int"
@@ -312,7 +321,7 @@ def embedding_neardup_lsh(
 
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    src = corpus.select(id_col, vec_col)
+    src = _vecs(corpus, vec_col).select(id_col, vec_col)
     schema = StructType(
         list(src.schema.fields) + [StructField("buckets", ArrayType(LongType()))]
     )
@@ -404,7 +413,7 @@ def train_centroids(
     O(sample) regardless of corpus scale). Returns a normalized
     (n_cells, dim) matrix."""
     rows = (
-        corpus.select(id_col, vec_col)
+        _vecs(corpus, vec_col).select(id_col, vec_col)
         .orderBy(F.pmod(F.hash(F.col(id_col)), F.lit(1 << 31)), F.col(id_col))
         .limit(sample_cap)
         .collect()
@@ -467,12 +476,12 @@ def ivf_topk(
     doubles as a partition key at rest: a corpus stored partitioned by
     cell turns each probe into partition pruning instead of a filter."""
     cents = train_centroids(corpus, n_cells, iters, id_col, vec_col)
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _vecs(queries, vec_col).select(query_id_col, vec_col).collect()
     if cents.shape[0] == 0 or not q_rows:  # empty corpus or query set
         return corpus.sparkSession.createDataFrame(
             [], f"{query_id_col} long, rank int, neighbor_id long, cosine_sim double"
         )
-    assigned = with_ivf_cell(corpus.select(id_col, vec_col), cents, vec_col)
+    assigned = with_ivf_cell(_vecs(corpus, vec_col).select(id_col, vec_col), cents, vec_col)
 
     q_mat = _normalize(_stack(pd.Series([r[1] for r in q_rows])))
     order = np.argsort(-(q_mat @ cents.T), axis=1)[:, : min(n_probe, cents.shape[0])]
@@ -516,9 +525,9 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket. At scale run multiple tables (different seeds) and union."""
-    cb = with_lsh_bucket(corpus.select(id_col, vec_col), dim, planes, vec_col, "bucket", seed)
+    cb = with_lsh_bucket(_vecs(corpus, vec_col).select(id_col, vec_col), dim, planes, vec_col, "bucket", seed)
     qb = with_lsh_bucket(
-        queries.select(query_id_col, vec_col), dim, planes, vec_col, "bucket", seed
+        _vecs(queries, vec_col).select(query_id_col, vec_col), dim, planes, vec_col, "bucket", seed
     ).select(query_id_col, F.col(vec_col).alias("_qvec"), "bucket")
     scored = (
         cb.join(F.broadcast(qb), "bucket")
@@ -579,7 +588,7 @@ def semantic_dedup(
             [], f"{id_col} long, cell long, max_prev_sim double, keep boolean"
         )
     assigned = with_ivf_cell(
-        corpus.select(id_col, vec_col), centroids, vec_col=vec_col, out_col="cell"
+        _vecs(corpus, vec_col).select(id_col, vec_col), centroids, vec_col=vec_col, out_col="cell"
     )
 
     from pyspark.sql.types import (
@@ -789,4 +798,4 @@ def random_projection(
     )
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}{keep_schema}, {vec_col} array<float>"
-    return df.select(id_col, *keep_cols, vec_col).mapInPandas(project, schema=schema)
+    return _vecs(df, vec_col).select(id_col, *keep_cols, vec_col).mapInPandas(project, schema=schema)

@@ -544,3 +544,21 @@ def test_random_projection_preserves_relative_distances(spark):
     within = np.linalg.norm(out1[0] - out1[1])
     between = np.linalg.norm(out1[0] - out1[10])
     assert between > 5 * within
+
+
+def test_vector_operators_drop_null_embeddings(spark):
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        random_projection,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter("vec_id = 1").selectExpr("vec_id as query_id", "embedding")
+    out = brute_force_topk(df, q, k=5).collect()
+    # the null row neither crashes the kernel nor appears as a neighbor
+    assert [r.neighbor_id for r in out] == [3]
+    proj = random_projection(df, out_dim=4).collect()
+    assert sorted(r.vec_id for r in proj) == [1, 3]
