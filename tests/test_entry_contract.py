@@ -87,3 +87,44 @@ def test_every_query_is_total_on_empty_tables(spark, tmp_path):
         except Exception as ex:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {type(ex).__name__}: {str(ex).splitlines()[0][:90]}")
     assert not failures, "queries not total on empty input:\n" + "\n".join(failures)
+
+
+def test_vector_and_text_queries_survive_null_cells(spark, tmp_path):
+    """Null-robustness gate: the similarity/corpus queries must not crash
+    when documents.text / embeddings.embedding contain NULLs (the
+    malformed-upstream-row edge). Crash-only check — null-row semantics
+    (drop) are asserted at the operator level."""
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sf_nulls")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        df = entrymod._t(spark, src, t)
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("text")),
+            )
+        if t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") % 11 == 0, None).otherwise(F.col("embedding")),
+            )
+        df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    targets = [
+        "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_projected_topk",
+        "embedding_neardup", "embedding_neardup_lsh", "semantic_dedup",
+        "class_centroids", "quantize_embeddings", "centroid_outliers",
+        "dedup_exact", "minhash_neardup", "text_stats", "remove_duplicate_spans",
+    ]
+    failures = []
+    qs = entrymod.queries()
+    for name in targets:
+        try:
+            qs[name](spark, dst).write.format("noop").mode("overwrite").save()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: {type(ex).__name__}")
+    assert not failures, "queries crashed on null cells: " + ", ".join(failures)
