@@ -184,6 +184,7 @@ def embedding_neardup(
     Explicit ``strategy='exact'``/``'lsh'`` skips the probe (callers who
     know their corpus, and the oracle harness which needs the exact form).
     """
+    corpus = _vecs(corpus, vec_col)  # null vectors never participate
     if strategy == "auto":
         n_docs = corpus.count()
         strategy = "exact" if n_docs <= exact_max_docs else "lsh"
@@ -191,7 +192,12 @@ def embedding_neardup(
             n_blocks = _derive_n_blocks(n_docs, block_rows)
     if strategy == "lsh":
         if dim is None:
-            dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+            first = corpus.select(F.size(F.col(vec_col))).first()
+            if first is None:  # empty corpus: no pairs
+                return corpus.sparkSession.createDataFrame(
+                    [], "id_a long, id_b long, cosine_sim double"
+                )
+            dim = first[0]
         return embedding_neardup_lsh(
             corpus, threshold, dim, id_col, vec_col, planes, tables
         )
@@ -475,12 +481,15 @@ def ivf_topk(
     trades recall for a 1/(n_cells/n_probe) scan fraction. The cell column
     doubles as a partition key at rest: a corpus stored partitioned by
     cell turns each probe into partition pruning instead of a filter."""
-    cents = train_centroids(corpus, n_cells, iters, id_col, vec_col)
+    # collect the (small-by-contract) query side FIRST: an empty query set
+    # must not pay the corpus-wide centroid-training job
     q_rows = _vecs(queries, vec_col).select(query_id_col, vec_col).collect()
-    if cents.shape[0] == 0 or not q_rows:  # empty corpus or query set
-        return corpus.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, rank int, neighbor_id long, cosine_sim double"
-        )
+    empty = f"{query_id_col} long, rank int, neighbor_id long, cosine_sim double"
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], empty)
+    cents = train_centroids(corpus, n_cells, iters, id_col, vec_col)
+    if cents.shape[0] == 0:  # empty corpus
+        return corpus.sparkSession.createDataFrame([], empty)
     assigned = with_ivf_cell(_vecs(corpus, vec_col).select(id_col, vec_col), cents, vec_col)
 
     q_mat = _normalize(_stack(pd.Series([r[1] for r in q_rows])))

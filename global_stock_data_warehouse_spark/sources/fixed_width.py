@@ -4,9 +4,14 @@ Many exchange end-of-day files ship as fixed-width records rather than
 CSV (the reference ingests only CSV/HTML/XLSX; this rounds out the
 landing surface for the same class of feeds). One ``spark.read.text``
 scan plus a pure-``substring`` projection — every field extraction is a
-codegen'd expression fused into the scan's WholeStageCodegen span, so the
-whole parse is map-only, splittable, and shuffle-free at any scale (a
-Python row parser here would be the classic 100x UDF mistake).
+codegen'd expression fused into the scan's WholeStageCodegen span, so with
+``skip_header_lines=0`` the whole parse is map-only, splittable, and
+shuffle-free at any scale (a Python row parser here would be the classic
+100x UDF mistake). Header skipping is the exception: "the first N lines
+of each file" needs a per-file ordering, which costs one hash exchange +
+sort on ``input_file_name`` (asserted visible in the plan test); when
+headers are recognizable by CONTENT, prefer a map-only filter on the
+parsed columns instead.
 
 Typing: extracted slices are trimmed then cast through Spark's standard
 cast rules; a malformed numeric field becomes NULL (cast semantics) and

@@ -66,12 +66,12 @@ def test_every_query_runs_at_sf0001(spark, sf_dir):
     assert not failures, failures
 
 
-def test_every_query_is_total_on_empty_tables(spark, tmp_path):
+def test_every_query_is_total_on_empty_tables(spark, tmp_path, sf_dir):
     """Totality gate: all declared queries must run (returning 0+ rows,
     never raising) against schemally-identical but EMPTY input tables —
     the empty-partition / empty-source edge every production pipeline
     eventually feeds an operator."""
-    src = "/root/testdata/sf0.001"
+    src = sf_dir
     dst = str(tmp_path / "sf_empty")
     for t in (
         "region nation customer supplier part orders lineitem events "
@@ -89,14 +89,14 @@ def test_every_query_is_total_on_empty_tables(spark, tmp_path):
     assert not failures, "queries not total on empty input:\n" + "\n".join(failures)
 
 
-def test_vector_and_text_queries_survive_null_cells(spark, tmp_path):
+def test_vector_and_text_queries_survive_null_cells(spark, tmp_path, sf_dir):
     """Null-robustness gate: the similarity/corpus queries must not crash
     when documents.text / embeddings.embedding contain NULLs (the
     malformed-upstream-row edge). Crash-only check — null-row semantics
     (drop) are asserted at the operator level."""
     from pyspark.sql import functions as F
 
-    src = "/root/testdata/sf0.001"
+    src = sf_dir
     dst = str(tmp_path / "sf_nulls")
     for t in (
         "region nation customer supplier part orders lineitem events "

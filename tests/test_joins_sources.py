@@ -129,3 +129,10 @@ def test_scan_fixed_width_is_codegen_map_only(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # shuffle-free parse
     assert "BatchEvalPython" not in plan
+    # the documented exception: per-file header skipping pays one exchange
+    # (per-file ordering) — assert so the cost stays visible, not silent
+    df_h = scan_fixed_width(
+        spark, str(p), [("a", 1, 2, "string")], skip_header_lines=1
+    )
+    plan_h = df_h._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan_h
