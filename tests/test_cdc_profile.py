@@ -101,3 +101,18 @@ def test_skew_report_stats(spark):
     assert r.top1_share == 0.6
     assert r.topn_share == 0.7  # hot(6) + a(1)
     assert r.skew_ratio == 3.0
+
+
+def test_skew_report_share_invariants(spark):
+    import random
+
+    from global_stock_data_warehouse_spark.operators.profile import skew_report
+
+    rng = random.Random(5)
+    rows = [(f"k{rng.randint(0, 30)}",) for _ in range(500)]
+    r = skew_report(spark.createDataFrame(rows, ["k"]), keys=["k"], top_n=5).collect()[0]
+    # structural invariants: shares ordered and bounded, ratio >= 1
+    assert 0 < r.top1_share <= r.topn_share <= 1.0
+    assert r.skew_ratio >= 1.0
+    assert r.max_key_rows >= r.p50_key_rows >= 1
+    assert r.n_rows == 500 and r.n_keys <= 31

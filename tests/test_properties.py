@@ -301,3 +301,63 @@ def test_remove_duplicate_spans_conservation(texts):
         # kept tokens are a subsequence of the original token stream
         it = iter(toks)
         assert all(any(tok == o for o in it) for tok in kept)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.text(alphabet="xy ", min_size=1, max_size=20)),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SLOW
+def test_source_kl_is_nonnegative_gibbs(rows):
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        source_kl_divergence,
+    )
+
+    spark = _get_spark()
+    data = [(i, t, src) for i, (src, t) in enumerate(rows) if t.strip()]
+    if not data:
+        return
+    df = spark.createDataFrame(data, ["doc_id", "text", "source"])
+    out = source_kl_divergence(df).collect()
+    # Gibbs' inequality: KL(p || q) >= 0 for every source (the 1e-9
+    # fixed-point quantization can dip a true 0 by at most one grid step)
+    assert all(r.kl_nats >= -1e-8 for r in out)
+    # a lone source IS the corpus -> exactly zero
+    srcs = {s for s, _ in rows}
+    if len(srcs) == 1 and out:
+        assert out[0].kl_nats == 0.0
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(-50, 50, allow_nan=False, width=32), min_size=3, max_size=3),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SLOW
+def test_quantize_embeddings_bounds_and_extremes(vecs):
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(list(enumerate(vecs)), "vec_id long, embedding array<float>")
+    out = quantize_embeddings(df).collect()
+    assert len(out) == 3 * len(vecs)
+    by_dim: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r.code <= 255
+        by_dim.setdefault(r.dim, []).append((r.vec_id, r.code))
+    # per dim: the min value must encode to 0 and the max to 255 (or the
+    # dim is constant and everything is 0)
+    for d, pairs in by_dim.items():
+        codes = [c for _, c in pairs]
+        vals = [vecs[i][d] for i, _ in pairs]
+        if min(vals) == max(vals):
+            assert set(codes) == {0}
+        else:
+            assert min(codes) == 0 and max(codes) == 255
