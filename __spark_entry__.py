@@ -847,6 +847,20 @@ def q_tech_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tech_indicators(ev)
 
 
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity ACF at lags 1/2/3/5 over daily closes — the
+    mean-reversion/momentum diagnostic. One exchange serves every lag
+    window AND the final per-key corr agg. corr() sums floats in
+    partition order -> EPS-compared in the mirror (outside the driver
+    hash window)."""
+    from global_stock_data_warehouse_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return autocorrelation(daily_close(ev))
+
+
 def q_drawdown_cumret(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity max drawdown (min close/running-peak - 1) and total
     cumulative return — running-max window + one final agg, one shuffle."""
@@ -2700,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_outliers": q_centroid_outliers,
         "skew_report": q_skew_report,
         "source_kl": q_source_kl,
+        "autocorrelation": q_autocorrelation,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3126,6 +3141,29 @@ SELECT user_id, d,
        round(boll_mid + 2.0 * sd20, 6) AS boll_up,
        round(boll_mid - 2.0 * sd20, 6) AS boll_dn
 FROM win
+""",
+        "autocorrelation": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT user_id, close,
+         lag(close, 1) OVER w AS l1,
+         lag(close, 2) OVER w AS l2,
+         lag(close, 3) OVER w AS l3,
+         lag(close, 5) OVER w AS l5
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY d)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(close, l1), 4) AS acf1,
+       round(corr(close, l2), 4) AS acf2,
+       round(corr(close, l3), 4) AS acf3,
+       round(corr(close, l5), 4) AS acf5
+FROM lagged GROUP BY user_id
+ORDER BY user_id
 """,
         "drawdown_cumret": """
 WITH daily AS (

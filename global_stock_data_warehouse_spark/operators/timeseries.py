@@ -412,3 +412,31 @@ def gap_fill_ffill(
     else:
         raise ValueError(f"unknown gap-fill method: {method!r}")
     return out.withColumn("is_filled", F.col("_present").isNull()).drop("_present")
+
+
+def autocorrelation(
+    daily: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 3, 5),
+    key_col: str = "user_id",
+    value_col: str = "close",
+) -> DataFrame:
+    """Per-key autocorrelation function: Pearson correlation of the daily
+    series with its lag-``k`` shift, for each ``k`` in ``lags`` — the
+    standard mean-reversion / momentum diagnostic (and the sanity check
+    before fitting anything AR-shaped).
+
+    ONE window shuffle builds every lag column (same HashPartitioning(key)
+    ordering serves all lags), and one grouped aggregate computes every
+    corr — the per-key agg reuses the window's partitioning, so the whole
+    diagnostic is a single exchange regardless of how many lags are
+    requested. corr() accumulates floats in partition order -> compared
+    under EPS, like rolling_beta.
+    """
+    w = Window.partitionBy(key_col).orderBy("d")
+    out = daily
+    for k in lags:
+        out = out.withColumn(f"_lag{k}", F.lag(value_col, k).over(w))
+    aggs = [F.count(F.lit(1)).alias("n_days")] + [
+        F.round(F.corr(value_col, f"_lag{k}"), 4).alias(f"acf{k}") for k in lags
+    ]
+    return out.groupBy(key_col).agg(*aggs).orderBy(key_col)

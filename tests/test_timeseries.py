@@ -187,3 +187,25 @@ def test_gap_fill_ffill_fills_and_flags(spark):
     assert [r.is_filled for r in a] == [False, True, True, False]
     b = [r for r in rows if r.user_id == "b"]
     assert len(b) == 1 and b[0].is_filled is False
+
+
+def test_autocorrelation_detects_alternating_and_trending_series(spark):
+    import datetime as dt
+
+    from global_stock_data_warehouse_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    # key 1: perfectly alternating 1,2,1,2... -> acf1 == -1
+    for i in range(30):
+        rows.append((1, d0 + dt.timedelta(days=i), 1.0 + (i % 2)))
+    # key 2: strictly increasing line -> acf1 close to +1
+    for i in range(30):
+        rows.append((2, d0 + dt.timedelta(days=i), float(i)))
+    df = spark.createDataFrame(rows, "user_id long, d date, close double")
+    out = {r.user_id: r for r in autocorrelation(df, lags=(1, 2)).collect()}
+    assert out[1].acf1 == -1.0 and out[1].acf2 == 1.0
+    assert out[2].acf1 > 0.99
+    assert out[1].n_days == 30
