@@ -1475,6 +1475,29 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_kl_divergence(_t(spark, sf_dir, "documents"))
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise vocabulary overlap between document sources
+    (intersection / union / Jaccard per source pair) — the duplication
+    audit behind mixing-weight decisions. Integer counts -> bit-exact."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        source_overlap_exact,
+    )
+
+    return source_overlap_exact(_t(spark, sf_dir, "documents"))
+
+
+def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch estimate of pairwise source overlap (k minimum hash
+    values per source; Beyer et al. 2007) — the scale path when sources
+    hold billions of distinct tokens. Hash-valued -> rows-only; the
+    estimator error is property-tested against the exact operator."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        source_overlap_kmv,
+    )
+
+    return source_overlap_kmv(_t(spark, sf_dir, "documents"), k=128)
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostic for lineitem keyed on l_suppkey: key
     concentration stats as one row (the pre-flight check before keying a
@@ -2715,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "source_kl": q_source_kl,
         "autocorrelation": q_autocorrelation,
+        "source_overlap": q_source_overlap,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2727,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "semantic_dedup": q_semantic_dedup,
         "pagerank": q_pagerank,
+        "source_overlap_kmv": q_source_overlap_kmv,
     }
 
 
@@ -3702,6 +3727,29 @@ JOIN term_tot tt ON c.t = tt.t
 CROSS JOIN corpus_tot ct
 GROUP BY c.grp
 ORDER BY source
+""",
+        "source_overlap": """
+WITH items AS (
+  SELECT DISTINCT source AS grp, t FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x != '')) AS t
+    FROM documents
+  )
+), sizes AS (
+  SELECT grp, count(*) AS n FROM items GROUP BY grp
+), inter AS (
+  SELECT a.grp AS src_a, b.grp AS src_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM items a JOIN items b ON a.t = b.t AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.n_inter,
+       CAST(na.n + nb.n - i.n_inter AS BIGINT) AS n_union,
+       round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON i.src_a = na.grp
+JOIN sizes nb ON i.src_b = nb.grp
+ORDER BY src_a, src_b
 """,
         "skew_report": """
 WITH counts AS (

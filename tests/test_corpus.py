@@ -423,3 +423,51 @@ def test_source_kl_zero_for_identical_distributions(spark):
     out = {r.source: r.kl_nats for r in source_kl_divergence(skewed).collect()}
     assert out["s1"] == 0.1438 == out["s2"]
     assert out["s3"] > 0  # 1.0 ln(4/6 / 0.75) ... a-only source diverges too
+
+
+def test_source_overlap_exact_counts(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        source_overlap_exact,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c", "s1"),
+            (1, "b c d", "s2"),
+            (2, "x y", "s3"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {(r.src_a, r.src_b): (r.n_inter, r.n_union, r.jaccard)
+           for r in source_overlap_exact(df).collect()}
+    assert out[("s1", "s2")] == (2, 4, 0.5)  # {b,c} of {a,b,c,d}
+    # disjoint pairs don't appear at all (inner join semantics — at scale
+    # the zero rows would be |S|^2 noise)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_source_overlap_kmv_tracks_exact_jaccard(spark):
+    import random
+
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        source_overlap_exact,
+        source_overlap_kmv,
+    )
+
+    # two sources sharing ~half their vocabulary; with k >= |union| the
+    # KMV sketch IS the full hash set, so the estimate must be exact.
+    rng = random.Random(3)
+    shared = [f"w{i}" for i in range(60)]
+    only_a = [f"a{i}" for i in range(30)]
+    only_b = [f"b{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(rng.sample(shared + only_a, 8)), "sa"))
+        rows.append((100 + i, " ".join(rng.sample(shared + only_b, 8)), "sb"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    exact = source_overlap_exact(df).collect()[0].jaccard
+    full = source_overlap_kmv(df, k=1000).collect()[0].est_jaccard
+    assert abs(full - exact) < 1e-9
+    # bounded-k sketch: estimate within the standard KMV error envelope
+    est = source_overlap_kmv(df, k=64).collect()[0].est_jaccard
+    assert abs(est - exact) < 0.25

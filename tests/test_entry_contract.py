@@ -27,6 +27,7 @@ def test_oracle_keys_subset_of_queries():
         "pagerank",
         "ann_projected_topk",
         "k_core",
+        "source_overlap_kmv",
     }
     assert qs - oracles <= approx_ok, f"missing oracles: {qs - oracles - approx_ok}"
 
