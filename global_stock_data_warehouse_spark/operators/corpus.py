@@ -891,10 +891,14 @@ def source_overlap_kmv(
     from the merged sketch — the scale path when sources hold billions of
     distinct tokens and the exact item-keyed join is the bottleneck.
 
-    The per-source sketch is one window top-k over xxhash64 (a single
-    shuffle keyed on source; the k-row-per-source result is tiny whatever
-    the corpus size) and pairwise estimation runs on the collected
-    sketches — |sources| x k values, driver-trivial by construction.
+    The per-source sketch is a distinct + window top-k over xxhash64 —
+    two exchanges (distinct partitions on (source, hash), then the window
+    re-keys on source alone), each carrying only hashes; the
+    k-row-per-source result is tiny whatever the corpus size. Pairwise
+    estimation runs DRIVER-SIDE on the collected sketches (|sources| x k
+    values, trivial by construction) — note this makes the operator eager
+    at DataFrame-build time, and the returned frame is a local relation
+    (the sketch job's plan is not visible to downstream plan audits).
     Hash-valued output -> rows-only; the estimator error bound is
     property-tested against ``source_overlap_exact``.
     """
@@ -907,21 +911,20 @@ def source_overlap_kmv(
         .filter(F.col("_rn") <= k)
         .select("grp", "h")
     )
+    from itertools import combinations
+
     rows = sketches.collect()
     by_src: dict = {}
     for r in rows:
         by_src.setdefault(r.grp, []).append(r.h)
     out = []
-    for sa in sorted(by_src):
-        for sb in sorted(by_src):
-            if sa >= sb:
-                continue
-            ha, hb = set(by_src[sa]), set(by_src[sb])
-            merged = sorted(ha | hb)[:k]
-            if not merged:
-                continue
-            inter = sum(1 for h in merged if h in ha and h in hb)
-            out.append((sa, sb, round(inter / len(merged), 6)))
+    for sa, sb in combinations(sorted(by_src), 2):
+        ha, hb = set(by_src[sa]), set(by_src[sb])
+        merged = sorted(ha | hb)[:k]
+        if not merged:
+            continue
+        inter = sum(1 for h in merged if h in ha and h in hb)
+        out.append((sa, sb, round(inter / len(merged), 6)))
     return df.sparkSession.createDataFrame(
         out, "src_a string, src_b string, est_jaccard double"
     )
