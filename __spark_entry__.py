@@ -1475,6 +1475,16 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_kl_divergence(_t(spark, sf_dir, "documents"))
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order values — the fabricated-numbers
+    screen for a financial feed. Leading digit read from the integer-cents
+    string (engines stringify integers identically), expected shares are
+    fixed literals -> bit-exact."""
+    from global_stock_data_warehouse_spark.operators.profile import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise vocabulary overlap between document sources
     (intersection / union / Jaccard per source pair) — the duplication
@@ -2739,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl": q_source_kl,
         "autocorrelation": q_autocorrelation,
         "source_overlap": q_source_overlap,
+        "benford_audit": q_benford_audit,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3727,6 +3738,31 @@ JOIN term_tot tt ON c.t = tt.t
 CROSS JOIN corpus_tot ct
 GROUP BY c.grp
 ORDER BY source
+""",
+        "benford_audit": """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > 0
+), counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+), total AS (
+  SELECT sum(n) AS t FROM counts
+), exp AS (
+  SELECT * FROM (VALUES
+    (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608),
+    (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631),
+    (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561)
+  ) AS v(digit, p)
+)
+SELECT c.digit, c.n,
+       round(c.n / total.t, 6) AS observed,
+       round(CAST(exp.p AS DOUBLE), 6) AS expected,
+       round(abs(round(c.n / total.t, 6) - round(CAST(exp.p AS DOUBLE), 6)), 6) AS deviation
+FROM counts c
+CROSS JOIN total
+JOIN exp ON c.digit = exp.digit
+ORDER BY c.digit
 """,
         "source_overlap": """
 WITH items AS (

@@ -134,3 +134,63 @@ def skew_report(
             ).alias("skew_ratio"),
         )
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), pre-evaluated to fixed
+# literals so both engines compare against the IDENTICAL constants (no
+# runtime log10, no libm-ulp divergence).
+BENFORD_P = {
+    1: 0.301029995664,
+    2: 0.176091259056,
+    3: 0.124938736608,
+    4: 0.096910013008,
+    5: 0.079181246048,
+    6: 0.066946789631,
+    7: 0.057991946978,
+    8: 0.051152522447,
+    9: 0.045757490561,
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive monetary column — the
+    classic fabricated-numbers / corrupted-feed screen for financial data
+    (naturally occurring amounts follow P(d) = log10(1 + 1/d); flat or
+    spiky digit histograms flag synthetic or truncated sources).
+
+    Bit-exactness: the value is first quantized to integer minor units
+    (round(x * scale) as BIGINT) and the leading digit read from the
+    INTEGER's decimal string — integers stringify identically on every
+    engine, unlike doubles. Expected shares are fixed literal constants.
+    One tiny aggregation (9 output rows); the total rides a 1-row
+    broadcast. Output per digit: n, observed share, expected share, and
+    the absolute deviation.
+    """
+    fx = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+    digits = (
+        df.select(fx.alias("fx"))
+        .filter(F.col("fx") > 0)
+        .select(F.substring(F.col("fx").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    expected = F.create_map(
+        *[x for d, p in sorted(BENFORD_P.items()) for x in (F.lit(d), F.lit(p))]
+    )
+    obs = F.round(F.col("n") / F.col("_total"), 6)
+    exp = F.round(expected[F.col("digit")], 6)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            obs.alias("observed"),
+            exp.alias("expected"),
+            F.round(F.abs(obs - exp), 6).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

@@ -116,3 +116,23 @@ def test_skew_report_share_invariants(spark):
     assert r.skew_ratio >= 1.0
     assert r.max_key_rows >= r.p50_key_rows >= 1
     assert r.n_rows == 500 and r.n_keys <= 31
+
+
+def test_benford_audit_flags_synthetic_digits(spark):
+    import random
+
+    from global_stock_data_warehouse_spark.operators.profile import benford_audit
+
+    rng = random.Random(9)
+    # log-uniform amounts are Benford-conforming -> small deviations
+    natural = [(10 ** rng.uniform(0, 4),) for _ in range(4000)]
+    out = {r.digit: r for r in benford_audit(
+        spark.createDataFrame(natural, ["v"]), "v").collect()}
+    assert set(out) == set(range(1, 10))
+    assert all(r.deviation < 0.05 for r in out.values())
+    assert out[1].observed > out[9].observed  # monotone-ish Benford shape
+    # fabricated data with a hard '5' prefix -> massive digit-5 spike
+    fake = [(5000.0 + rng.random(),) for _ in range(500)]
+    spike = {r.digit: r for r in benford_audit(
+        spark.createDataFrame(fake, ["v"]), "v").collect()}
+    assert spike[5].observed == 1.0 and spike[5].deviation > 0.9
