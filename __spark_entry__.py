@@ -3660,15 +3660,16 @@ WITH toks AS (
   FROM documents
 ), occ AS (
   SELECT doc_id, i AS pos,
-         array_to_string(list_slice(t, i + 1, i + 4), ' ') AS span,
-         doc_id * 4294967296 + i AS okey
+         array_to_string(list_slice(t, i + 1, i + 4), ' ') AS span
   FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0))) AS u(i)
 ), stats AS (
-  SELECT span, min(okey) AS first_key
-  FROM occ GROUP BY span HAVING count(*) >= 2
+  SELECT span FROM occ GROUP BY span HAVING count(*) >= 2
 ), dup AS (
-  SELECT o.doc_id, o.pos FROM occ o JOIN stats s USING (span)
-  WHERE o.okey != s.first_key
+  SELECT doc_id, pos FROM (
+    SELECT o.doc_id, o.pos,
+           row_number() OVER (PARTITION BY o.span ORDER BY o.doc_id, o.pos) AS rn
+    FROM occ o JOIN stats s USING (span)
+  ) WHERE rn > 1
 ), covered AS (
   SELECT DISTINCT doc_id, pos + j AS tpos
   FROM dup, UNNEST(range(0, 4)) AS v(j)
@@ -3747,7 +3748,7 @@ WITH digits AS (
 ), counts AS (
   SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
 ), total AS (
-  SELECT sum(n) AS t FROM counts
+  SELECT COALESCE(sum(n), 0) AS t FROM counts
 ), exp AS (
   SELECT * FROM (VALUES
     (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608),
@@ -3755,14 +3756,14 @@ WITH digits AS (
     (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561)
   ) AS v(digit, p)
 )
-SELECT c.digit, c.n,
-       round(c.n / total.t, 6) AS observed,
+SELECT exp.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       round(COALESCE(c.n, 0) / GREATEST(total.t, 1), 6) AS observed,
        round(CAST(exp.p AS DOUBLE), 6) AS expected,
-       round(abs(round(c.n / total.t, 6) - round(CAST(exp.p AS DOUBLE), 6)), 6) AS deviation
-FROM counts c
+       round(abs(round(COALESCE(c.n, 0) / GREATEST(total.t, 1), 6) - round(CAST(exp.p AS DOUBLE), 6)), 6) AS deviation
+FROM exp
+LEFT JOIN counts c ON c.digit = exp.digit
 CROSS JOIN total
-JOIN exp ON c.digit = exp.digit
-ORDER BY c.digit
+ORDER BY exp.digit
 """,
         "source_overlap": """
 WITH items AS (

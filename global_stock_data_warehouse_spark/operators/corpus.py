@@ -674,6 +674,7 @@ def remove_duplicate_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_spans: bool = False,
 ) -> DataFrame:
     """Exact substring deduplication — the REWRITE step (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better", scoped to
@@ -685,14 +686,18 @@ def remove_duplicate_spans(
 
     Scale design (the 100x question): the only corpus-wide shuffle is the
     span-stats aggregation (map-side partial count+min). First-occurrence
-    identity packs (doc_id, pos) into ONE BIGINT (doc_id * 2^32 + pos) so
-    min() needs no struct comparator and is bit-exact on any engine. The
-    join back is span-keyed (AQE can broadcast when the duplicated-span
-    set is small); covered-position expansion, the anti-join, and the
-    reassembly are all doc-keyed — they repartition once and stay narrow.
-    At 100 TB you would key the span shuffle on xxhash64(span) instead of
-    the raw string to cut shuffle width; kept as the string here for
-    cross-engine oracle comparability (documented trade, not a limit).
+    identity is ``min(struct(doc_id, pos))`` — a lexicographic struct min,
+    safe for ANY 64-bit doc id (the earlier packed ``doc_id * 2^32 + pos``
+    BIGINT key silently overflowed for doc_id >= 2^31 and collided for
+    pos >= 2^32). The join back is span-keyed (AQE can broadcast when the
+    duplicated-span set is small); covered-position expansion, the
+    anti-join, and the reassembly are all doc-keyed — they repartition
+    once and stay narrow. ``hash_spans=True`` keys the span-stats shuffle
+    and the join on ``xxhash64(span)`` instead of the raw n-token string —
+    the 100 TB form (8-byte keys instead of arbitrary-width strings on the
+    one corpus-wide shuffle); output is identical modulo a ~2^-64
+    collision (equivalence-tested), kept off by default for cross-engine
+    oracle comparability.
     """
     # three consumers (span occurrences, token rows, original-length
     # join) would each re-run the scan + tokenization; materialize the
@@ -703,17 +708,26 @@ def remove_duplicate_spans(
     toks = df.select(F.col(id_col), tokens(text_col).alias("t")).localCheckpoint(
         eager=True
     )
+    span_key = F.xxhash64("span") if hash_spans else F.col("span")
     occ = toks.select(
         F.col(id_col), F.posexplode(word_ngrams(F.col("t"), n)).alias("pos", "span")
-    ).withColumn(
-        "okey", F.col(id_col).cast("long") * F.lit(1 << 32) + F.col("pos")
-    )
+    ).withColumn("skey", span_key)
     stats = (
-        occ.groupBy("span")
-        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("okey").alias("first_key"))
+        occ.groupBy("skey")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(
+                F.struct(
+                    F.col(id_col).cast("long").alias("fd"), F.col("pos").alias("fp")
+                )
+            ).alias("first_occ"),
+        )
         .filter(F.col("n_occ") >= min_count)
     )
-    dup = occ.join(stats, "span").filter(F.col("okey") != F.col("first_key"))
+    dup = occ.join(stats, "skey").filter(
+        (F.col(id_col).cast("long") != F.col("first_occ.fd"))
+        | (F.col("pos") != F.col("first_occ.fp"))
+    )
     covered = dup.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tpos"),
@@ -895,13 +909,17 @@ def source_overlap_kmv(
     two exchanges (distinct partitions on (source, hash), then the window
     re-keys on source alone), each carrying only hashes; the
     k-row-per-source result is tiny whatever the corpus size. Pairwise
-    estimation runs DRIVER-SIDE on the collected sketches (|sources| x k
-    values, trivial by construction) — note this makes the operator eager
-    at DataFrame-build time, and the returned frame is a local relation
-    (the sketch job's plan is not visible to downstream plan audits).
-    Hash-valued output -> rows-only; the estimator error bound is
-    property-tested against ``source_overlap_exact``.
+    estimation runs as a grouped ``applyInPandas`` over the WHOLE sketch
+    frame (one constant-key group — |sources| x k values, bounded by
+    construction, so a single task holding it all is correct by design).
+    The operator therefore stays LAZY like every other: building the
+    DataFrame triggers no job, and the sketch plan is visible to
+    downstream plan audits. Hash-valued output -> rows-only; the
+    estimator error bound is property-tested against
+    ``source_overlap_exact``.
     """
+    import pandas as pd
+
     w = Window.partitionBy("grp").orderBy("h")
     sketches = (
         df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t"))
@@ -911,20 +929,25 @@ def source_overlap_kmv(
         .filter(F.col("_rn") <= k)
         .select("grp", "h")
     )
-    from itertools import combinations
 
-    rows = sketches.collect()
-    by_src: dict = {}
-    for r in rows:
-        by_src.setdefault(r.grp, []).append(r.h)
-    out = []
-    for sa, sb in combinations(sorted(by_src), 2):
-        ha, hb = set(by_src[sa]), set(by_src[sb])
-        merged = sorted(ha | hb)[:k]
-        if not merged:
-            continue
-        inter = sum(1 for h in merged if h in ha and h in hb)
-        out.append((sa, sb, round(inter / len(merged), 6)))
-    return df.sparkSession.createDataFrame(
-        out, "src_a string, src_b string, est_jaccard double"
+    def _pairwise(pdf: pd.DataFrame) -> pd.DataFrame:
+        from itertools import combinations
+
+        by_src = {g: set(s) for g, s in pdf.groupby("grp")["h"]}
+        out = []
+        for sa, sb in combinations(sorted(by_src), 2):
+            ha, hb = by_src[sa], by_src[sb]
+            merged = sorted(ha | hb)[:k]
+            if not merged:
+                continue
+            inter = sum(1 for h in merged if h in ha and h in hb)
+            out.append((sa, sb, round(inter / len(merged), 6)))
+        return pd.DataFrame(
+            out, columns=["src_a", "src_b", "est_jaccard"]
+        ).astype({"est_jaccard": "float64"})
+
+    return (
+        sketches.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(_pairwise, "src_a string, src_b string, est_jaccard double")
+        .orderBy("src_a", "src_b")
     )

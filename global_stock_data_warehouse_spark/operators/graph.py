@@ -265,10 +265,15 @@ def pagerank(
     Scale design: the edge list is repartitioned on ``src`` ONCE and
     checkpointed outside the loop; each round is one co-partitioned
     rank-join + grouped sum (map-side partials absorb multi-edges) plus a
-    scalar dangling/delta aggregate. ``localCheckpoint`` per round keeps
-    the plan flat (same discipline as ``connected_components``). Rank
-    state is 2 columns/node — at 100 TB of edges the per-round shuffle
-    carries only (dst, partial-contrib) pairs.
+    SINGLE scalar aggregate that returns both the convergence max-delta
+    and the NEXT round's dangling mass (the two were separate jobs before
+    round 4 — fusing them halves per-round job-scheduling overhead at
+    high iteration counts; the initial dangling mass is a count of
+    zero-out-degree nodes, folded into the node-count action).
+    ``localCheckpoint`` per round keeps the plan flat (same discipline as
+    ``connected_components``). Rank state is 2 columns/node — at 100 TB
+    of edges the per-round shuffle carries only (dst, partial-contrib)
+    pairs.
     """
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -295,12 +300,16 @@ def pagerank(
         .repartition("node")
         .localCheckpoint(eager=True)
     )
-    n = base.count()
+    # initial state: rank=1.0 everywhere, so the first round's dangling
+    # mass is just the zero-out-degree node count — ride it on the same
+    # action as the node count instead of a separate job.
+    n, dangling = base.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("out_deg") == 0, 1.0).otherwise(0.0)),
+    ).first()
+    dangling = dangling or 0.0
     ranks = base.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        dangling = (
-            ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
-        )
         contribs = (
             e.join(
                 ranks.filter(F.col("out_deg") > 0).select(
@@ -326,7 +335,13 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        max_delta = new_ranks.agg(F.max("delta")).first()[0]
+        # ONE scalar action per round: convergence delta + next round's
+        # dangling mass read off the just-checkpointed frame together.
+        max_delta, dangling = new_ranks.agg(
+            F.max("delta"),
+            F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)),
+        ).first()
+        dangling = dangling or 0.0
         ranks = new_ranks.drop("delta")
         if max_delta is not None and max_delta <= tol:
             break

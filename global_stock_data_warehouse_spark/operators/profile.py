@@ -166,10 +166,14 @@ def benford_audit(
     (round(x * scale) as BIGINT) and the leading digit read from the
     INTEGER's decimal string — integers stringify identically on every
     engine, unlike doubles. Expected shares are fixed literal constants.
-    One tiny aggregation (9 output rows); the total rides a 1-row
-    broadcast. Output per digit: n, observed share, expected share, and
-    the absolute deviation.
+    One tiny aggregation (always EXACTLY 9 output rows — the observed
+    counts are outer-joined against the literal 1..9 digit domain, so a
+    digit that never occurs, the strongest fabrication signal of all,
+    still reports n=0, observed=0, deviation=expected rather than
+    silently vanishing); the total rides a 1-row broadcast. Output per
+    digit: n, observed share, expected share, and the absolute deviation.
     """
+    spark = df.sparkSession
     fx = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
     digits = (
         df.select(fx.alias("fx"))
@@ -177,14 +181,16 @@ def benford_audit(
         .select(F.substring(F.col("fx").cast("string"), 1, 1).cast("int").alias("digit"))
     )
     counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    total = counts.agg(F.sum("n").alias("_total"))
-    expected = F.create_map(
-        *[x for d, p in sorted(BENFORD_P.items()) for x in (F.lit(d), F.lit(p))]
+    total = counts.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("_total"))
+    domain = spark.createDataFrame(
+        [(d, p) for d, p in sorted(BENFORD_P.items())], "digit int, _p double"
     )
-    obs = F.round(F.col("n") / F.col("_total"), 6)
-    exp = F.round(expected[F.col("digit")], 6)
+    obs = F.round(F.col("n") / F.greatest(F.col("_total"), F.lit(1)), 6)
+    exp = F.round(F.col("_p"), 6)
     return (
-        counts.crossJoin(F.broadcast(total))
+        domain.join(counts, "digit", "left_outer")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .crossJoin(F.broadcast(total))
         .select(
             "digit",
             "n",

@@ -31,6 +31,35 @@ from pyspark.sql import functions as F
 ColSpec = tuple[str, int, int, str]
 
 
+def _largest_file_bytes(spark: SparkSession, path) -> int:
+    """Largest regular file under ``path`` via the Hadoop FS metadata
+    listing (driver-side, metadata-only — no data read; same listing the
+    scan planner itself performs)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(str(path))
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    biggest = 0
+    while it.hasNext():
+        biggest = max(biggest, it.next().getLen())
+    return biggest
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    """Configured scan split size, parsed through Spark's own byte-string
+    rules ("128m", "134217728b", ...)."""
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    try:
+        return int(
+            spark.sparkContext._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                raw
+            )
+        )
+    except Exception:
+        return int("".join(c for c in raw if c.isdigit()) or 134217728)
+
+
 def scan_fixed_width(
     spark: SparkSession,
     path: str,
@@ -48,6 +77,17 @@ def scan_fixed_width(
     distributed (files are the parallelism unit, as with any text
     format whose header is positional).
 
+    SPLITTABLE-FILE GUARD: that per-file ordering is only contractual
+    when each file lands in ONE scan partition. For a file larger than
+    ``spark.sql.files.maxPartitionBytes`` Spark splits it, and the line
+    order ACROSS splits rides the planner's split sort/bin-packing — an
+    implementation detail a planner change could silently break, dropping
+    the wrong N lines. So ``skip_header_lines > 0`` refuses loudly
+    (ValueError) when any input file exceeds the configured split size;
+    for such feeds, filter headers by CONTENT on the parsed columns (a
+    map-only predicate that needs no ordering at all), or raise
+    ``maxPartitionBytes`` past the largest file.
+
     When ``corrupt_count_col`` is set, it receives the number of fields
     whose raw slice was non-empty but cast to NULL — the row-level
     malformedness signal callers route to quarantine.
@@ -56,6 +96,17 @@ def scan_fixed_width(
 
     lines = spark.read.text(str(path))
     if skip_header_lines:
+        biggest = _largest_file_bytes(spark, path)
+        max_split = _max_partition_bytes(spark)
+        if biggest > max_split:
+            raise ValueError(
+                f"scan_fixed_width(skip_header_lines={skip_header_lines}): an "
+                f"input file under {path!r} is {biggest} bytes, larger than "
+                f"spark.sql.files.maxPartitionBytes ({max_split}); Spark will "
+                "split it and per-file line order across splits is not a "
+                "contract. Filter headers by content on the parsed columns, "
+                "or raise maxPartitionBytes past the largest file."
+            )
         w = Window.partitionBy(F.input_file_name()).orderBy(
             F.monotonically_increasing_id()
         )

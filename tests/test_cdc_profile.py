@@ -136,3 +136,10 @@ def test_benford_audit_flags_synthetic_digits(spark):
     spike = {r.digit: r for r in benford_audit(
         spark.createDataFrame(fake, ["v"]), "v").collect()}
     assert spike[5].observed == 1.0 and spike[5].deviation > 0.9
+    # absent digits (the strongest fabrication signal) still report a row:
+    # n=0, observed=0, deviation == expected — never silently vanish
+    assert set(spike) == set(range(1, 10))
+    for d in range(1, 10):
+        if d != 5:
+            assert spike[d].n == 0 and spike[d].observed == 0.0
+            assert spike[d].deviation == spike[d].expected

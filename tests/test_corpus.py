@@ -385,6 +385,55 @@ def test_remove_duplicate_spans_short_docs_untouched(spark):
     assert sorted(r.clean_text for r in out) == ["one two", "one two"]
 
 
+def test_remove_duplicate_spans_hash_spans_equivalence(spark):
+    # hash_spans=True keys the corpus-wide shuffle on xxhash64(span)
+    # instead of the raw string (the 100 TB shuffle-width form) — output
+    # must be identical to the string-keyed reference path.
+    import random
+
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = "the quick brown fox jumps over"
+    rows = []
+    for i in range(60):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 25)))
+        rows.append((i, body if i % 3 else f"{body} {boiler}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(
+        remove_duplicate_spans(df, n=3, min_count=2, hash_spans=False).collect()
+    )
+    b = sorted(
+        remove_duplicate_spans(df, n=3, min_count=2, hash_spans=True).collect()
+    )
+    assert a == b
+    assert any(r.n_removed > 0 for r in a)
+
+
+def test_remove_duplicate_spans_64bit_doc_ids(spark):
+    # first-occurrence identity is min(struct(doc_id, pos)) — the packed
+    # doc_id*2^32+pos BIGINT key would overflow for doc_id >= 2^31 and
+    # pick a wrong 'first'. 64-bit hash-style ids must order correctly.
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        remove_duplicate_spans,
+    )
+
+    lo, hi = 7, (1 << 62) + 11
+    df = spark.createDataFrame(
+        [(lo, "x y z tail"), (hi, "head x y z")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in remove_duplicate_spans(df, n=3, min_count=2).collect()
+    }
+    # lower doc_id holds the first occurrence; the huge id gets the cut
+    assert out[lo] == ("x y z tail", 0)
+    assert out[hi] == ("head", 3)
+
+
 # ---------------------------------------------------------------------------
 # bpe_merge_candidates
 # ---------------------------------------------------------------------------

@@ -136,3 +136,33 @@ def test_scan_fixed_width_is_codegen_map_only(spark, tmp_path):
     )
     plan_h = df_h._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan_h
+
+
+def test_scan_fixed_width_header_skip_refuses_splittable_files(spark, tmp_path):
+    # per-file line order across scan splits is not a Spark contract:
+    # skip_header_lines must fail LOUDLY when a file exceeds the
+    # configured split size rather than risk dropping the wrong lines.
+    import pytest
+
+    from global_stock_data_warehouse_spark.sources.fixed_width import (
+        scan_fixed_width,
+    )
+
+    p = tmp_path / "big.txt"
+    p.write_text("HEADER\n" + "AB12\n" * 100)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64b")
+    try:
+        with pytest.raises(ValueError, match="maxPartitionBytes"):
+            scan_fixed_width(
+                spark, str(p), [("a", 1, 2, "string")], skip_header_lines=1
+            )
+        # content-based parse of the same file (no header skip) stays fine
+        assert (
+            scan_fixed_width(spark, str(p), [("a", 1, 2, "string")])
+            .filter(F.col("a") != "HE")
+            .count()
+            == 100
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
