@@ -361,3 +361,46 @@ def test_quantize_embeddings_bounds_and_extremes(vecs):
             assert set(codes) == {0}
         else:
             assert min(codes) == 0 and max(codes) == 255
+
+
+@given(
+    n_shared=st.integers(min_value=0, max_value=80),
+    n_a=st.integers(min_value=0, max_value=60),
+    n_b=st.integers(min_value=0, max_value=60),
+)
+@SLOW
+def test_kmv_overlap_error_envelope(n_shared, n_a, n_b):
+    """Beyer et al. 2007 error envelope for the KMV Jaccard estimator,
+    quantitatively: with a merged sketch of size k the intersection count
+    is hypergeometric, so |est - J| <= 5*sqrt(J(1-J)/k) + 1/k (failure
+    probability < 1e-6 per draw); with union <= k the sketch IS the union
+    and the estimate must be exact. Hypothesis drives the vocabulary
+    structure through disjoint (J=0), nested (B subset of A), identical
+    (J=1), and generic-overlap regimes.
+    """
+    import math
+
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        source_overlap_kmv,
+    )
+
+    if n_shared + n_a == 0 or n_shared + n_b == 0:
+        return  # a tokenless source contributes no sketch — nothing to test
+    spark = _get_spark()
+    vocab_a = [f"s{i}" for i in range(n_shared)] + [f"a{i}" for i in range(n_a)]
+    vocab_b = [f"s{i}" for i in range(n_shared)] + [f"b{i}" for i in range(n_b)]
+    df = spark.createDataFrame(
+        [(0, " ".join(vocab_a), "sa"), (1, " ".join(vocab_b), "sb")],
+        "doc_id long, text string, source string",
+    )
+    k = 64
+    rows = source_overlap_kmv(df, k=k).collect()
+    assert len(rows) == 1
+    est = rows[0].est_jaccard
+    union = n_shared + n_a + n_b
+    j = n_shared / union
+    if union <= k:
+        assert abs(est - j) < 1e-6  # whole union in the sketch -> exact
+    else:
+        sigma = math.sqrt(j * (1.0 - j) / k)
+        assert abs(est - j) <= 5.0 * sigma + 1.0 / k
