@@ -1,0 +1,381 @@
+#!/usr/bin/env python
+"""Scale-slope harness: measure the ten heaviest operators at 1x/10x/100x
+synthetic scale and check the wall-time / shuffle-byte growth against each
+operator's documented complexity.
+
+Why this exists: sf0.1 timings plus design arguments say "bucketed,
+near-linear at 100 TB" — this harness MEASURES the slope. For each
+operator we generate deterministic synthetic fixtures (expression-only,
+no driver loops) whose 1x point matches the sf0.1 input volume, then run
+the REAL operator at 1x/10x/100x and record wall seconds and total
+shuffle-write bytes (from Spark's stage metrics REST API). The measured
+exponent between the 10x and 100x points (log-ratio of times over
+log-ratio of scales) is the empirical complexity — ~1.0 for the bucketed
+ops, <= 1.5 for triangle counting (the O(m^1.5) wedge bound).
+
+Fixture realism choices that keep the slopes honest:
+- vocabulary grows WITH the corpus (Heaps'-law-style) so per-token
+  document frequency stays constant — fixed vocab would densify every
+  inverted-index block and misattribute quadratic candidate growth to
+  the operator;
+- near-dup pair density is constant (10% of docs form adjacent-id pairs)
+  so the true-positive workload scales linearly;
+- blocking keys scale in COUNT with constant expected block size (the
+  documented discipline for record_linkage);
+- graphs grow in nodes at constant average degree;
+- semantic_dedup's n_cells scales ~n/2000 per its docstring (cell size
+  constant — the published SemDeDup recipe).
+- graph ops run with driver_max_edges=0: the size-gated driver twin would
+  otherwise absorb the small scales and hide the DISTRIBUTED slope this
+  harness exists to measure.
+
+Usage:
+  python tools/scale_slope.py                  # all ops, scales 1,10,100
+  python tools/scale_slope.py --ops pagerank,k_core --scales 1,10
+  python tools/scale_slope.py --md SCALE.md    # also rewrite the report
+
+Writes one JSON line per (op, scale) to stdout and, with --md, the full
+SCALE.md report table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+FIXTURE_ROOT = os.path.join(_REPO, ".scale_fixtures")
+
+# 1x sizes ~= the sf0.1 input volumes of the covering bench queries.
+BASE_DOCS = 5_000
+BASE_VECS = 2_000
+BASE_PEOPLE = 15_000
+BASE_NODES = 5_000
+AVG_DEG = 3  # directed edges per node => 3n edges, 6n after symmetrize
+
+
+def get_spark() -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gsdw-scale-slope")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedStages", "20000")
+        .getOrCreate()
+    )
+
+
+def shuffle_write_bytes(spark: SparkSession) -> int:
+    """Total shuffle-write bytes across all completed stages so far (the
+    harness diffs this around each run). Reads Spark's own REST metrics —
+    the same numbers the UI's stage table shows."""
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return -1
+    try:
+        apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications", timeout=10))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages?status=complete", timeout=30
+            )
+        )
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
+# ---------------------------------------------------------------------------
+# fixture generators — deterministic, expression-only (no driver data)
+# ---------------------------------------------------------------------------
+
+
+def _tok(seed_col, i, vocab: int):
+    return F.concat(
+        F.lit("w"), F.pmod(F.xxhash64(seed_col * 97 + i), F.lit(vocab)).cast("string")
+    )
+
+
+def gen_docs(spark: SparkSession, n: int) -> DataFrame:
+    """Corpus of n docs, 40 tokens each, vocab = 4n (Heaps-ish growth).
+    10% of docs form adjacent-id near-dup pairs (ids 0,1 mod 10 share a
+    seed; the odd member appends one unique token). Every third doc
+    carries a fixed 8-token boilerplate suffix (the duplicated-span
+    workload)."""
+    vocab = 4 * n
+    base = spark.range(n).withColumn(
+        "seed",
+        F.when(F.pmod("id", F.lit(10)) < 2, F.col("id") - F.pmod("id", F.lit(2))).otherwise(
+            F.col("id")
+        ),
+    )
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(39)), lambda i: _tok(F.col("seed"), i, vocab)
+    )
+    boiler = " b0 b1 b2 b3 b4 b5 b6 b7"
+    return base.select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.array_join(toks, " "),
+            F.when(F.pmod("id", F.lit(10)) == 1, F.concat(F.lit(" u"), F.col("id").cast("string"))).otherwise(F.lit("")),
+            F.when(F.pmod("id", F.lit(3)) == 0, F.lit(boiler)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def gen_vecs(spark: SparkSession, n: int) -> DataFrame:
+    """n embeddings, dim 16, uniform in [-1, 1); 10% adjacent-id exact
+    duplicates (cosine 1.0) so the dedup workload is non-empty."""
+    base = spark.range(n).withColumn(
+        "seed",
+        F.when(F.pmod("id", F.lit(10)) < 2, F.col("id") - F.pmod("id", F.lit(2))).otherwise(
+            F.col("id")
+        ),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: (
+            (F.pmod(F.xxhash64(F.col("seed") * 16 + i), F.lit(2001)) - 1000) / 1000.0
+        ).cast("float"),
+    )
+    return base.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+
+def gen_people(spark: SparkSession, n: int) -> DataFrame:
+    """n structured records with a blocking key of constant expected block
+    size 8 (key count scales with n) and 10% adjacent-id fuzzy-match pairs
+    (edit distance 1)."""
+    base = spark.range(n).withColumn(
+        "seed",
+        F.when(F.pmod("id", F.lit(10)) < 2, F.col("id") - F.pmod("id", F.lit(2))).otherwise(
+            F.col("id")
+        ),
+    )
+    name = F.concat(
+        F.lit("nm"),
+        F.pmod(F.xxhash64(F.col("seed") * 7 + 1), F.lit(100000)).cast("string"),
+        F.lit("x"),
+        F.pmod(F.xxhash64(F.col("seed") * 11 + 3), F.lit(10000)).cast("string"),
+        F.when(F.pmod("id", F.lit(10)) == 1, F.lit("q")).otherwise(F.lit("")),
+    )
+    return base.select(
+        F.col("id").alias("doc_id"),
+        name.alias("name"),
+        F.pmod(F.xxhash64(F.col("seed") * 3 + 5), F.lit(max(n // 8, 1))).alias("blk"),
+    )
+
+
+def gen_edges(spark: SparkSession, n_nodes: int) -> DataFrame:
+    """Directed random graph, AVG_DEG edges per node (constant degree as
+    the node count grows), self-loops dropped."""
+    m = n_nodes * AVG_DEG
+    return (
+        spark.range(m)
+        .select(
+            F.pmod(F.xxhash64(F.col("id") * 2 + 1), F.lit(n_nodes)).alias("src"),
+            F.pmod(F.xxhash64(F.col("id") * 2 + 2), F.lit(n_nodes)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def fixture(spark: SparkSession, kind: str, scale: int) -> DataFrame:
+    """Materialize (once) and read back the parquet fixture — reads, not
+    in-memory lineage, so every run starts from a scan like the bench."""
+    path = os.path.join(FIXTURE_ROOT, f"{kind}_x{scale}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gen = {
+            "docs": lambda: gen_docs(spark, BASE_DOCS * scale),
+            "vecs": lambda: gen_vecs(spark, BASE_VECS * scale),
+            "people": lambda: gen_people(spark, BASE_PEOPLE * scale),
+            "edges": lambda: gen_edges(spark, BASE_NODES * scale),
+        }[kind]
+        gen().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# the ten operators under measurement
+# ---------------------------------------------------------------------------
+
+
+def _ops():
+    from global_stock_data_warehouse_spark.operators import (
+        corpus,
+        dedup,
+        graph,
+        similarity,
+    )
+
+    def ngram_jaccard(spark, s):
+        df = fixture(spark, "docs", s)
+        return dedup.ngram_jaccard_pairs(df, n=2, threshold=0.5)
+
+    def minhash(spark, s):
+        df = fixture(spark, "docs", s)
+        return dedup.minhash_neardup(df, threshold=0.5)
+
+    def dup_spans(spark, s):
+        df = fixture(spark, "docs", s)
+        return corpus.duplicate_spans(df, n=4, min_docs=2)
+
+    def rm_spans(spark, s):
+        df = fixture(spark, "docs", s)
+        # hash_spans=True IS the 100 TB form this harness certifies
+        return corpus.remove_duplicate_spans(df, n=4, min_count=2, hash_spans=True)
+
+    def linkage(spark, s):
+        df = fixture(spark, "people", s)
+        return dedup.record_linkage(df, "name", ["blk"], max_distance=2)
+
+    def components(spark, s):
+        e = fixture(spark, "edges", s)
+        return graph.connected_components(
+            e, src="src", dst="dst", driver_max_edges=0
+        )
+
+    def kcore(spark, s):
+        e = fixture(spark, "edges", s)
+        return graph.k_core(e, k=3, driver_max_edges=0)
+
+    def triangles(spark, s):
+        e = fixture(spark, "edges", s)
+        return graph.triangle_count(e, k=20)
+
+    def prank(spark, s):
+        e = fixture(spark, "edges", s)
+        return graph.pagerank(e, max_iter=8, tol=0.0, driver_max_edges=0)
+
+    def semdedup(spark, s):
+        df = fixture(spark, "vecs", s)
+        # n_cells ~ n/2000 keeps the per-cell quadratic term constant
+        return similarity.semantic_dedup(
+            df, threshold=0.95, n_cells=max(8, (BASE_VECS * s) // 2000)
+        )
+
+    # (runner, expected exponent, what the expectation comes from)
+    return {
+        "ngram_jaccard_neardup": (ngram_jaccard, 1.0, "PPJoin prefix blocks, constant df/token"),
+        "minhash_neardup": (minhash, 1.0, "banded LSH, constant pair density"),
+        "duplicate_spans": (dup_spans, 1.0, "span-count agg + top-k broadcast"),
+        "remove_duplicate_spans": (rm_spans, 1.0, "hashed span shuffle + doc-keyed rebuild"),
+        "record_linkage": (linkage, 1.0, "constant block size, block count ~ n"),
+        "dedup_components": (components, 1.0, "hash-to-min rounds ~ log(diameter)"),
+        "k_core": (kcore, 1.0, "peeling rounds bounded by peel depth"),
+        "triangle_count": (triangles, 1.5, "wedge volume O(m^1.5) worst case"),
+        "pagerank": (prank, 1.0, "fixed 8 rounds x (dst,contrib) shuffle"),
+        "semantic_dedup": (semdedup, 1.0, "cell count ~ n, cell size constant"),
+    }
+
+
+def run(op_names, scales, md_path):
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    ops = _ops()
+    results = {}  # (op, scale) -> dict
+    for name in op_names:
+        runner, expected, why = ops[name]
+        for s in scales:
+            # fixture built outside the timed window
+            runner(spark, s)  # builds the lazy frame; also materializes fixture parquet
+            spark.sparkContext.setJobGroup(f"{name}_x{s}", f"{name} at {s}x")
+            sb0 = shuffle_write_bytes(spark)
+            t0 = time.time()
+            df = runner(spark, s)
+            df.write.format("noop").mode("overwrite").save()
+            wall = time.time() - t0
+            sb1 = shuffle_write_bytes(spark)
+            rec = {
+                "op": name,
+                "scale": s,
+                "sec": round(wall, 2),
+                "shuffle_mb": round((sb1 - sb0) / 1e6, 1) if sb0 >= 0 and sb1 >= 0 else None,
+            }
+            results[(name, s)] = rec
+            print(json.dumps(rec), flush=True)
+    spark.stop()
+    if md_path:
+        write_md(md_path, op_names, scales, results, ops)
+    return results
+
+
+def _slope(results, name, a, b, key):
+    ra, rb = results.get((name, a)), results.get((name, b))
+    if not ra or not rb or not ra.get(key) or not rb.get(key) or ra[key] <= 0 or rb[key] <= 0:
+        return None
+    return math.log(rb[key] / ra[key]) / math.log(b / a)
+
+
+def write_md(path, op_names, scales, results, ops):
+    lines = [
+        "# SCALE — measured scale slopes for the ten heaviest operators",
+        "",
+        "Produced by `tools/scale_slope.py` (see its docstring for fixture",
+        "design). Each operator runs on synthetic fixtures whose 1x point",
+        "matches the sf0.1 input volume; `exp(t)` is the measured wall-time",
+        "exponent between the largest two scale points",
+        "(log t-ratio / log scale-ratio; 1.0 = linear), `exp(shuffle)` the",
+        "same for shuffle-write bytes. Graph ops run with",
+        "`driver_max_edges=0` so the DISTRIBUTED path is what gets",
+        "measured at every scale. Wall times at the 1x point are mostly",
+        "fixed job overhead, so the 10x->100x segment carries the slope",
+        "signal.",
+        "",
+        "| op | " + " | ".join(f"{s}x sec" for s in scales) + " | "
+        + " | ".join(f"{s}x shMB" for s in scales)
+        + " | exp(t) | exp(shuffle) | expected | why |",
+        "| --- |" + " --- |" * (2 * len(scales) + 4),
+    ]
+    a, b = scales[-2], scales[-1]
+    for name in op_names:
+        _, expected, why = ops[name]
+        secs = [results.get((name, s), {}).get("sec", "-") for s in scales]
+        mbs = [results.get((name, s), {}).get("shuffle_mb", "-") for s in scales]
+        et = _slope(results, name, a, b, "sec")
+        es = _slope(results, name, a, b, "shuffle_mb")
+        lines.append(
+            "| {} | {} | {} | {} | {} | {} | {} |".format(
+                name,
+                " | ".join(str(x) for x in secs),
+                " | ".join(str(x) for x in mbs),
+                f"{et:.2f}" if et is not None else "-",
+                f"{es:.2f}" if es is not None else "-",
+                f"<= {expected}",
+                why,
+            )
+        )
+    lines.append("")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ops", default=",".join(_ops_keys := [
+        "ngram_jaccard_neardup", "minhash_neardup", "duplicate_spans",
+        "remove_duplicate_spans", "record_linkage", "dedup_components",
+        "k_core", "triangle_count", "pagerank", "semantic_dedup",
+    ]))
+    ap.add_argument("--scales", default="1,10,100")
+    ap.add_argument("--md", default=None)
+    args = ap.parse_args()
+    run(
+        [o for o in args.ops.split(",") if o],
+        [int(s) for s in args.scales.split(",")],
+        args.md,
+    )
