@@ -709,9 +709,12 @@ def remove_duplicate_spans(
         eager=True
     )
     span_key = F.xxhash64("span") if hash_spans else F.col("span")
+    # the raw span string is dead once the key exists — select it away so
+    # the span-stats shuffle and the join carry ONE key column, not the
+    # string twice (shuffle width, the thing hash_spans exists to cut)
     occ = toks.select(
         F.col(id_col), F.posexplode(word_ngrams(F.col("t"), n)).alias("pos", "span")
-    ).withColumn("skey", span_key)
+    ).select(F.col(id_col), "pos", span_key.alias("skey"))
     stats = (
         occ.groupBy("skey")
         .agg(
