@@ -1485,6 +1485,26 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(_t(spark, sf_dir, "orders"), "o_totalprice")
 
 
+def q_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-occurring token pairs within a 3-position window across the
+    corpus — collocation mining (the count layer under PMI association
+    scores) and a template-detection diagnostic. One doc-keyed window pass
+    computes all offsets; counts are integral -> bit-exact."""
+    from global_stock_data_warehouse_spark.operators.corpus import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), window=3, k=50, min_count=2)
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary audit: token volume, vocabulary size, hapax
+    count, type-token ratio, hapax share — the Heaps'-law corpus
+    diagnostics flagging template-heavy / synthetic sources. Two-level
+    integer aggregation; ratios rounded 6dp."""
+    from global_stock_data_warehouse_spark.operators.corpus import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"))
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise vocabulary overlap between document sources
     (intersection / union / Jaccard per source pair) — the duplication
@@ -2768,6 +2788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "source_kl": q_source_kl,
         "autocorrelation": q_autocorrelation,
+        "collocations_topk": q_collocations_topk,
+        "vocab_growth": q_vocab_growth,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3782,6 +3804,43 @@ FROM exp
 LEFT JOIN counts c ON c.digit = exp.digit
 CROSS JOIN total
 ORDER BY exp.digit
+""",
+        "collocations_topk": """
+WITH toks AS (
+  SELECT doc_id, i AS pos, t[i + 1] AS tok
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS t
+    FROM documents
+  ), UNNEST(range(0, len(t))) AS u(i)
+), pairs AS (
+  SELECT least(t1.tok, t2.tok) AS a, greatest(t1.tok, t2.tok) AS b
+  FROM toks t1 JOIN toks t2
+    ON t1.doc_id = t2.doc_id AND t2.pos > t1.pos AND t2.pos <= t1.pos + 3
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY a, b HAVING count(*) >= 2
+ORDER BY n DESC, a ASC, b ASC
+LIMIT 50
+""",
+        "vocab_growth": """
+WITH tok AS (
+  SELECT source AS grp,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x != '')) AS t
+  FROM documents
+), per_tok AS (
+  SELECT grp, t, count(*) AS n FROM tok GROUP BY grp, t
+)
+SELECT grp AS source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(count(*) / CAST(sum(n) AS DOUBLE), 6) AS ttr,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+FROM per_tok
+GROUP BY grp
+ORDER BY source
 """,
         "source_overlap": """
 WITH items AS (

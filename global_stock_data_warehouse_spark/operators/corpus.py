@@ -954,3 +954,96 @@ def source_overlap_kmv(
         .applyInPandas(_pairwise, "src_a string, src_b string, est_jaccard double")
         .orderBy("src_a", "src_b")
     )
+
+
+def collocations(
+    df: DataFrame,
+    window: int = 3,
+    k: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` co-occurring token pairs within ``window`` positions —
+    collocation mining, the count layer under PMI/likelihood-ratio
+    association scores (Manning & Schütze ch. 5) and a standard corpus
+    diagnostic for template detection alongside ``duplicate_spans``.
+    Pairs are canonicalized (a <= b alphabetically) so (x,y) and (y,x)
+    accumulate together; all-integer counts -> bit-exact across engines.
+
+    Scale design: a naive positions self-join fans out n_tokens x window
+    rows THROUGH A JOIN; here ONE doc-keyed window pass computes all
+    ``window`` leads off a single sort (the per-doc ordering is shared by
+    every offset), the pair array explodes map-side, and the count
+    aggregate absorbs the fan-out with map-side partials. Top-k compiles
+    to TakeOrderedAndProject — the full pair histogram never sorts
+    globally.
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    leads = toks.select(
+        F.col(id_col),
+        "tok",
+        *[F.lead("tok", o).over(w).alias(f"_l{o}") for o in range(1, window + 1)],
+    )
+    pair_arr = F.array(
+        *[
+            F.when(
+                F.col(f"_l{o}").isNotNull(),
+                F.struct(
+                    F.least("tok", F.col(f"_l{o}")).alias("a"),
+                    F.greatest("tok", F.col(f"_l{o}")).alias("b"),
+                ),
+            )
+            for o in range(1, window + 1)
+        ]
+    )
+    return (
+        leads.select(F.explode(pair_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(k)
+    )
+
+
+def vocab_growth(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source vocabulary audit: token volume, distinct vocabulary
+    size, hapax-legomena count (tokens occurring exactly once), type-token
+    ratio, and hapax share — the Heaps'-law diagnostics that flag
+    template-heavy or synthetic sources (real text keeps a fat hapax tail,
+    ~40-60% of vocabulary; generated/boilerplate feeds collapse it).
+
+    Two-level aggregation: the only corpus-wide shuffle is the
+    (source, token) count, whose map-side partials absorb the token
+    explode; level 2 reduces |vocab| rows to one per source. All counts
+    integer; ratios rounded to 6dp for cross-engine comparability.
+    """
+    tok = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t")
+    )
+    per_tok = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_tok.groupBy("grp")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_vocab"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            F.col("grp").alias("source"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_vocab").cast("long").alias("n_vocab"),
+            F.col("n_hapax").cast("long").alias("n_hapax"),
+            F.round(F.col("n_vocab") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_vocab"), 6).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -520,3 +520,58 @@ def test_source_overlap_kmv_tracks_exact_jaccard(spark):
     # bounded-k sketch: estimate within the standard KMV error envelope
     est = source_overlap_kmv(df, k=64).collect()[0].est_jaccard
     assert abs(est - exact) < 0.25
+
+
+# ---------------------------------------------------------------------------
+# collocations / vocab_growth
+# ---------------------------------------------------------------------------
+
+
+def test_collocations_window_counts(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import collocations
+
+    # "a b c a" with window=2: pairs (a,b) (a,c)@off2, (b,c) (a,b)@off2,
+    # (a,c)@off1 -> (a,b)x2, (a,c)x2, (b,c)x1; doc 1 adds (x,y) once.
+    df = spark.createDataFrame([(0, "a b c a"), (1, "x y")], ["doc_id", "text"])
+    out = {(r.a, r.b): r.n for r in collocations(df, window=2, min_count=1).collect()}
+    assert out[("a", "b")] == 2 and out[("a", "c")] == 2 and out[("b", "c")] == 1
+    assert out[("x", "y")] == 1
+    # pairs never cross documents
+    assert ("a", "x") not in out and ("c", "x") not in out
+    # canonicalization: identical-token bigram counts under (t, t)
+    df2 = spark.createDataFrame([(0, "t t t")], ["doc_id", "text"])
+    out2 = {(r.a, r.b): r.n for r in collocations(df2, window=1, min_count=1).collect()}
+    assert out2 == {("t", "t"): 2}
+
+
+def test_collocations_min_count_and_topk_order(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import collocations
+
+    df = spark.createDataFrame(
+        [(i, "p q filler" + str(i)) for i in range(5)] + [(9, "r s")],
+        ["doc_id", "text"],
+    )
+    rows = collocations(df, window=1, min_count=2, k=10).collect()
+    # only (p,q) survives min_count=2; (r,s) and fillers appear once
+    assert [(r.a, r.b, r.n) for r in rows] == [("p", "q", 5)]
+
+
+def test_vocab_growth_hapax_and_ttr(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import vocab_growth
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat", "sa"),
+            (1, "the dog", "sa"),
+            (2, "aaa aaa aaa aaa", "sb"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {r.source: r for r in vocab_growth(df).collect()}
+    # sa: 8 tokens, vocab {the,cat,sat,on,mat,dog}=6, hapax = all but 'the' = 5
+    assert out["sa"].n_tokens == 8 and out["sa"].n_vocab == 6
+    assert out["sa"].n_hapax == 5
+    assert out["sa"].ttr == round(6 / 8, 6)
+    # sb: degenerate template source -> hapax share collapses to 0
+    assert out["sb"].n_vocab == 1 and out["sb"].n_hapax == 0
+    assert out["sb"].hapax_ratio == 0.0
