@@ -63,6 +63,7 @@ BASE_VECS = 2_000
 BASE_PEOPLE = 15_000
 BASE_NODES = 5_000
 AVG_DEG = 3  # directed edges per node => 3n edges, 6n after symmetrize
+BASE_BARS = 100_000  # 1000 symbols x 100 days (sf0.1 events volume)
 
 
 def get_spark() -> SparkSession:
@@ -179,6 +180,38 @@ def gen_people(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
+def gen_bars(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Daily OHLCV bar stream: n_rows/100 symbols x 100 days (scaling grows
+    the SYMBOL UNIVERSE at fixed history depth — how a market warehouse
+    actually grows). Every 20th symbol has a 21-day hole (exercises the
+    gap gate + quarantine); prices positive."""
+    days = 100
+    base = spark.range(n_rows).select(
+        (F.col("id") / days).cast("long").alias("symbol"),
+        F.pmod("id", F.lit(days)).alias("day"),
+        F.col("id").alias("event_id"),
+    )
+    val = (F.lit(1.0) + F.pmod(F.xxhash64("event_id"), F.lit(1000)) / 100.0).alias("v")
+    d = F.date_add(F.lit("2024-01-01").cast("date"), F.col("day").cast("int"))
+    return (
+        base.select("symbol", "event_id", d.alias("date"), val)
+        .filter(
+            ~((F.pmod("symbol", F.lit(20)) == 0) & F.col("date").between("2024-02-01", "2024-02-21"))
+        )
+        .select(
+            "symbol",
+            "date",
+            F.to_timestamp("date").alias("ts"),
+            "event_id",
+            F.col("v").alias("open"),
+            F.col("v").alias("high"),
+            F.col("v").alias("low"),
+            F.col("v").alias("close"),
+            F.col("v").alias("volume"),
+        )
+    )
+
+
 def gen_edges(spark: SparkSession, n_nodes: int) -> DataFrame:
     """Directed random graph, AVG_DEG edges per node (constant degree as
     the node count grows), self-loops dropped."""
@@ -203,6 +236,7 @@ def fixture(spark: SparkSession, kind: str, scale: int) -> DataFrame:
             "vecs": lambda: gen_vecs(spark, BASE_VECS * scale),
             "people": lambda: gen_people(spark, BASE_PEOPLE * scale),
             "edges": lambda: gen_edges(spark, BASE_NODES * scale),
+            "bars": lambda: gen_bars(spark, BASE_BARS * scale),
         }[kind]
         gen().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -220,6 +254,7 @@ def _ops():
         graph,
         similarity,
     )
+    from global_stock_data_warehouse_spark.plans.wmy import wmy_pipeline
 
     def ngram_jaccard(spark, s):
         df = fixture(spark, "docs", s)
@@ -260,6 +295,19 @@ def _ops():
         e = fixture(spark, "edges", s)
         return graph.pagerank(e, max_iter=8, tol=0.0, driver_max_edges=0)
 
+    def wmy_gold(spark, s):
+        bars = fixture(spark, "bars", s)
+        gold, _ = wmy_pipeline(
+            bars,
+            time_col="date",
+            key_col="symbol",
+            freqs=("W", "M"),
+            gap_since="2024-01-01",
+            max_gap_days=14,
+            tiebreak_cols=("ts", "event_id"),
+        )
+        return gold
+
     def semdedup(spark, s):
         df = fixture(spark, "vecs", s)
         # n_cells ~ n/2000 keeps the per-cell quadratic term constant
@@ -279,6 +327,7 @@ def _ops():
         "triangle_count": (triangles, 1.5, "wedge volume O(m^1.5) worst case"),
         "pagerank": (prank, 1.0, "fixed 8 rounds x (dst,contrib) shuffle"),
         "semantic_dedup": (semdedup, 1.0, "cell count ~ n, cell size constant"),
+        "wmy_gold_pipeline": (wmy_gold, 1.0, "one symbol-keyed exchange shared by gates+resamples"),
     }
 
 
@@ -370,6 +419,7 @@ if __name__ == "__main__":
         "ngram_jaccard_neardup", "minhash_neardup", "duplicate_spans",
         "remove_duplicate_spans", "record_linkage", "dedup_components",
         "k_core", "triangle_count", "pagerank", "semantic_dedup",
+        "wmy_gold_pipeline",
     ]))
     ap.add_argument("--scales", default="1,10,100")
     ap.add_argument("--md", default=None)
