@@ -404,3 +404,30 @@ def test_kmv_overlap_error_envelope(n_shared, n_a, n_b):
     else:
         sigma = math.sqrt(j * (1.0 - j) / k)
         assert abs(est - j) <= 5.0 * sigma + 1.0 / k
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@SLOW
+def test_collocations_conserve_pair_volume(docs, window):
+    """Total pair count over all emitted (a,b) groups must equal the exact
+    per-doc combinatorial volume sum_docs sum_i min(window, len-1-i) —
+    no pair lost, none double-counted, none crossing documents."""
+    from global_stock_data_warehouse_spark.operators.corpus import collocations
+
+    spark = _get_spark()
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations(df, window=window, min_count=1, k=1_000_000).collect()
+    expected = sum(
+        min(window, len(toks) - 1 - i)
+        for toks in docs
+        for i in range(len(toks))
+    )
+    assert sum(r.n for r in out) == expected
