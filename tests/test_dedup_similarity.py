@@ -562,3 +562,29 @@ def test_vector_operators_drop_null_embeddings(spark):
     assert [r.neighbor_id for r in out] == [3]
     proj = random_projection(df, out_dim=4).collect()
     assert sorted(r.vec_id for r in proj) == [1, 3]
+
+
+def test_lsh_params_scale_with_corpus():
+    """Fixed hyperplane counts re-quadratize LSH candidates: with planes
+    constant, bucket occupancy grows ~n and same-bucket pairs ~n^2 (the r4
+    scale harness measured the blowup). The derived params must keep
+    expected bucket occupancy ~flat (planes ~ log2(n/256)) and raise the
+    table count to hold the ~0.9 design recall as planes grow."""
+    import math
+
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        _derive_lsh_params,
+    )
+
+    p95 = 1.0 - math.acos(0.95) / math.pi
+    for n in (1_000, 20_000, 200_000, 2_000_000, 20_000_000):
+        planes, tables = _derive_lsh_params(n, threshold=0.95)
+        # occupancy bound: n / 2^planes <= 64 for any corpus past the floor
+        if n > 64:
+            assert n / (1 << planes) <= 64, (n, planes)
+        assert planes >= 8 and 1 <= tables <= 16
+        # design recall holds (until the table cap bites)
+        recall = 1.0 - (1.0 - p95**planes) ** tables
+        assert recall >= 0.9 or tables == 16, (n, planes, tables, recall)
+    # monotone: 100x more vectors never means fewer planes
+    assert _derive_lsh_params(2_000_000, 0.95)[0] > _derive_lsh_params(20_000, 0.95)[0]

@@ -156,6 +156,23 @@ def gen_vecs(spark: SparkSession, n: int) -> DataFrame:
     return base.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
 
 
+def gen_cvecs(spark: SparkSession, n: int) -> DataFrame:
+    """CLUSTERED embeddings (how real embedding corpora look, and what
+    LSH/IVF are built for): n/50 centroids (cluster size constant as the
+    corpus grows), each vector = its centroid + 5% hash noise — intra-
+    cluster cosines land near 1, inter-cluster spread out."""
+    n_cent = max(4, n // 50)
+    base = spark.range(n).withColumn("cent", F.pmod("id", F.lit(n_cent)))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: (
+            (F.pmod(F.xxhash64(F.col("cent") * 16 + i), F.lit(2001)) - 1000) / 1000.0
+            + (F.pmod(F.xxhash64(F.col("id") * 16 + i), F.lit(2001)) - 1000) / 20000.0
+        ).cast("float"),
+    )
+    return base.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+
 def gen_people(spark: SparkSession, n: int) -> DataFrame:
     """n structured records with a blocking key of constant expected block
     size 8 (key count scales with n) and 10% adjacent-id fuzzy-match pairs
@@ -237,6 +254,7 @@ def fixture(spark: SparkSession, kind: str, scale: int) -> DataFrame:
             "people": lambda: gen_people(spark, BASE_PEOPLE * scale),
             "edges": lambda: gen_edges(spark, BASE_NODES * scale),
             "bars": lambda: gen_bars(spark, BASE_BARS * scale),
+            "cvecs": lambda: gen_cvecs(spark, BASE_VECS * scale),
         }[kind]
         gen().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -295,6 +313,24 @@ def _ops():
         e = fixture(spark, "edges", s)
         return graph.pagerank(e, max_iter=8, tol=0.0, driver_max_edges=0)
 
+    def emb_neardup(spark, s):
+        # CLUSTERED fixture: LSH's working regime (uniform random vectors
+        # are its adversarial case — every bucket-mate is a false
+        # candidate). strategy='lsh' pins ONE code path across scales;
+        # planes/tables derive from the corpus count (occupancy-bounded).
+        df = fixture(spark, "cvecs", s)
+        return similarity.embedding_neardup(df, threshold=0.95, strategy="lsh")
+
+    def ann_ivf(spark, s):
+        df = fixture(spark, "cvecs", s)
+        q = df.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        # n_cells ~ n/500 keeps cell size constant (IVF discipline)
+        return similarity.ivf_topk(
+            df, q, k=5, n_cells=max(16, (BASE_VECS * s) // 500), n_probe=4
+        )
+
     def wmy_gold(spark, s):
         bars = fixture(spark, "bars", s)
         gold, _ = wmy_pipeline(
@@ -328,6 +364,8 @@ def _ops():
         "pagerank": (prank, 1.0, "fixed 8 rounds x (dst,contrib) shuffle"),
         "semantic_dedup": (semdedup, 1.0, "cell count ~ n, cell size constant"),
         "wmy_gold_pipeline": (wmy_gold, 1.0, "one symbol-keyed exchange shared by gates+resamples"),
+        "embedding_neardup_lsh": (emb_neardup, 1.0, "hyperplane buckets, constant dup density"),
+        "ann_ivf_topk": (ann_ivf, 1.0, "cell count ~ n, probe fraction constant"),
     }
 
 
