@@ -327,6 +327,8 @@ def embedding_neardup_lsh(
     vec_col: str = "embedding",
     planes: int | None = None,
     tables: int | None = None,
+    carry_vectors: bool | None = None,
+    carry_max_docs: int = 100_000,
 ) -> DataFrame:
     """APPROXIMATE near-dup pairs: LSH-bucketed candidate generation +
     exact cosine verify — the sub-quadratic scale path.
@@ -349,12 +351,16 @@ def embedding_neardup_lsh(
     (table, bucket) rows — not one corpus scan + Python kernel per table;
     the self-join key is (table, bucket), so tables cannot cross-match.
 
-    Candidate rows are (id_a, id_b) ONLY — 16 bytes — through the bucket
-    join and the cross-table dedup; the full vectors are fetched AFTER
-    dedup with two id-keyed joins against the (id, vector) frame (tiny
-    relative to the candidate stream, and broadcastable when the corpus
-    fits). Carrying both vectors through the candidate shuffle multiplied
-    its width ~10x (measured 27 GB -> ~2 GB at the 100x harness point).
+    Candidate-row layout is stats-dispatched (``carry_vectors``, auto by
+    corpus count): small corpora keep the vectors RIDING the candidate
+    join — candidate volume is tiny and the two fetch joins would be pure
+    fixed overhead — while large corpora shrink candidates to
+    (id_a, id_b) ONLY (16 bytes) through the bucket join and cross-table
+    dedup, fetching vectors AFTER dedup (broadcast fetch while the vector
+    frame fits, shuffle-hash past that — never sort-merge, which would
+    sort the candidate stream twice). Carrying both vectors through the
+    candidate shuffle multiplied its width ~10x at the 100x harness point
+    (measured 27 GB -> 1.2 GB).
     """
     n = None
     if planes is None or tables is None:
@@ -381,33 +387,48 @@ def embedding_neardup_lsh(
     schema = StructType(
         list(src.schema.fields) + [StructField("buckets", ArrayType(LongType()))]
     )
-    b = src.mapInPandas(add_buckets, schema=schema).select(
-        id_col, F.posexplode("buckets").alias("tbl", "bucket")
-    )
-    left = b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
-    right = b.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
-    cand = (
-        left.join(right, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .drop("tbl", "bucket")
-    )
-    # a pair can collide in several tables -> keep one copy per (id_a,id_b)
-    dedup = cand.dropDuplicates(["id_a", "id_b"])
-    # vector-fetch join strategy, stats-dispatched: BROADCAST the (id,
-    # vector) frame when it plausibly fits (candidates then never
-    # reshuffle at all); past that, SHUFFLE-HASH — never sort-merge,
-    # which would SORT the candidate stream twice (measured: the dominant
-    # cost at the 300x harness point before this dispatch).
-    if n is None:
-        n = src.count()
-    vec_bytes = n * (16 + 4 * dim)
-    fetch = "broadcast" if vec_bytes <= (256 << 20) else "shuffle_hash"
-    va = src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")).hint(fetch)
-    vb = src.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")).hint(fetch)
+    if carry_vectors is None:
+        if n is None:
+            n = src.count()
+        carry_vectors = n <= carry_max_docs
+    bucketed = src.mapInPandas(add_buckets, schema=schema)
+    if carry_vectors:
+        # small-corpus layout: vectors ride the candidate join (candidate
+        # volume is tiny; separate fetch joins would be pure overhead)
+        b = bucketed.select(
+            id_col, vec_col, F.posexplode("buckets").alias("tbl", "bucket")
+        )
+        cand = (
+            b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "tbl", "bucket")
+            .join(
+                b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "tbl", "bucket"),
+                ["tbl", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop("tbl", "bucket")
+        )
+        joined = cand.dropDuplicates(["id_a", "id_b"])
+    else:
+        b = bucketed.select(id_col, F.posexplode("buckets").alias("tbl", "bucket"))
+        cand = (
+            b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+            .join(b.select(F.col(id_col).alias("id_b"), "tbl", "bucket"), ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop("tbl", "bucket")
+        )
+        # a pair can collide in several tables -> one copy per (id_a,id_b)
+        dedup = cand.dropDuplicates(["id_a", "id_b"])
+        if n is None:
+            n = src.count()
+        vec_bytes = n * (16 + 4 * dim)
+        fetch = "broadcast" if vec_bytes <= (256 << 20) else "shuffle_hash"
+        va = src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")).hint(fetch)
+        vb = src.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")).hint(fetch)
+        joined = dedup.join(va, "id_a").join(vb, "id_b")
     return (
-        dedup.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        joined.withColumn(
+            "cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

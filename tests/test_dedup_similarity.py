@@ -588,3 +588,26 @@ def test_lsh_params_scale_with_corpus():
         assert recall >= 0.9 or tables == 16, (n, planes, tables, recall)
     # monotone: 100x more vectors never means fewer planes
     assert _derive_lsh_params(2_000_000, 0.95)[0] > _derive_lsh_params(20_000, 0.95)[0]
+
+
+def test_lsh_candidate_layouts_equivalent(spark):
+    """The two stats-dispatched candidate layouts (vectors riding the
+    bucket join vs id-only candidates + post-dedup vector fetch) must
+    produce identical pairs — the dispatch is a physical choice only."""
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        embedding_neardup_lsh,
+    )
+
+    vecs = _vecs(spark)
+    dim = len(vecs.first().embedding)
+    kw = dict(threshold=0.9, dim=dim, planes=4, tables=4)
+    inline = sorted(
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in embedding_neardup_lsh(vecs, carry_vectors=True, **kw).collect()
+    )
+    fetch = sorted(
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in embedding_neardup_lsh(vecs, carry_vectors=False, **kw).collect()
+    )
+    assert inline == fetch
+    assert inline  # non-empty on the clustered fixture
