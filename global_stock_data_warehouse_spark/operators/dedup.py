@@ -693,6 +693,20 @@ def simhash_neardup(
     Candidate generation: block on 4 16-bit chunks — pigeonhole guarantees
     any pair within Hamming<=3 shares at least one exact chunk, so the join
     key is a chunk, not an O(n²) cross join.
+
+    SCALE CEILING (documented, same defect class the r4 harness caught in
+    the hyperplane LSH): the chunk-key space is fixed at 4 x 2^16, so
+    expected bucket occupancy is n/65536 and same-bucket candidate pairs
+    grow quadratically once n is well past ~10M docs (at n=1M occupancy
+    ~15 — fine; at n=1B, ~15k per bucket — broken). The chunk WIDTH cannot
+    simply grow: pigeonhole needs max_hamming+1 chunks covering 64 bits.
+    The published extension is multi-index Hamming search (Norouzi,
+    Punjani & Fleet, CVPR'12): split into more, narrower chunks and block
+    on chunk COMBINATIONS (wider composite keys -> 2^32-class key space)
+    at the cost of more tables. Not implemented — this operator's contract
+    is the <=10M-doc regime; past that, route near-dup through
+    minhash_neardup (band-key space scales with the hash range) or
+    embedding_neardup_lsh (occupancy-derived planes).
     """
     sh = simhash_signatures(df, text_col, id_col)
     chunks = sh.select(

@@ -291,6 +291,10 @@ def _ops():
         # hash_spans=True IS the 100 TB form this harness certifies
         return corpus.remove_duplicate_spans(df, n=4, min_count=2, hash_spans=True)
 
+    def simhash(spark, s):
+        df = fixture(spark, "docs", s)
+        return dedup.simhash_neardup(df, max_hamming=6)
+
     def linkage(spark, s):
         df = fixture(spark, "people", s)
         return dedup.record_linkage(df, "name", ["blk"], max_distance=2)
@@ -358,6 +362,7 @@ def _ops():
         "duplicate_spans": (dup_spans, 1.0, "span-count agg + top-k broadcast"),
         "remove_duplicate_spans": (rm_spans, 1.0, "hashed span shuffle + doc-keyed rebuild"),
         "record_linkage": (linkage, 1.0, "constant block size, block count ~ n"),
+        "simhash_neardup": (simhash, 1.0, "4x16-bit chunk blocks; valid regime n << 10M (ceiling documented)"),
         "dedup_components": (components, 1.0, "hash-to-min rounds ~ log(diameter)"),
         "k_core": (kcore, 1.0, "peeling rounds bounded by peel depth"),
         "triangle_count": (triangles, 1.5, "wedge volume O(m^1.5) worst case"),
