@@ -778,6 +778,7 @@ def record_linkage(
     block_cols: list[str],
     max_distance: int = 2,
     id_col: str = "doc_id",
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Entity resolution over STRUCTURED records: candidate pairs from
     equality blocking, matched by Levenshtein edit distance — the
@@ -792,7 +793,31 @@ def record_linkage(
     SQL engines agree on Levenshtein exactly), so rejected pairs are
     dropped before the output materializes. ``id_a < id_b``
     canonicalizes pairs.
+
+    ``max_block_rows`` is the runaway-hot-block tripwire: one NULL-heavy
+    or default-valued blocking key (the classic dirty-data failure) turns
+    the bounded quadratic into a job-killing one silently — tasks just
+    run for hours. When set, a cheap pre-aggregation (one count per block,
+    map-side combined) checks the LARGEST block and raises loudly with
+    the offending key instead of launching the join. Off by default (no
+    extra job); turn it on for unvetted blocking columns.
     """
+    if max_block_rows is not None:
+        worst = (
+            df.groupBy(*[F.col(c) for c in block_cols])
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.col("_n").desc())
+            .first()
+        )
+        if worst is not None and worst["_n"] > max_block_rows:
+            key = {c: worst[c] for c in block_cols}
+            raise ValueError(
+                f"record_linkage: hottest block {key} holds {worst['_n']} rows "
+                f"(> max_block_rows={max_block_rows}); its pair volume is "
+                f"~{worst['_n'] ** 2 // 2:,}. Refine block_cols (add a column, "
+                "or prefilter the null/default key) instead of launching a "
+                "runaway quadratic."
+            )
     left = df.select(
         *[F.col(c).alias(f"b_{c}") for c in block_cols],
         F.col(id_col).alias("id_a"),

@@ -611,3 +611,24 @@ def test_lsh_candidate_layouts_equivalent(spark):
     )
     assert inline == fetch
     assert inline  # non-empty on the clustered fixture
+
+
+def test_record_linkage_hot_block_tripwire(spark):
+    """A null/default-valued blocking key silently turns the bounded
+    quadratic into a runaway one; max_block_rows must refuse loudly with
+    the offending key, and leave vetted inputs untouched."""
+    import pytest
+
+    from global_stock_data_warehouse_spark.operators.dedup import record_linkage
+
+    rows = [(i, f"name{i}", "DEFAULT" if i < 50 else f"b{i % 5}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, name string, blk string")
+    with pytest.raises(ValueError, match="DEFAULT.*50 rows"):
+        record_linkage(df, "name", ["blk"], max_block_rows=20)
+    # within bound -> runs normally (also the default-off path)
+    ok = spark.createDataFrame(
+        [(i, f"nm{i}", f"b{i % 30}") for i in range(60)],
+        "doc_id long, name string, blk string",
+    )
+    assert record_linkage(ok, "name", ["blk"], max_block_rows=20).count() >= 0
+    assert record_linkage(ok, "name", ["blk"]).count() >= 0
