@@ -348,6 +348,24 @@ def _ops():
         )
         return gold
 
+    def stream_ohlc(spark, s):
+        # Structured Streaming over the SAME bars fixture: availableNow
+        # drains the whole directory through the watermarked windowed
+        # OHLC aggregate (state ~ symbols x open windows, bounded).
+        from global_stock_data_warehouse_spark.streaming import pipeline as sp
+
+        fixture(spark, "bars", s)  # ensure parquet exists
+        path = os.path.join(FIXTURE_ROOT, f"bars_x{s}")
+        stream = sp.read_bar_stream(
+            spark,
+            path,
+            "symbol long, date date, ts timestamp, event_id long, "
+            "open double, high double, low double, close double, volume double",
+        )
+        return sp.windowed_ohlc(
+            stream, window="7 days", watermark="14 days", value_col="close"
+        )
+
     def semdedup(spark, s):
         df = fixture(spark, "vecs", s)
         # n_cells ~ n/2000 keeps the per-cell quadratic term constant
@@ -369,6 +387,7 @@ def _ops():
         "pagerank": (prank, 1.0, "fixed 8 rounds x (dst,contrib) shuffle"),
         "semantic_dedup": (semdedup, 1.0, "cell count ~ n, cell size constant"),
         "wmy_gold_pipeline": (wmy_gold, 1.0, "one symbol-keyed exchange shared by gates+resamples"),
+        "stream_windowed_ohlc": (stream_ohlc, 1.0, "availableNow drain; state ~ symbols x open windows"),
         "embedding_neardup_lsh": (emb_neardup, 1.0, "hyperplane buckets, constant dup density"),
         "ann_ivf_topk": (ann_ivf, 1.0, "cell count ~ n, probe fraction constant"),
     }
@@ -388,7 +407,21 @@ def run(op_names, scales, md_path):
             sb0 = shuffle_write_bytes(spark)
             t0 = time.time()
             df = runner(spark, s)
-            df.write.format("noop").mode("overwrite").save()
+            if df.isStreaming:
+                import shutil
+                import tempfile
+
+                ckpt = tempfile.mkdtemp(prefix="_ckpt_", dir=FIXTURE_ROOT)
+                q = (
+                    df.writeStream.format("noop")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                shutil.rmtree(ckpt, ignore_errors=True)
+            else:
+                df.write.format("noop").mode("overwrite").save()
             wall = time.time() - t0
             sb1 = shuffle_write_bytes(spark)
             rec = {
