@@ -3787,23 +3787,25 @@ WITH digits AS (
   WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > 0
 ), counts AS (
   SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
-), total AS (
-  SELECT COALESCE(sum(n), 0) AS t FROM counts
 ), exp AS (
   SELECT * FROM (VALUES
     (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608),
     (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631),
     (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561)
   ) AS v(digit, p)
+), joined AS (
+  -- mirror the Spark plan: total via a partition-less window over the
+  -- joined 9-row frame — the fact table is scanned exactly once
+  SELECT exp.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n, exp.p,
+         sum(CAST(COALESCE(c.n, 0) AS BIGINT)) OVER () AS t
+  FROM exp LEFT JOIN counts c ON c.digit = exp.digit
 )
-SELECT exp.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
-       round(COALESCE(c.n, 0) / GREATEST(total.t, 1), 6) AS observed,
-       round(CAST(exp.p AS DOUBLE), 6) AS expected,
-       round(abs(round(COALESCE(c.n, 0) / GREATEST(total.t, 1), 6) - round(CAST(exp.p AS DOUBLE), 6)), 6) AS deviation
-FROM exp
-LEFT JOIN counts c ON c.digit = exp.digit
-CROSS JOIN total
-ORDER BY exp.digit
+SELECT digit, n,
+       round(n / GREATEST(t, 1), 6) AS observed,
+       round(CAST(p AS DOUBLE), 6) AS expected,
+       round(abs(round(n / GREATEST(t, 1), 6) - round(CAST(p AS DOUBLE), 6)), 6) AS deviation
+FROM joined
+ORDER BY digit
 """,
         "collocations_topk": """
 WITH toks AS (

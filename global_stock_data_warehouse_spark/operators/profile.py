@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -170,8 +170,13 @@ def benford_audit(
     counts are outer-joined against the literal 1..9 digit domain, so a
     digit that never occurs, the strongest fabrication signal of all,
     still reports n=0, observed=0, deviation=expected rather than
-    silently vanishing); the total rides a 1-row broadcast. Output per
-    digit: n, observed share, expected share, and the absolute deviation.
+    silently vanishing). The fact column is scanned EXACTLY ONCE: the
+    grand total is derived from the already-joined ≤9-row frame with a
+    deliberate partition-less window (a single-partition pass over nine
+    rows, not a second fact-table lineage — the r4 version's
+    ``counts.agg(sum)`` + crossJoin re-ran the whole scan+agg twice).
+    Output per digit: n, observed share, expected share, and the
+    absolute deviation.
     """
     spark = df.sparkSession
     fx = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
@@ -181,16 +186,18 @@ def benford_audit(
         .select(F.substring(F.col("fx").cast("string"), 1, 1).cast("int").alias("digit"))
     )
     counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    total = counts.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("_total"))
     domain = spark.createDataFrame(
         [(d, p) for d, p in sorted(BENFORD_P.items())], "digit int, _p double"
     )
-    obs = F.round(F.col("n") / F.greatest(F.col("_total"), F.lit(1)), 6)
+    # Partition-less window over the 9-row digit domain — intentional:
+    # |rows| is a compile-time constant 9, so the single-partition window
+    # is free and saves a full second scan of the fact column.
+    total = F.sum("n").over(Window.partitionBy())
+    obs = F.round(F.col("n") / F.greatest(total, F.lit(1)), 6)
     exp = F.round(F.col("_p"), 6)
     return (
         domain.join(counts, "digit", "left_outer")
         .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
-        .crossJoin(F.broadcast(total))
         .select(
             "digit",
             "n",

@@ -76,6 +76,15 @@ def test_profile_has_no_expand_either_mode(spark, sf_dir):
     assert "Expand" not in approx_plan, approx_plan
 
 
+def test_benford_audit_single_fact_scan(spark, sf_dir):
+    """benford_audit scans the fact column exactly once: the grand total
+    is a partition-less window over the joined 9-row digit frame, NOT a
+    second aggregation lineage of the input (the r4 shape re-ran the full
+    scan+agg twice — at 100 TB that's two table scans for one number)."""
+    plan = _plan(entry.q_benford_audit(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1, plan
+
+
 def test_range_join_preaggregates_fact_side(spark):
     """The interval join must consume per-day partial aggregates, not raw
     lineitem rows: a HashAggregate keyed on l_shipdate sits BELOW the
