@@ -778,7 +778,9 @@ def record_linkage(
     block_cols: list[str],
     max_distance: int = 2,
     id_col: str = "doc_id",
-    max_block_rows: int | None = None,
+    max_block_rows: int | str | None = "auto",
+    max_pair_factor: int = 32,
+    auto_block_floor: int = 10_000,
 ) -> DataFrame:
     """Entity resolution over STRUCTURED records: candidate pairs from
     equality blocking, matched by Levenshtein edit distance — the
@@ -797,26 +799,59 @@ def record_linkage(
     ``max_block_rows`` is the runaway-hot-block tripwire: one NULL-heavy
     or default-valued blocking key (the classic dirty-data failure) turns
     the bounded quadratic into a job-killing one silently — tasks just
-    run for hours. When set, a cheap pre-aggregation (one count per block,
-    map-side combined) checks the LARGEST block and raises loudly with
-    the offending key instead of launching the join. Off by default (no
-    extra job); turn it on for unvetted blocking columns.
+    run for hours. A cheap pre-aggregation (one count per block, map-side
+    combined, a single scalar action) checks the LARGEST block and raises
+    loudly with the offending key instead of launching the join. ARMED BY
+    DEFAULT (``"auto"``): the derived rule fires when the hottest block's
+    projected pair volume ``worst_n^2/2`` exceeds ``max_pair_factor``
+    times the input row count AND the block is past ``auto_block_floor``
+    rows — the floor keeps small, legitimately-quadratic workloads (and
+    unit fixtures) out of the net, so "auto" means *runaway*, not merely
+    *skewed*. An ``int`` is an explicit hard cap on block rows; ``None``
+    is the explicit opt-out (no probe job at all).
+
+    Rows whose blocking key is NULL are EXCLUDED from the probe: the
+    candidate join is an equality join, where NULL never matches NULL —
+    a NULL-heavy key produces ZERO pairs, so counting it would raise a
+    false refusal on exactly the inert rows (they silently drop out of
+    the linkage, which is the standard blocking-key contract).
     """
     if max_block_rows is not None:
-        worst = (
-            df.groupBy(*[F.col(c) for c in block_cols])
+        stats = (
+            df.na.drop(subset=list(block_cols))  # NULL blocks are join-inert
+            .groupBy(*[F.col(c) for c in block_cols])
             .agg(F.count(F.lit(1)).alias("_n"))
-            .orderBy(F.col("_n").desc())
+            .agg(
+                F.max("_n").alias("worst_n"),
+                F.max_by(
+                    F.struct(*[F.col(c) for c in block_cols]), F.col("_n")
+                ).alias("worst_key"),
+                F.sum("_n").alias("n_rows"),
+            )
             .first()
         )
-        if worst is not None and worst["_n"] > max_block_rows:
-            key = {c: worst[c] for c in block_cols}
+        worst_n = stats["worst_n"] or 0
+        n_rows = stats["n_rows"] or 0
+        if max_block_rows == "auto":
+            runaway = (
+                worst_n > auto_block_floor
+                and worst_n * worst_n // 2 > max_pair_factor * n_rows
+            )
+            cap_desc = (
+                f"auto: pairs > {max_pair_factor}x input rows ({n_rows:,}) "
+                f"and block > {auto_block_floor:,} rows"
+            )
+        else:
+            runaway = worst_n > max_block_rows
+            cap_desc = f"max_block_rows={max_block_rows}"
+        if runaway:
+            key = stats["worst_key"].asDict()
             raise ValueError(
-                f"record_linkage: hottest block {key} holds {worst['_n']} rows "
-                f"(> max_block_rows={max_block_rows}); its pair volume is "
-                f"~{worst['_n'] ** 2 // 2:,}. Refine block_cols (add a column, "
-                "or prefilter the null/default key) instead of launching a "
-                "runaway quadratic."
+                f"record_linkage: hottest block {key} holds {worst_n} rows "
+                f"({cap_desc}); its pair volume is ~{worst_n ** 2 // 2:,}. "
+                "Refine block_cols (add a column, or prefilter the "
+                "null/default key) instead of launching a runaway quadratic. "
+                "Pass max_block_rows=None to explicitly opt out."
             )
     left = df.select(
         *[F.col(c).alias(f"b_{c}") for c in block_cols],

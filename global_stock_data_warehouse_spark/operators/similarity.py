@@ -169,6 +169,14 @@ def _derive_lsh_params(
     planes = max(8, math.ceil(math.log2(max(n, 1) / target_bucket_rows)) if n > target_bucket_rows else 8)
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     per_table = p**planes
+    if per_table <= 0.0:
+        # threshold <= -1.0 -> collision probability 0: the recall formula
+        # divides by log(1 - per_table) == 0. A cosine threshold of -1
+        # means "every pair matches" — not a near-dup query at all.
+        raise ValueError(
+            f"_derive_lsh_params: threshold={threshold} gives zero hyperplane "
+            "collision probability; use a threshold in (-1, 1]."
+        )
     if per_table >= 1.0:
         tables = 1
     else:

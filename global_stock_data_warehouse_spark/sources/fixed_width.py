@@ -31,25 +31,28 @@ from pyspark.sql import functions as F
 ColSpec = tuple[str, int, int, str]
 
 
-def _largest_file_bytes(spark: SparkSession, path) -> int:
-    """Largest regular file under ``path`` via the Hadoop FS metadata
-    listing (driver-side, metadata-only — no data read; same listing the
-    scan planner itself performs)."""
+def _file_stats(spark: SparkSession, path) -> tuple[int, int, int]:
+    """(largest, total_bytes, n_files) over regular files under ``path``
+    via the Hadoop FS metadata listing (driver-side, metadata-only — no
+    data read; same listing the scan planner itself performs)."""
     sc = spark.sparkContext
     jvm = sc._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(str(path))
     fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
     it = fs.listFiles(hpath, True)
-    biggest = 0
+    biggest = total = count = 0
     while it.hasNext():
-        biggest = max(biggest, it.next().getLen())
-    return biggest
+        n = it.next().getLen()
+        biggest = max(biggest, n)
+        total += n
+        count += 1
+    return biggest, total, count
 
 
-def _max_partition_bytes(spark: SparkSession) -> int:
-    """Configured scan split size, parsed through Spark's own byte-string
+def _bytes_conf(spark: SparkSession, key: str, default: str) -> int:
+    """A byte-valued Spark conf, parsed through Spark's own byte-string
     rules ("128m", "134217728b", ...)."""
-    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    raw = spark.conf.get(key, default)
     try:
         return int(
             spark.sparkContext._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
@@ -58,6 +61,35 @@ def _max_partition_bytes(spark: SparkSession) -> int:
         )
     except Exception:
         return int("".join(c for c in raw if c.isdigit()) or 134217728)
+
+
+def _effective_max_split_bytes(
+    spark: SparkSession, total_bytes: int, n_files: int
+) -> int:
+    """The split size the scan planner will ACTUALLY use — Spark's
+    ``FilePartition.maxSplitBytes`` formula, not just
+    ``maxPartitionBytes``:
+
+        min(maxPartitionBytes, max(openCostInBytes, bytesPerCore))
+        where bytesPerCore = (totalBytes + n_files * openCost)
+                             / minPartitionNum
+
+    and ``minPartitionNum`` defaults to the session's leaf-node default
+    parallelism (the core count on local[N]). On a many-core session
+    this is routinely FAR below ``maxPartitionBytes`` — e.g. ~4 MB on
+    local[32] over a ~100 MB directory — so a file can be split even
+    though it is smaller than ``maxPartitionBytes``. The splittable-file
+    guard must compare against THIS number."""
+    max_pb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", "134217728b")
+    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", "4194304b")
+    min_pn = (
+        spark.conf.get("spark.sql.files.minPartitionNum", None)
+        or spark.conf.get("spark.sql.leafNodeDefaultParallelism", None)
+        or spark.sparkContext.defaultParallelism
+    )
+    padded = total_bytes + n_files * open_cost
+    bytes_per_core = padded // max(int(min_pn), 1)
+    return min(max_pb, max(open_cost, bytes_per_core))
 
 
 def scan_fixed_width(
@@ -79,14 +111,18 @@ def scan_fixed_width(
 
     SPLITTABLE-FILE GUARD: that per-file ordering is only contractual
     when each file lands in ONE scan partition. For a file larger than
-    ``spark.sql.files.maxPartitionBytes`` Spark splits it, and the line
+    the planner's EFFECTIVE split size Spark splits it, and the line
     order ACROSS splits rides the planner's split sort/bin-packing — an
     implementation detail a planner change could silently break, dropping
-    the wrong N lines. So ``skip_header_lines > 0`` refuses loudly
-    (ValueError) when any input file exceeds the configured split size;
-    for such feeds, filter headers by CONTENT on the parsed columns (a
-    map-only predicate that needs no ordering at all), or raise
-    ``maxPartitionBytes`` past the largest file.
+    the wrong N lines. The effective split is NOT ``maxPartitionBytes``
+    alone: Spark's ``FilePartition.maxSplitBytes`` is
+    ``min(maxPartitionBytes, max(openCostInBytes, totalBytes/
+    parallelism))``, often far smaller on many-core sessions (see
+    ``_effective_max_split_bytes``). So ``skip_header_lines > 0``
+    refuses loudly (ValueError) when any input file exceeds the
+    effective split size; for such feeds, filter headers by CONTENT on
+    the parsed columns (a map-only predicate that needs no ordering at
+    all), or raise the relevant confs past the largest file.
 
     When ``corrupt_count_col`` is set, it receives the number of fields
     whose raw slice was non-empty but cast to NULL — the row-level
@@ -96,16 +132,20 @@ def scan_fixed_width(
 
     lines = spark.read.text(str(path))
     if skip_header_lines:
-        biggest = _largest_file_bytes(spark, path)
-        max_split = _max_partition_bytes(spark)
+        biggest, total, n_files = _file_stats(spark, path)
+        max_split = _effective_max_split_bytes(spark, total, n_files)
         if biggest > max_split:
             raise ValueError(
                 f"scan_fixed_width(skip_header_lines={skip_header_lines}): an "
                 f"input file under {path!r} is {biggest} bytes, larger than "
-                f"spark.sql.files.maxPartitionBytes ({max_split}); Spark will "
-                "split it and per-file line order across splits is not a "
-                "contract. Filter headers by content on the parsed columns, "
-                "or raise maxPartitionBytes past the largest file."
+                f"the planner's effective split size ({max_split} bytes — "
+                "min(spark.sql.files.maxPartitionBytes, max(openCostInBytes, "
+                "totalBytes/parallelism)), Spark's FilePartition.maxSplitBytes "
+                "formula); Spark will split it and per-file line order across "
+                "splits is not a contract. Filter headers by content on the "
+                "parsed columns, or raise maxPartitionBytes AND "
+                "minPartitionNum/openCostInBytes so the effective split "
+                "exceeds the largest file."
             )
         w = Window.partitionBy(F.input_file_name()).orderBy(
             F.monotonically_increasing_id()

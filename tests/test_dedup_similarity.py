@@ -588,6 +588,13 @@ def test_lsh_params_scale_with_corpus():
         assert recall >= 0.9 or tables == 16, (n, planes, tables, recall)
     # monotone: 100x more vectors never means fewer planes
     assert _derive_lsh_params(2_000_000, 0.95)[0] > _derive_lsh_params(20_000, 0.95)[0]
+    # degenerate thresholds (<= -1: zero collision probability) must raise
+    # a clear ValueError, not ZeroDivisionError in the recall formula
+    import pytest
+
+    for bad in (-1.0, -2.0):
+        with pytest.raises(ValueError, match="threshold"):
+            _derive_lsh_params(1_000_000, threshold=bad)
 
 
 def test_lsh_candidate_layouts_equivalent(spark):
@@ -631,4 +638,45 @@ def test_record_linkage_hot_block_tripwire(spark):
         "doc_id long, name string, blk string",
     )
     assert record_linkage(ok, "name", ["blk"], max_block_rows=20).count() >= 0
-    assert record_linkage(ok, "name", ["blk"]).count() >= 0
+    # explicit opt-out still available
+    assert record_linkage(ok, "name", ["blk"], max_block_rows=None).count() >= 0
+
+
+def test_record_linkage_tripwire_armed_by_default(spark):
+    """The default ("auto") must refuse a genuinely runaway block — one
+    whose projected pairs dwarf the input — with no caller opt-in."""
+    import pytest
+
+    from global_stock_data_warehouse_spark.operators.dedup import record_linkage
+
+    df = (
+        spark.range(20_000)
+        .selectExpr(
+            "id AS doc_id",
+            "concat('name', id) AS name",
+            "CASE WHEN id < 15000 THEN 'DEFAULT' ELSE concat('b', id % 100) END AS blk",
+        )
+    )
+    # worst block 15k rows (> 10k floor), ~112M projected pairs vs 640k cap
+    with pytest.raises(ValueError, match="DEFAULT.*15000 rows"):
+        record_linkage(df, "name", ["blk"])
+    # same distribution but under the floor -> auto stays quiet (skewed,
+    # not runaway): the probe must not nanny small quadratic workloads
+    small = df.filter("doc_id < 2000")
+    assert record_linkage(small, "name", ["blk"]).columns == [
+        "id_a", "id_b", "name_a", "name_b", "distance",
+    ]
+
+
+def test_record_linkage_null_blocks_are_probe_inert(spark):
+    """Equality blocking never matches NULL keys — a NULL-heavy blocking
+    column yields ZERO pairs, so the tripwire must not count it (the r4
+    probe false-refused exactly the rows the join ignores)."""
+    from global_stock_data_warehouse_spark.operators.dedup import record_linkage
+
+    rows = [(i, f"name{i}", None if i < 50 else f"b{i % 5}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, name string, blk string")
+    # r4 behavior: raised on the 50-row NULL "block". Now: NULL rows are
+    # join-inert, probe passes, and the join produces only non-NULL pairs.
+    out = record_linkage(df, "name", ["blk"], max_block_rows=20)
+    assert out.filter("id_a < 50 OR id_b < 50").count() == 0

@@ -166,3 +166,41 @@ def test_scan_fixed_width_header_skip_refuses_splittable_files(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_scan_fixed_width_guard_uses_effective_split_not_maxpartitionbytes(
+    spark, tmp_path
+):
+    # Spark's actual split size is min(maxPartitionBytes, max(openCost,
+    # totalBytes/parallelism)) — a file can be split even when SMALLER
+    # than maxPartitionBytes. The guard must refuse on the effective
+    # number, not the raw conf.
+    import pytest
+
+    from global_stock_data_warehouse_spark.sources.fixed_width import (
+        scan_fixed_width,
+    )
+
+    p = tmp_path / "mid.txt"
+    p.write_text("HEADER\n" + "AB12\n" * 100)  # ~507 bytes << default maxPB
+    confs = {
+        "spark.sql.files.openCostInBytes": "16b",
+        "spark.sql.files.minPartitionNum": "64",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # effective split = max(16, (507+16)//64) = 16 bytes < file size,
+        # while maxPartitionBytes stays at its huge default — the r4 guard
+        # (raw maxPartitionBytes compare) let this through silently.
+        with pytest.raises(ValueError, match="effective split"):
+            scan_fixed_width(
+                spark, str(p), [("a", 1, 2, "string")], skip_header_lines=1
+            )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

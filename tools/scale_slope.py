@@ -447,7 +447,7 @@ def _slope(results, name, a, b, key):
 
 def write_md(path, op_names, scales, results, ops):
     lines = [
-        "# SCALE — measured scale slopes for the ten heaviest operators",
+        f"# SCALE — measured scale slopes for the {len(op_names)} heaviest operators",
         "",
         "Produced by `tools/scale_slope.py` (see its docstring for fixture",
         "design). Each operator runs on synthetic fixtures whose 1x point",
@@ -465,13 +465,14 @@ def write_md(path, op_names, scales, results, ops):
         + " | exp(t) | exp(shuffle) | expected | why |",
         "| --- |" + " --- |" * (2 * len(scales) + 4),
     ]
-    a, b = scales[-2], scales[-1]
+    # slope needs two scale points; with one, emit '-' instead of crashing
+    a, b = (scales[-2], scales[-1]) if len(scales) >= 2 else (None, None)
     for name in op_names:
         _, expected, why = ops[name]
         secs = [results.get((name, s), {}).get("sec", "-") for s in scales]
         mbs = [results.get((name, s), {}).get("shuffle_mb", "-") for s in scales]
-        et = _slope(results, name, a, b, "sec")
-        es = _slope(results, name, a, b, "shuffle_mb")
+        et = _slope(results, name, a, b, "sec") if b is not None else None
+        es = _slope(results, name, a, b, "shuffle_mb") if b is not None else None
         lines.append(
             "| {} | {} | {} | {} | {} | {} | {} |".format(
                 name,
