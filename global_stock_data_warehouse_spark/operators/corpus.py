@@ -674,7 +674,8 @@ def remove_duplicate_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hash_spans: bool = False,
+    hash_spans: bool | str = "auto",
+    auto_hash_docs: int = 100_000,
 ) -> DataFrame:
     """Exact substring deduplication — the REWRITE step (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better", scoped to
@@ -696,9 +697,20 @@ def remove_duplicate_spans(
     and the join on ``xxhash64(span)`` instead of the raw n-token string —
     the 100 TB form (8-byte keys instead of arbitrary-width strings on the
     one corpus-wide shuffle); output is identical modulo a ~2^-64
-    collision (equivalence-tested), kept off by default for cross-engine
-    oracle comparability.
+    collision (equivalence-tested, tests/test_corpus.py). The output
+    never carries the key, so the (doc_id, clean_text, n_removed) result
+    is engine-portable either way.
+
+    ``hash_spans="auto"`` (the default) stats-dispatches like the other
+    corpus operators: a cheap ``count()`` probe (parquet metadata for
+    file sources) picks raw span keys below ``auto_hash_docs`` documents
+    (debuggable — the span-stats frame holds readable strings — and zero
+    collision surface for oracle runs) and the hashed 8-byte key above
+    it, where shuffle WIDTH is the cost that matters. Pass True/False to
+    pin either path.
     """
+    if hash_spans == "auto":
+        hash_spans = df.count() > auto_hash_docs
     # three consumers (span occurrences, token rows, original-length
     # join) would each re-run the scan + tokenization; materialize the
     # tokenized corpus once. The EXPLODED span frame is deliberately NOT

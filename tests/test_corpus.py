@@ -411,6 +411,20 @@ def test_remove_duplicate_spans_hash_spans_equivalence(spark):
     )
     assert a == b
     assert any(r.n_removed > 0 for r in a)
+    # auto dispatch: small corpora keep raw (debuggable, zero-collision)
+    # span keys; past auto_hash_docs the plan keys the shuffle on xxhash64
+    small_plan = (
+        remove_duplicate_spans(df, n=3, min_count=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "xxhash64" not in small_plan
+    big_plan = (
+        remove_duplicate_spans(df, n=3, min_count=2, auto_hash_docs=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "xxhash64" in big_plan
+    auto = sorted(remove_duplicate_spans(df, n=3, min_count=2, auto_hash_docs=10).collect())
+    assert auto == a
 
 
 def test_remove_duplicate_spans_64bit_doc_ids(spark):
