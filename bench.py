@@ -89,13 +89,27 @@ def main() -> None:
         except Exception:
             pass
 
+    # Per-query shuffle-write bytes (Spark REST stage metrics, diffed
+    # around each query on the first sweep only — the metric is
+    # deterministic run-to-run, unlike wall seconds which drift ±10-20%
+    # on this rig; regression calls should cite bytes, seconds second).
+    # The REST reads happen OUTSIDE the timed section.
+    from tools.scale_slope import shuffle_write_bytes
+
     runs: dict[str, list[float]] = {name: [] for name in entrymod.queries()}
-    for _ in range(repeat):
+    shuffle_mb: dict[str, float] = {}
+    for sweep in range(repeat):
         for name, fn in entrymod.queries().items():
+            sb0 = shuffle_write_bytes(spark) if sweep == 0 else 0
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.time() - t0, 3))
+            if sweep == 0:
+                sb1 = shuffle_write_bytes(spark)
+                shuffle_mb[name] = (
+                    round((sb1 - sb0) / 1e6, 3) if sb0 >= 0 and sb1 >= 0 else -1.0
+                )
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
@@ -106,6 +120,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shuffle_mb": shuffle_mb,
                 "sf": sf,
                 "repeat": repeat,
             }
