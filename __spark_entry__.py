@@ -2647,22 +2647,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     in tools/check_correctness.py) stay OUT of the window: the
     #     driver's hash has no tolerance.
     #
-    # ROUND-4 ROTATION (first composition change since r2): 30 slots keep
-    # the §2 operator-evidence + LLM-op anchor queries; the other 20 rotate
-    # to never-windowed oracled queries, risk-ranked per the r3 review —
-    # the two queries CHANGED this round (benford_audit,
-    # remove_duplicate_spans) first, then the review's list
-    # (record_linkage, basket_rules, source_overlap, trend_ols,
+    # ROUND-5 ROTATION: 30 slots keep the §2 operator-evidence + LLM-op
+    # anchor queries (unchanged). Of the r4 rotated-in set, TWO stay
+    # because their code changed THIS round (risk rule: changed >
+    # stable): benford_audit (single-scan rewrite) and record_linkage
+    # (tripwire armed by default — a new probe job in the query path).
+    # The other 18 slots rotate to never-windowed oracled queries,
+    # risk-ranked per the r4 review: duplicate_spans, waiting_suppliers,
+    # collocations_topk, vocab_growth, ngram_topk_sketch,
+    # latency_percentiles, session_paths, then the TPC-H shapes
+    # (order_priority_exists, forecast_revenue, volume_shipping,
+    # product_profit, returned_top_customers), then further complex
+    # multi-operator plans (cohort_retention, event_transitions,
+    # attribution_last_touch, rolling_distinct_users, quantile_summary,
+    # gap_fill). The review also named rolling_beta and unigram_logprob,
+    # but both are EPS_QUERIES — rule 4 keeps them out of the hash
+    # window. Rotated OUT to the mirror-checked section:
+    # remove_duplicate_spans, basket_rules, source_overlap, trend_ols,
     # market_share, scd2_history, cdc_apply, max_concurrency,
-    # tfidf_topterms, bpe_merge_candidates), then further multi-operator
-    # plans. Rotated OUT to the mirror-checked section:
-    # agg_pricing_summary, win_rolling_frame, cube_rollup, pivot_status,
-    # window_tumbling_7d, shipping_priority, regional_revenue,
-    # funnel_3step, small_qty_revenue, big_orders, range_join_shipments,
-    # multi_res_rollup, snapshot_diff, profile_table, tech_indicators,
-    # drawdown_cumret, sessionize, stats_moments, repetition_stats,
-    # sample_per_group — every one stays oracled and bit-exact-mirrored
-    # via tools/check_correctness.py each round (rule 3).
+    # tfidf_topterms, bpe_merge_candidates, paragraph_dedup,
+    # decontaminate, pii_scrub, bm25_score, pack_sequences,
+    # keyword_search, gap_fill_linear, rfm_segments — every one stays
+    # oracled and bit-exact-mirrored via tools/check_correctness.py each
+    # round (rule 3).
     return {
         "wmy_gold_pipeline": q_wmy_gold_pipeline,
         "wmy_weekly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "W"),
@@ -2694,10 +2701,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
-        # --- r4 rotated-in window slots (31-50) ---
+        # --- r5 rotated window slots (31-50) ---
         "benford_audit": q_benford_audit,
-        "remove_duplicate_spans": q_remove_duplicate_spans,
         "record_linkage": q_record_linkage,
+        "duplicate_spans": q_duplicate_spans,
+        "waiting_suppliers": q_waiting_suppliers,
+        "collocations_topk": q_collocations_topk,
+        "vocab_growth": q_vocab_growth,
+        "ngram_topk_sketch": q_ngram_topk_sketch,
+        "latency_percentiles": q_latency_percentiles,
+        "session_paths": q_session_paths,
+        "order_priority_exists": q_order_priority_exists,
+        "forecast_revenue": q_forecast_revenue,
+        "volume_shipping": q_volume_shipping,
+        "product_profit": q_product_profit,
+        "returned_top_customers": q_returned_top_customers,
+        "cohort_retention": q_cohort_retention,
+        "event_transitions": q_event_transitions,
+        "attribution_last_touch": q_attribution_last_touch,
+        "rolling_distinct_users": q_rolling_distinct_users,
+        "quantile_summary": q_quantile_summary,
+        "gap_fill": q_gap_fill,
+        # --- oracled but beyond the driver's 50-row check window; verified
+        # locally via tools/check_correctness.py ---
+        "remove_duplicate_spans": q_remove_duplicate_spans,
         "basket_rules": q_basket_rules,
         "source_overlap": q_source_overlap,
         "trend_ols": q_trend_ols,
@@ -2715,8 +2742,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": q_keyword_search,
         "gap_fill_linear": q_gap_fill_linear,
         "rfm_segments": q_rfm_segments,
-        # --- oracled but beyond the driver's 50-row check window; verified
-        # locally via tools/check_correctness.py ---
         "agg_pricing_summary": q_agg_pricing_summary,
         "win_rolling_frame": q_win_rolling_frame,
         "cube_rollup": q_cube_rollup,
@@ -2738,21 +2763,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "sample_per_group": q_sample_per_group,
         "ngram_topk": q_ngram_topk,
-        "duplicate_spans": q_duplicate_spans,
-        "quantile_summary": q_quantile_summary,
         "rolling_beta": q_rolling_beta,
         "rebalance_sample": q_rebalance_sample,
         "min_cost_supplier": q_min_cost_supplier,
         "nation_revenue_share": q_nation_revenue_share,
         "dormant_rich_customers": q_dormant_rich_customers,
-        "order_priority_exists": q_order_priority_exists,
-        "waiting_suppliers": q_waiting_suppliers,
         "temperature_sample": q_temperature_sample,
         "split_assign": q_split_assign,
-        "forecast_revenue": q_forecast_revenue,
-        "volume_shipping": q_volume_shipping,
-        "product_profit": q_product_profit,
-        "returned_top_customers": q_returned_top_customers,
         "priority_linestatus": q_priority_linestatus,
         "custdist": q_custdist,
         "promo_revenue_share": q_promo_revenue_share,
@@ -2761,26 +2778,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "dominant_suppliers": q_dominant_suppliers,
         "unigram_logprob": q_unigram_logprob,
-        "cohort_retention": q_cohort_retention,
-        "event_transitions": q_event_transitions,
         "hopping_window": q_hopping_window,
         "mad_outliers": q_mad_outliers,
         "hist_bins": q_hist_bins,
-        "gap_fill": q_gap_fill,
-        "ngram_topk_sketch": q_ngram_topk_sketch,
         "dense_ids": q_dense_ids,
         "equi_depth_hist": q_equi_depth_hist,
-        "session_paths": q_session_paths,
         "unpivot_ohlc": q_unpivot_ohlc,
         "longest_up_streak": q_longest_up_streak,
         "salted_flag_totals": q_salted_flag_totals,
-        "latency_percentiles": q_latency_percentiles,
         "vwap_brand": q_vwap_brand,
         "market_breadth": q_market_breadth,
         "repeat_purchase_rate": q_repeat_purchase_rate,
         "price_distribution": q_price_distribution,
-        "attribution_last_touch": q_attribution_last_touch,
-        "rolling_distinct_users": q_rolling_distinct_users,
         "class_centroids": q_class_centroids,
         "quantize_embeddings": q_quantize_embeddings,
         "triangle_count": q_triangle_count,
@@ -2788,8 +2797,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "source_kl": q_source_kl,
         "autocorrelation": q_autocorrelation,
-        "collocations_topk": q_collocations_topk,
-        "vocab_growth": q_vocab_growth,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
