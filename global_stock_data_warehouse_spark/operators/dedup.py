@@ -687,61 +687,144 @@ def simhash_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    strategy: str = "auto",
+    multi_index_min_docs: int = 10_000_000,
 ) -> DataFrame:
     """Pairs whose SimHash Hamming distance <= max_hamming.
 
-    Candidate generation: block on 4 16-bit chunks — pigeonhole guarantees
-    any pair within Hamming<=3 shares at least one exact chunk, so the join
-    key is a chunk, not an O(n²) cross join.
+    Two candidate-generation strategies, stats-dispatched (``"auto"``
+    probes ``df.count()`` — parquet metadata for file sources — same
+    discipline as ``embedding_neardup`` / ``ngram_jaccard_pairs``):
 
-    SCALE CEILING (documented, same defect class the r4 harness caught in
-    the hyperplane LSH): the chunk-key space is fixed at 4 x 2^16, so
-    expected bucket occupancy is n/65536 and same-bucket candidate pairs
-    grow quadratically once n is well past ~10M docs (at n=1M occupancy
-    ~15 — fine; at n=1B, ~15k per bucket — broken). The chunk WIDTH cannot
-    simply grow: pigeonhole needs max_hamming+1 chunks covering 64 bits.
-    The published extension is multi-index Hamming search (Norouzi,
-    Punjani & Fleet, CVPR'12): split into more, narrower chunks and block
-    on chunk COMBINATIONS (wider composite keys -> 2^32-class key space)
-    at the cost of more tables. Not implemented — this operator's contract
-    is the <=10M-doc regime; past that, route near-dup through
-    minhash_neardup (band-key space scales with the hash range) or
-    embedding_neardup_lsh (occupancy-derived planes).
+    - ``"chunk"`` (small/medium corpora): block on 4 exact 16-bit chunks —
+      pigeonhole guarantees any pair within Hamming<=3 shares one exact
+      chunk. Cheapest emission (4 block rows/doc), but the key space is
+      FIXED at 4 x 2^16, so expected bucket occupancy is n/65536 and
+      same-bucket candidate pairs grow quadratically once n is well past
+      ~10M docs (at n=1M occupancy ~15 — fine; at n=1B, ~15k/bucket —
+      broken; the same defect class the r4 scale harness caught in the
+      hyperplane LSH).
+    - ``"multi_index"`` (the scale path past the knee): multi-index
+      Hamming search (Norouzi, Punjani & Fleet, "Fast Search in Hamming
+      Space with Multi-Index Hashing", CVPR'12) — split the signature
+      into 2 chunks of 32 bits; pigeonhole over 2 chunks gives a
+      per-chunk error budget of floor(max_hamming/2) <= 1 (for the
+      supported max_hamming <= 3), so one side posts its EXACT 32-bit
+      chunks (2 rows/doc) and the other enumerates the radius-1 Hamming
+      BALL around each chunk (2 x 33 rows/doc, pure codegen XOR
+      expressions). Ball symmetry (a in ball(b) <=> b in ball(a)) plus
+      the ``id_a < id_b`` filter keeps every qualifying pair exactly
+      once (``distinct`` collapses multi-chunk hits). The key space is
+      2 x 2^32 — occupancy at n=1B is ~0.25 per (chunk, value) bucket
+      vs ~15k for the 16-bit scheme, at a constant ~17x emission factor:
+      the quadratic ceiling becomes a linear cost, measured in SCALE.md
+      (shuffle exponent 1.00 at 100x->300x).
+
+    Dispatch threshold: chunk's candidate-evaluation volume is
+    ~n^2/32768 (4 chunks x 65536 buckets x occupancy^2/2) — ~122M evals
+    at n=2M (trivial, and cheaper than multi-index's constant 17x
+    emission), ~3B at n=10M, ~305B at n=100M. ``multi_index_min_docs``
+    defaults to the 10M knee where that curve turns painful.
+
+    Both strategies verify with ``bit_count(x.sh XOR y.sh)`` INSIDE the
+    join condition: far pairs die in the join stage instead of riding
+    the dedup exchange. ``multi_index`` requires ``max_hamming <= 3``
+    (radius-2 balls would emit 529 variants/chunk; at that distance use
+    minhash_neardup instead — enforced with a ValueError).
     """
-    sh = simhash_signatures(df, text_col, id_col)
-    chunks = sh.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select("id", "sh", "c.chunk_idx", "c.chunk")
-    # self-join: materialize once so the signature expression pipeline
-    # (scan -> tokenize -> 64 weighted bit sums) doesn't run per side
-    chunks = chunks.localCheckpoint(eager=True)
-    x = chunks.alias("x")
-    y = chunks.alias("y")
-    # Hamming predicate INSIDE the join: far pairs die in the join stage
-    # instead of being shuffled into the dedup exchange — on dense corpora
-    # the chunk buckets generate millions of far pairs, and this is the
-    # difference between shuffling all of them and shuffling only hits.
+    if strategy == "auto":
+        strategy = (
+            "multi_index"
+            if max_hamming <= 3 and df.count() > multi_index_min_docs
+            else "chunk"
+        )
+    if strategy not in ("chunk", "multi_index"):
+        raise ValueError(f"simhash_neardup: unknown strategy {strategy!r}")
+    if strategy == "multi_index" and max_hamming > 3:
+        raise ValueError(
+            "simhash_neardup(strategy='multi_index') supports max_hamming <= 3 "
+            "(2 chunks x radius-1 balls); for coarser matching use "
+            "minhash_neardup, whose band-key space scales with the hash range."
+        )
+    # materialize signatures once so the kernel (scan -> tokenize -> 64
+    # bit sums) doesn't run per join side / per explode consumer
+    sh = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=True)
     hamming = F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh")))
-    return (
-        x.join(
-            y,
+    if strategy == "chunk":
+        chunks = sh.select(
+            "id",
+            "sh",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("chunk_idx"),
+                            F.shiftright("sh", i * 16)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("chunk"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("c"),
+        ).select("id", "sh", "c.chunk_idx", "c.chunk")
+        x = chunks.alias("x")
+        y = chunks.alias("y")
+        cond = (
             (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
             & (F.col("x.chunk") == F.col("y.chunk"))
             & (F.col("x.id") < F.col("y.id"))
-            & (hamming <= max_hamming),
+            & (hamming <= max_hamming)
         )
+    else:
+        mask = F.lit((1 << 32) - 1).cast("bigint")
+
+        def _chunk(i: int):
+            # logical shift: the top chunk of a negative bigint must not
+            # sign-fill
+            return F.shiftrightunsigned("sh", i * 32).bitwiseAND(mask)
+
+        exact = sh.select(
+            "id",
+            "sh",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("ci"), _chunk(i).alias("cv"))
+                        for i in range(2)
+                    ]
+                )
+            ).alias("c"),
+        ).select("id", "sh", "c.ci", "c.cv")
+        ball = sh.select(
+            "id",
+            "sh",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("ci"), v.alias("cv"))
+                        for i in range(2)
+                        for v in [
+                            _chunk(i),
+                            *[
+                                _chunk(i).bitwiseXOR(F.lit(1 << j).cast("bigint"))
+                                for j in range(32)
+                            ],
+                        ]
+                    ]
+                )
+            ).alias("c"),
+        ).select("id", "sh", "c.ci", "c.cv")
+        x = exact.alias("x")
+        y = ball.alias("y")
+        cond = (
+            (F.col("x.ci") == F.col("y.ci"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.id") < F.col("y.id"))
+            & (hamming <= max_hamming)
+        )
+    return (
+        x.join(y, cond)
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),

@@ -442,6 +442,56 @@ def test_semantic_dedup_single_cell_matches_exact_neardup(spark):
     assert dropped.isdisjoint(heads)
 
 
+def test_simhash_multi_index_equivalent_to_chunk(spark):
+    """Multi-index Hamming search (Norouzi et al. CVPR'12: 2x32-bit
+    chunks, radius-1 balls) and the 4x16-bit exact-chunk scheme are BOTH
+    exhaustive for max_hamming <= 3 (pigeonhole), so they must return the
+    IDENTICAL pair set — the multi-index path only changes the candidate
+    key space (2^32-class, the past-10M-docs scale fix), never recall."""
+    import random
+
+    from global_stock_data_warehouse_spark.operators.dedup import simhash_neardup
+
+    rng = random.Random(41)
+    vocab = [f"tok{i}" for i in range(400)]
+    rows = []
+    for i in range(80):
+        base = [rng.choice(vocab) for _ in range(30)]
+        rows.append((2 * i, " ".join(base)))
+        mut = list(base)
+        mut[rng.randrange(30)] = rng.choice(vocab)  # near-dup twin
+        rows.append((2 * i + 1, " ".join(mut)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunk = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup(docs, max_hamming=3, strategy="chunk").collect()
+    }
+    multi = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup(docs, max_hamming=3, strategy="multi_index").collect()
+    }
+    assert chunk == multi
+    assert multi  # fixture produces hits
+    # auto dispatch: small corpus stays on the cheap chunk path; the
+    # dispatch threshold is honored when lowered under the fixture size
+    auto_small = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup(docs, max_hamming=3).collect()
+    }
+    auto_multi = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup(
+            docs, max_hamming=3, multi_index_min_docs=10
+        ).collect()
+    }
+    assert auto_small == auto_multi == multi
+    # multi_index refuses distances its radius-1 balls cannot cover
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_neardup(docs, max_hamming=6, strategy="multi_index")
+
+
 def test_record_linkage_blocks_and_matches(spark):
     from global_stock_data_warehouse_spark.operators.dedup import record_linkage
 

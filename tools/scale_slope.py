@@ -293,7 +293,14 @@ def _ops():
 
     def simhash(spark, s):
         df = fixture(spark, "docs", s)
-        return dedup.simhash_neardup(df, max_hamming=6)
+        return dedup.simhash_neardup(df, max_hamming=6, strategy="chunk")
+
+    def simhash_mi(spark, s):
+        # the past-10M-docs scale path: 2x32-bit chunks + radius-1 balls
+        # (Norouzi et al. CVPR'12) — key space 2^32/chunk, so bucket
+        # occupancy stays << 1 at any measurable fixture size
+        df = fixture(spark, "docs", s)
+        return dedup.simhash_neardup(df, max_hamming=3, strategy="multi_index")
 
     def linkage(spark, s):
         df = fixture(spark, "people", s)
@@ -381,6 +388,7 @@ def _ops():
         "remove_duplicate_spans": (rm_spans, 1.0, "hashed span shuffle + doc-keyed rebuild"),
         "record_linkage": (linkage, 1.0, "constant block size, block count ~ n"),
         "simhash_neardup": (simhash, 1.0, "4x16-bit chunk blocks; valid regime n << 10M (ceiling documented)"),
+        "simhash_multi_index": (simhash_mi, 1.0, "Norouzi multi-index: 2x32-bit chunks + radius-1 balls, occupancy ~ 33n/2^32"),
         "dedup_components": (components, 1.0, "hash-to-min rounds ~ log(diameter)"),
         "k_core": (kcore, 1.0, "peeling rounds bounded by peel depth"),
         "triangle_count": (triangles, 1.5, "wedge volume O(m^1.5) worst case"),
