@@ -77,3 +77,20 @@ def test_wmy_pipeline_shuffle_grows_linearly(spark):
 
     r = _ratio(spark, build)
     assert 2.0 <= r <= 8.0, r
+
+
+def test_simhash_multi_index_shuffle_grows_linearly(spark):
+    """The r5 multi-index Hamming path exists precisely to stay linear
+    where the fixed chunk key space quadratizes — gate its shuffle
+    growth in-suite (the full 1x..300x measurement lives in SCALE.md)."""
+    from global_stock_data_warehouse_spark.operators.dedup import simhash_neardup
+
+    h = _harness()
+
+    def build(s):
+        return simhash_neardup(
+            h.gen_docs(spark, 2000 * s), max_hamming=3, strategy="multi_index"
+        )
+
+    r = _ratio(spark, build)
+    assert 2.0 <= r <= 8.0, r
