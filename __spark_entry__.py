@@ -1174,6 +1174,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (embedding-space) decontamination: every train vector
+    (vec_id % 20 != 0) scored by max cosine against the eval split
+    (vec_id % 20 == 0) — broadcast eval matrix, ONE map-only Arrow pass,
+    zero shuffle. The semantic twin of q_decontaminate's n-gram check."""
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        threshold=0.3,
+    ).orderBy("vec_id")
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing battery: count + redact emails/IPv4s/phones in one
     codegen'd projection. The corpus text is salted with deterministic
@@ -2736,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "pii_scrub": q_pii_scrub,
         "bm25_score": q_bm25_score,
         "pack_sequences": q_pack_sequences,
@@ -3402,6 +3420,28 @@ FROM comp GROUP BY comp
 """,
         "ann_topk": _ANN_TOPK_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
+        "semantic_decontaminate": """
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 20 = 0
+), tr AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 20 != 0
+), scored AS (
+  SELECT tr.vec_id, ev.eval_id,
+         round(list_dot_product(tr.v, ev.v)
+               / (sqrt(list_dot_product(tr.v, tr.v))
+                  * sqrt(list_dot_product(ev.v, ev.v))), 6) AS c
+  FROM tr CROSS JOIN ev
+)
+SELECT vec_id, eval_id AS nearest_eval_id, c AS max_cosine,
+       c >= 0.3 AS contaminated
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY c DESC, eval_id ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+ORDER BY vec_id
+""",
         "decontaminate": """
 WITH toks AS (
   SELECT doc_id,

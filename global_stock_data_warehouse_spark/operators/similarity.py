@@ -867,6 +867,86 @@ def centroid_outliers(
     )
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination over EMBEDDINGS: for every train
+    vector, the max cosine against ANY eval vector, flagged when it
+    clears ``threshold`` — the semantic counterpart of the n-gram
+    ``decontaminate`` (corpus.py), catching paraphrased / reformatted /
+    translated eval leakage that exact n-gram overlap misses (the
+    fuzzy-contamination check the GPT-3/PaLM appendices describe for
+    train-test overlap; reference has no analogue — its universe is
+    keyed symbol rows, downloader_tw.py:118-120).
+
+    Scale shape: eval sets are benchmark-sized (<< train), so the eval
+    matrix is COLLECTED, sorted by id, L2-normalized once, and broadcast
+    (same contract as ``brute_force_topk``'s query side); the train side
+    is ONE map-only Arrow pass — a |batch| x |eval| BLAS matmul, then a
+    per-row max/argmax — ZERO shuffle, linear in train rows at any
+    corpus size. Every train row stays in the output (audit-friendly:
+    the decision threshold can be re-applied downstream without
+    re-scoring).
+
+    Determinism: cosines are rounded to 6dp BEFORE the argmax; ties
+    break to the LOWEST eval id (eval rows sorted by id + numpy
+    first-occurrence argmax), mirroring the oracle's
+    ``ORDER BY cos DESC, eval_id ASC`` exactly.
+
+    Returns (``id_col``, nearest_eval_id, max_cosine, contaminated).
+    """
+    spark = train.sparkSession
+    eval_id = eval_id_col or id_col
+    id_type = train.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, nearest_eval_id long, "
+        "max_cosine double, contaminated boolean"
+    )
+    e_rows = sorted(
+        _vecs(eval_df, vec_col).select(eval_id, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    if not e_rows:
+        # empty eval set: nothing can be contaminated, scores are NULL
+        return _vecs(train, vec_col).select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("nearest_eval_id"),
+            F.lit(None).cast("double").alias("max_cosine"),
+            F.lit(False).alias("contaminated"),
+        )
+    e_ids = np.array([r[0] for r in e_rows], dtype=np.int64)
+    e_mat = _normalize(_stack(pd.Series([r[1] for r in e_rows])))
+    bc = spark.sparkContext.broadcast((e_ids, e_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_e, mat_e = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sims = np.round(_normalize(_stack(pdf[vec_col])) @ mat_e.T, 6)
+            best = sims.argmax(axis=1)  # first occurrence = lowest eval id
+            mx = sims[np.arange(sims.shape[0]), best]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "nearest_eval_id": ids_e[best],
+                    "max_cosine": mx,
+                    "contaminated": mx >= threshold,
+                }
+            )
+
+    return (
+        _vecs(train, vec_col)
+        .select(id_col, vec_col)
+        .mapInPandas(score, schema=schema)
+    )
+
+
 def random_projection(
     df: DataFrame,
     out_dim: int = 16,

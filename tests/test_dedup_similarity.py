@@ -442,6 +442,44 @@ def test_semantic_dedup_single_cell_matches_exact_neardup(spark):
     assert dropped.isdisjoint(heads)
 
 
+def test_semantic_decontaminate(spark):
+    """Embedding-space decontamination: a train vector parallel to an
+    eval vector flags; orthogonal ones don't; ties break to the LOWEST
+    eval id; an empty eval set scores NULL/false for every train row."""
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (102, [1.0, 0.0, 0.0]), (104, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0]),   # parallel to eval 100 AND 102 (tie)
+            (2, [0.0, 0.0, 5.0]),   # orthogonal to every eval vector
+            (3, [0.0, 3.0, 3.0]),   # cos 0.7071 vs eval 104
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in semantic_decontaminate(tr, ev, threshold=0.9).collect()}
+    assert out[1].contaminated and out[1].max_cosine == 1.0
+    assert out[1].nearest_eval_id == 100  # tie -> lowest eval id
+    assert not out[2].contaminated and out[2].max_cosine == 0.0
+    assert not out[3].contaminated and abs(out[3].max_cosine - 0.707107) < 1e-6
+    assert out[3].nearest_eval_id == 104
+    # zero shuffle: the scorer is one map-only Arrow pass
+    plan = (
+        semantic_decontaminate(tr, ev, threshold=0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    # empty eval set
+    none = {r.vec_id: r for r in semantic_decontaminate(tr, ev.limit(0)).collect()}
+    assert len(none) == 3
+    assert all(not r.contaminated and r.max_cosine is None for r in none.values())
+
+
 def test_simhash_multi_index_equivalent_to_chunk(spark):
     """Multi-index Hamming search (Norouzi et al. CVPR'12: 2x32-bit
     chunks, radius-1 balls) and the 4x16-bit exact-chunk scheme are BOTH
