@@ -1359,6 +1359,20 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 90/5/5 split: near-dup components (2-gram Jaccard >=
+    0.2, same pair definition as dedup_components) hash as ONE unit on
+    the component min-id, so no near-dup pair straddles train/val/test —
+    the eval-leakage guard a per-doc hash split silently lacks."""
+    from global_stock_data_warehouse_spark.operators.corpus import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    return leakage_safe_split(
+        docs, pairs, weights={"train": 90, "val": 5, "test": 5}
+    ).orderBy("doc_id")
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted mixture (alpha=0.5, budget=200 docs): the
     multilingual-LM exponentiated-sampling recipe — low-resource languages
@@ -2788,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_rich_customers": q_dormant_rich_customers,
         "temperature_sample": q_temperature_sample,
         "split_assign": q_split_assign,
+        "leakage_safe_split": q_leakage_safe_split,
         "priority_linestatus": q_priority_linestatus,
         "custdist": q_custdist,
         "promo_revenue_share": q_promo_revenue_share,
@@ -3420,6 +3435,53 @@ FROM comp GROUP BY comp
 """,
         "ann_topk": _ANN_TOPK_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
+        "leakage_safe_split": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+              ELSE [] END AS s
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(s) AS n FROM sh
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(n_common * 1.0 / (x.n + y.n - n_common), 6) AS jaccard
+    FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id)
+  WHERE jaccard >= 0.2
+), sym AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s
+), comp AS (
+  SELECT a AS id, min(b) AS comp FROM reach GROUP BY a
+), keyed AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, group_key,
+       CASE WHEN bkt < 5 THEN 'test'
+            WHEN bkt < 95 THEN 'train'
+            ELSE 'val' END AS split
+FROM (SELECT doc_id, group_key,
+             ('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8))::UBIGINT % 100 AS bkt
+      FROM keyed)
+ORDER BY doc_id
+""",
         "semantic_decontaminate": """
 WITH ev AS (
   SELECT vec_id AS eval_id, embedding::DOUBLE[] AS v

@@ -436,6 +436,51 @@ def with_split(
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Group-aware train/val/test assignment: near-dup pairs ->
+    connected components -> every member of a component hashes on the
+    component's MIN id, so NO near-duplicate pair can straddle splits —
+    the classic eval-contamination bug a per-doc hash split (or any
+    ``rand()`` split) commits silently. Docs in no component hash on
+    their own id, so the marginal split ratios still hold.
+
+    ``pairs`` is any (id_a, id_b) near-dup pair frame — n-gram Jaccard,
+    MinHash, SimHash, or embedding near-dup output all fit; the split
+    inherits whatever duplicate definition the pipeline already uses.
+
+    Scale shape: components come from the stats-dispatched
+    ``connected_components`` (driver union-find small / hash-to-min
+    distributed); the label join back is ONE equi-join on the doc id
+    (components frame only holds docs that appear in some pair — far
+    smaller than the corpus under realistic dup rates, so AQE broadcasts
+    it); the assignment itself is the same map-only md5 bucket as
+    ``with_split``. Deterministic end-to-end.
+
+    Returns ``docs`` columns ``(id_col, group_key, split)`` where
+    ``group_key`` is the component min-id (or the doc's own id).
+    """
+    from .graph import connected_components
+
+    comp = connected_components(pairs)  # (id, comp) — comp = min node id
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(comp, docs[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("comp"), F.col(id_col).cast("long")).alias("group_key"),
+        )
+    )
+    return with_split(
+        labeled, weights, id_col=id_col, out_col=out_col, key_col="group_key"
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     budget: int,

@@ -268,6 +268,48 @@ def test_with_split_deterministic_and_group_safe(spark):
         with_split(df, {"train": 50, "val": 10})
 
 
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """End-to-end leakage guard: near-dup pairs -> components -> split.
+    EVERY pair (even transitively connected ones) must land in one
+    split; unpaired docs keep the per-doc hash assignment. The naive
+    per-doc split demonstrably straddles at least one pair on the same
+    fixture (i.e. the guard is not vacuous)."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        leakage_safe_split,
+        with_split,
+    )
+
+    docs = spark.range(400).select(F.col("id").alias("doc_id"))
+    # chains 0-1-2, 10-11, ... : transitive components, not just pairs
+    pairs = spark.createDataFrame(
+        [(10 * g, 10 * g + 1) for g in range(40)]
+        + [(10 * g + 1, 10 * g + 2) for g in range(40)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r.doc_id: r for r in leakage_safe_split(docs, pairs).collect()
+    }
+    assert len(out) == 400
+    for g in range(40):
+        trio = {out[10 * g + i].split for i in range(3)}
+        assert len(trio) == 1, (g, trio)
+        assert out[10 * g].group_key == 10 * g  # component min id
+    # unpaired docs hash on their own id -> identical to plain with_split
+    plain = {
+        r.doc_id: r.split for r in with_split(docs.withColumnRenamed("doc_id", "doc_id")).collect()
+    }
+    for i, r in out.items():
+        if i % 10 > 2:
+            assert r.group_key == i
+            assert r.split == plain[i]
+    # non-vacuous: the naive split DOES straddle some chained trio
+    straddled = any(
+        len({plain[10 * g], plain[10 * g + 1], plain[10 * g + 2]}) > 1
+        for g in range(40)
+    )
+    assert straddled
+
+
 def test_ngram_topk_deterministic_order(spark):
     df = spark.createDataFrame(
         [(1, "a b a b c d"), (2, "a b c d")], ["doc_id", "text"]
