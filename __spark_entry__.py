@@ -1036,6 +1036,54 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_llm_gold_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END LLM training-data gold pipeline — the documents-table
+    counterpart of the reference-derived wmy_gold_pipeline flagship:
+    quality-gate (score >= 0.5) -> exact dedup (keep-one per normalized
+    fingerprint) -> hold out the eval split (doc_id % 20 == 0) ->
+    5-gram decontaminate the survivors against it -> bigram-Jaccard
+    near-dup components -> leakage-safe 90/5/5 split on the component
+    min-id. Every stage is an already-oracled operator; this query is
+    the COMPOSITION, proving the stages chain without driver round-trips
+    (one plan end-to-end: gates and dedup share one scan; the eval gram
+    set and the component frame broadcast; the only wide exchanges are
+    the fingerprint window, the gram join's per-doc count, and the
+    near-dup inverted index — each individually scale-measured)."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        decontaminate,
+        leakage_safe_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    st = text_stats(docs)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    clean = (
+        st.filter(F.col("quality") >= 0.5)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens", "lang_pred", "quality")
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    train_docs = docs.join(clean.select("doc_id"), "doc_id").filter(
+        F.col("doc_id") % 20 != 0
+    )
+    kept_ids = (
+        decontaminate(train_docs, eval_docs, n=5)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    kept_docs = train_docs.join(kept_ids, "doc_id")
+    pairs = ngram_jaccard_pairs(kept_docs, threshold=0.2)
+    split = leakage_safe_split(
+        kept_docs, pairs, weights={"train": 90, "val": 5, "test": 5}
+    )
+    return (
+        clean.join(split, "doc_id")
+        .select("doc_id", "n_tokens", "lang_pred", "quality", "group_key", "split")
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by normalized-text md5 fingerprint."""
     return dedup_exact(_t(spark, sf_dir, "documents"))
@@ -2803,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "split_assign": q_split_assign,
         "leakage_safe_split": q_leakage_safe_split,
+        "llm_gold_pipeline": q_llm_gold_pipeline,
         "priority_linestatus": q_priority_linestatus,
         "custdist": q_custdist,
         "promo_revenue_share": q_promo_revenue_share,
@@ -3435,6 +3484,109 @@ FROM comp GROUP BY comp
 """,
         "ann_topk": _ANN_TOPK_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
+        "llm_gold_pipeline": """
+WITH RECURSIVE stats AS (
+  WITH base AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS toks,
+           length(text) AS n_chars_actual
+    FROM documents
+  ), ratios AS (
+    SELECT doc_id, text, toks, n_chars_actual,
+           len(toks) AS n_tokens,
+           CASE WHEN n_chars_actual > 0
+                THEN (n_chars_actual - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))
+                     * 1.0 / n_chars_actual
+                ELSE 0.0 END AS praw,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, t -> list_contains(['the', 'a', 'and', 'of', 'to'], t)))
+                     * 1.0 / len(toks)
+                ELSE 0.0 END AS sraw,
+           len(list_filter(toks, t -> list_contains(['der', 'die', 'das', 'und', 'nicht'], t))) AS h_de,
+           len(list_filter(toks, t -> list_contains(['the', 'a', 'and', 'of', 'to'], t))) AS h_en,
+           len(list_filter(toks, t -> list_contains(['el', 'la', 'los', 'de', 'y'], t))) AS h_es,
+           len(list_filter(toks, t -> list_contains(['le', 'la', 'les', 'et', 'des'], t))) AS h_fr,
+           len(list_filter(toks, t -> list_contains(['的', '是', '了', '在', '我'], t))) AS h_zh
+    FROM base
+  )
+  SELECT doc_id, n_tokens,
+         round((least(n_chars_actual / 500.0, 1.0)
+                + 1.0 - least(praw * 5.0, 1.0)
+                + least(sraw * 4.0, 1.0)) / 3.0, 4) AS quality,
+         CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+              WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+              WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+              WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+              WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+              ELSE 'de' END AS lang_pred,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM ratios
+), clean AS (
+  SELECT doc_id, n_tokens, lang_pred, quality FROM (
+    SELECT doc_id, n_tokens, lang_pred, quality,
+           row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM stats WHERE quality >= 0.5)
+  WHERE rn = 1
+), toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), grams5 AS (
+  SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS gram
+  FROM toks, UNNEST(range(0, greatest(len(t) - 4, 0))) AS u(i)
+), eg AS (
+  SELECT DISTINCT gram FROM grams5 WHERE doc_id % 20 = 0
+), train AS (
+  SELECT c.doc_id FROM clean c WHERE c.doc_id % 20 != 0
+), kept AS (
+  SELECT doc_id FROM train
+  WHERE doc_id NOT IN (
+    SELECT DISTINCT g.doc_id FROM grams5 g
+    JOIN eg USING (gram) WHERE g.doc_id IN (SELECT doc_id FROM train))
+), sh AS (
+  SELECT k.doc_id,
+         CASE WHEN len(t.t) >= 2
+              THEN list_distinct(list_transform(range(1, len(t.t)), i -> t.t[i] || ' ' || t.t[i+1]))
+              ELSE [] END AS s
+  FROM kept k JOIN toks t ON k.doc_id = t.doc_id
+), inv AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(s) AS n FROM sh
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(n_common * 1.0 / (x.n + y.n - n_common), 6) AS jaccard
+    FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id)
+  WHERE jaccard >= 0.2
+), sym AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT r.a, s2.d FROM reach r JOIN sym s2 ON r.b = s2.s
+), comp AS (
+  SELECT a AS id, min(b) AS comp FROM reach GROUP BY a
+), keyed AS (
+  SELECT k.doc_id, COALESCE(c.comp, k.doc_id) AS group_key
+  FROM kept k LEFT JOIN comp c ON k.doc_id = c.id
+)
+SELECT cl.doc_id, cl.n_tokens, cl.lang_pred, cl.quality, ky.group_key,
+       CASE WHEN bkt < 5 THEN 'test'
+            WHEN bkt < 95 THEN 'train'
+            ELSE 'val' END AS split
+FROM clean cl
+JOIN (SELECT doc_id, group_key,
+             ('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8))::UBIGINT % 100 AS bkt
+      FROM keyed) ky
+  ON cl.doc_id = ky.doc_id
+ORDER BY cl.doc_id
+""",
         "leakage_safe_split": """
 WITH RECURSIVE toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS t
