@@ -1057,12 +1057,15 @@ def q_llm_gold_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     st = text_stats(docs)
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    # clean feeds three consumers (train filter, split's doc side, the
+    # final stats join) — materialize once so the tokenize+score lineage
+    # doesn't re-run per consumer (the standard multi-consumer lever)
     clean = (
         st.filter(F.col("quality") >= 0.5)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_tokens", "lang_pred", "quality")
-    )
+    ).localCheckpoint(eager=True)
     eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
     train_docs = docs.join(clean.select("doc_id"), "doc_id").filter(
         F.col("doc_id") % 20 != 0
@@ -1072,7 +1075,8 @@ def q_llm_gold_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("contaminated"))
         .select("doc_id")
     )
-    kept_docs = train_docs.join(kept_ids, "doc_id")
+    # consumed by the near-dup pair join AND the split assignment
+    kept_docs = train_docs.join(kept_ids, "doc_id").localCheckpoint(eager=True)
     pairs = ngram_jaccard_pairs(kept_docs, threshold=0.2)
     split = leakage_safe_split(
         kept_docs, pairs, weights={"train": 90, "val": 5, "test": 5}
