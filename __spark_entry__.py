@@ -1048,44 +1048,16 @@ def q_llm_gold_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one plan end-to-end: gates and dedup share one scan; the eval gram
     set and the component frame broadcast; the only wide exchanges are
     the fingerprint window, the gram join's per-doc count, and the
-    near-dup inverted index — each individually scale-measured)."""
-    from global_stock_data_warehouse_spark.operators.corpus import (
-        decontaminate,
-        leakage_safe_split,
-    )
+    near-dup inverted index — each individually scale-measured). The
+    composition lives in plans/llm_gold.py (the documents-table sibling
+    of plans/wmy.py) so the scale harness can run it on fixtures."""
+    from global_stock_data_warehouse_spark.plans.llm_gold import llm_gold_pipeline
 
-    docs = _t(spark, sf_dir, "documents")
-    st = text_stats(docs)
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    # clean feeds three consumers (train filter, split's doc side, the
-    # final stats join) — materialize once so the tokenize+score lineage
-    # doesn't re-run per consumer (the standard multi-consumer lever)
-    clean = (
-        st.filter(F.col("quality") >= 0.5)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "n_tokens", "lang_pred", "quality")
-    ).localCheckpoint(eager=True)
-    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
-    train_docs = docs.join(clean.select("doc_id"), "doc_id").filter(
-        F.col("doc_id") % 20 != 0
-    )
-    kept_ids = (
-        decontaminate(train_docs, eval_docs, n=5)
-        .filter(~F.col("contaminated"))
-        .select("doc_id")
-    )
-    # consumed by the near-dup pair join AND the split assignment
-    kept_docs = train_docs.join(kept_ids, "doc_id").localCheckpoint(eager=True)
-    pairs = ngram_jaccard_pairs(kept_docs, threshold=0.2)
-    split = leakage_safe_split(
-        kept_docs, pairs, weights={"train": 90, "val": 5, "test": 5}
-    )
-    return (
-        clean.join(split, "doc_id")
-        .select("doc_id", "n_tokens", "lang_pred", "quality", "group_key", "split")
-        .orderBy("doc_id")
-    )
+    return llm_gold_pipeline(
+        _t(spark, sf_dir, "documents"),
+        eval_pred=F.col("doc_id") % 20 == 0,
+        weights={"train": 90, "val": 5, "test": 5},
+    ).orderBy("doc_id")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

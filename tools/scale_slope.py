@@ -342,6 +342,16 @@ def _ops():
             df, q, k=5, n_cells=max(16, (BASE_VECS * s) // 500), n_probe=4
         )
 
+    def llm_gold(spark, s):
+        # the documents-table flagship: gate -> dedup -> decontaminate ->
+        # near-dup components -> leakage-safe split, one composed plan
+        from global_stock_data_warehouse_spark.plans.llm_gold import (
+            llm_gold_pipeline,
+        )
+
+        df = fixture(spark, "docs", s)
+        return llm_gold_pipeline(df, eval_pred=F.col("doc_id") % 20 == 0)
+
     def wmy_gold(spark, s):
         bars = fixture(spark, "bars", s)
         gold, _ = wmy_pipeline(
@@ -395,6 +405,7 @@ def _ops():
         "pagerank": (prank, 1.0, "fixed 8 rounds x (dst,contrib) shuffle"),
         "semantic_dedup": (semdedup, 1.0, "cell count ~ n, cell size constant"),
         "wmy_gold_pipeline": (wmy_gold, 1.0, "one symbol-keyed exchange shared by gates+resamples"),
+        "llm_gold_pipeline": (llm_gold, 1.0, "gate+dedup share one scan; eval grams + components broadcast; stage-wise linear"),
         "stream_windowed_ohlc": (stream_ohlc, 1.0, "availableNow drain; state ~ symbols x open windows"),
         "embedding_neardup_lsh": (emb_neardup, 1.0, "hyperplane buckets, constant dup density"),
         "ann_ivf_topk": (ann_ivf, 1.0, "cell count ~ n, probe fraction constant"),
