@@ -1113,6 +1113,17 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_simhash_multi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 via multi-index Hamming search (Norouzi et al.
+    CVPR'12; the past-10M-docs key-space path) — pinned to the
+    multi_index strategy so its plan runs at every SF; result set is
+    IDENTICAL to the chunk scheme (equivalence-tested), rows-only here
+    because signature hash values are engine-specific."""
+    return simhash_neardup(
+        _t(spark, sf_dir, "documents"), max_hamming=3, strategy="multi_index"
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 8 vectors as queries."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2860,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
+        "simhash_multi_index": q_simhash_multi_index,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_projected_topk": q_ann_projected_topk,
         "k_core": q_k_core,
