@@ -431,3 +431,42 @@ def test_collocations_conserve_pair_volume(docs, window):
         for i in range(len(toks))
     )
     assert sum(r.n for r in out) == expected
+
+
+@given(edges_strategy)
+@SLOW
+def test_leakage_safe_split_component_coherent(pairs):
+    """PROPERTY: under any pair graph, two docs connected by ANY path get
+    the same split AND the same group_key (= their component min); docs
+    with no edges get group_key == their own id. (The classic leakage bug
+    is exactly a transitive pair straddling train/test.)"""
+    from global_stock_data_warehouse_spark.operators.corpus import leakage_safe_split
+
+    spark = _get_spark()
+    docs = spark.range(12).select(F.col("id").alias("doc_id"))
+    real = [(a, b) for a, b in pairs if a != b]
+    if not real:
+        real = [(0, 1)]
+    pf = spark.createDataFrame(real, "id_a long, id_b long")
+    out = {r.doc_id: r for r in leakage_safe_split(docs, pf).collect()}
+    assert len(out) == 12
+
+    # driver-side union-find ground truth
+    parent = list(range(12))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {i: find(i) for i in range(12)}
+    linked = {v for e in real for v in e}
+    for i in range(12):
+        expected_key = comp[i] if i in linked else i
+        assert out[i].group_key == expected_key, (i, out[i])
+        assert out[i].split == out[expected_key].split
