@@ -18,6 +18,7 @@ def test_oracle_keys_subset_of_queries():
     approx_ok = {
         "minhash_neardup",
         "simhash_neardup",
+        "simhash_multi_index",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "approx_distinct",
