@@ -1100,6 +1100,17 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup verdicts: bigram-Jaccard near-dup clusters keep
+    their LONGEST member (n_chars score, ties -> lowest doc_id) — the
+    C4/Dolma keep-policy, vs dedup_components' keep-min-id."""
+    from global_stock_data_warehouse_spark.operators.graph import dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    return dedup_keep_best(docs, pairs, score_col="n_chars").orderBy("doc_id")
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard (approximate recall
     by design -> rows-only check, no oracle)."""
@@ -2839,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "leakage_safe_split": q_leakage_safe_split,
         "llm_gold_pipeline": q_llm_gold_pipeline,
+        "dedup_keep_best": q_dedup_keep_best,
         "priority_linestatus": q_priority_linestatus,
         "custdist": q_custdist,
         "promo_revenue_share": q_promo_revenue_share,
@@ -3574,6 +3586,54 @@ JOIN (SELECT doc_id, group_key,
       FROM keyed) ky
   ON cl.doc_id = ky.doc_id
 ORDER BY cl.doc_id
+""",
+        "dedup_keep_best": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+              ELSE [] END AS s
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(s) AS n FROM sh
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(n_common * 1.0 / (x.n + y.n - n_common), 6) AS jaccard
+    FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id)
+  WHERE jaccard >= 0.2
+), sym AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT r.a, s2.d FROM reach r JOIN sym s2 ON r.b = s2.s
+), comp AS (
+  SELECT a AS id, min(b) AS comp FROM reach GROUP BY a
+), labeled AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+), winners AS (
+  SELECT group_key,
+         first(doc_id ORDER BY n_chars DESC, doc_id ASC) AS keep_id,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM labeled GROUP BY group_key
+)
+SELECT l.doc_id, l.group_key, w.keep_id,
+       l.doc_id = w.keep_id AS kept, w.group_size
+FROM labeled l JOIN winners w USING (group_key)
+ORDER BY l.doc_id
 """,
         "leakage_safe_split": """
 WITH RECURSIVE toks AS (

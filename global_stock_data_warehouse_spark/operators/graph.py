@@ -207,6 +207,57 @@ def dedup_groups(
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware dedup verdicts: near-dup pairs -> components -> keep
+    the HIGHEST-``score_col`` member of each cluster (ties -> lowest id),
+    not the min-id member ``dedup_groups`` keeps — the policy real corpus
+    pipelines want (when a page was scraped twice, keep the longer /
+    higher-quality capture; C4 and Dolma both keep by a quality signal).
+
+    One row per input doc: (id, group_key, keep_id, kept, group_size);
+    docs in no pair form their own singleton group (kept=true), so the
+    output is a total verdict over the corpus, filterable downstream
+    with ``WHERE kept``.
+
+    Scale shape: components from the stats-dispatched
+    ``connected_components``; the winner election is ONE ``max_by`` over
+    a (score, -id) struct — a map-side-combinable aggregation, no window
+    sort; the verdict join back is group-keyed (components frame << docs
+    under realistic dup rates, AQE broadcasts it).
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    labeled = (
+        docs.select(F.col(id_col), F.col(score_col))
+        .join(cc, docs[id_col] == cc["id"], "left")
+        .select(
+            F.col(id_col),
+            F.col(score_col),
+            F.coalesce(F.col("comp"), F.col(id_col).cast("long")).alias("group_key"),
+        )
+    )
+    winners = labeled.groupBy("group_key").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")),
+        ).alias("keep_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return labeled.join(winners, "group_key").select(
+        F.col(id_col),
+        "group_key",
+        "keep_id",
+        (F.col(id_col) == F.col("keep_id")).alias("kept"),
+        "group_size",
+    )
+
+
 def _pagerank_driver(
     e: DataFrame, spark, damping: float, max_iter: int, tol: float
 ) -> DataFrame:

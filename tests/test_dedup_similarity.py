@@ -768,3 +768,26 @@ def test_record_linkage_null_blocks_are_probe_inert(spark):
     # join-inert, probe passes, and the join produces only non-NULL pairs.
     out = record_linkage(df, "name", ["blk"], max_block_rows=20)
     assert out.filter("id_a < 50 OR id_b < 50").count() == 0
+
+
+def test_dedup_keep_best_policy(spark):
+    """Winner = highest score; tie -> LOWEST id; singletons keep
+    themselves; verdicts are total over the corpus."""
+    from global_stock_data_warehouse_spark.operators.graph import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5), (8, 5), (9, 1)],
+        "doc_id long, score long",
+    )
+    # cluster A: 1-2-3 chained (keep 2, score 99); cluster B: 7-8 tie at
+    # score 5 (keep 7, lowest id); 9 is a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r for r in dedup_keep_best(docs, pairs, "score").collect()}
+    assert len(out) == 6
+    assert [out[i].keep_id for i in (1, 2, 3)] == [2, 2, 2]
+    assert [out[i].kept for i in (1, 2, 3)] == [False, True, False]
+    assert out[1].group_key == 1 and out[1].group_size == 3
+    assert out[7].keep_id == 7 and out[8].keep_id == 7  # tie -> lowest id
+    assert out[9].kept and out[9].group_key == 9 and out[9].group_size == 1
