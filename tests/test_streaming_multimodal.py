@@ -188,3 +188,43 @@ def test_streaming_session_window(spark, tmp_path):
     assert s1.session_end.isoformat() == "2024-01-01T09:40:00"  # last event + gap
     s2 = got["2024-01-01T11:00:00"]
     assert s2.n_events == 1 and s2.sum_value == 4.0
+
+
+def test_streaming_semantic_decontaminate(spark, tmp_path):
+    """semantic_decontaminate is a stateless map (broadcast eval matrix +
+    mapInPandas, zero shuffle), so the SAME operator must run unchanged
+    over a stream — decontaminating embeddings as they land, no
+    watermark or state store needed. availableNow drain, parquet sink."""
+    from pyspark.sql import functions as F
+
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    src = tmp_path / "vecs_in"
+    out = str(tmp_path / "vecs_scored")
+    ckpt = str(tmp_path / "ckpt")
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [3.0, 3.0]), (3, [0.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(str(src))
+    q = (
+        semantic_decontaminate(stream, ev, threshold=0.99)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.vec_id: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 3
+    assert got[1].contaminated and got[1].nearest_eval_id == 100
+    assert not got[3].contaminated  # cos vs best eval is 0 or negative
