@@ -43,6 +43,11 @@ def get_spark(app_name: str = "gsdw-spark", master: str | None = None) -> SparkS
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Push count/min/max straight into parquet footer statistics.
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Keep completed-stage metrics around for the full bench sweep:
+        # bench.py diffs shuffle-write bytes via the REST stage listing,
+        # and the default retention (1000 stages) can start evicting
+        # mid-sweep on a 140-query run, silently corrupting the diffs.
+        .config("spark.ui.retainedStages", "20000")
         # Timestamps in the data are naive; keep session TZ stable so
         # date_trunc/window bucketing is deterministic across environments.
         .config("spark.sql.session.timeZone", "UTC")
