@@ -306,6 +306,13 @@ def _ops():
         df = fixture(spark, "people", s)
         return dedup.record_linkage(df, "name", ["blk"], max_distance=2)
 
+    def keep_best(spark, s):
+        # pairs -> components -> max_by winner election + verdict join,
+        # over the same docs fixture (score = doc length proxy)
+        df = fixture(spark, "docs", s).withColumn("n_chars", F.length("text"))
+        pairs = dedup.ngram_jaccard_pairs(df, n=2, threshold=0.5)
+        return graph.dedup_keep_best(df, pairs, score_col="n_chars")
+
     def components(spark, s):
         e = fixture(spark, "edges", s)
         return graph.connected_components(
@@ -400,6 +407,7 @@ def _ops():
         "simhash_neardup": (simhash, 1.0, "4x16-bit chunk blocks; valid regime n << 10M (ceiling documented)"),
         "simhash_multi_index": (simhash_mi, 1.0, "Norouzi multi-index: 2x32-bit chunks + radius-1 balls, occupancy ~ 33n/2^32"),
         "dedup_components": (components, 1.0, "hash-to-min rounds ~ log(diameter)"),
+        "dedup_keep_best": (keep_best, 1.0, "pairs + components + one map-side-combinable max_by election"),
         "k_core": (kcore, 1.0, "peeling rounds bounded by peel depth"),
         "triangle_count": (triangles, 1.5, "wedge volume O(m^1.5) worst case"),
         "pagerank": (prank, 1.0, "fixed 8 rounds x (dst,contrib) shuffle"),
