@@ -2747,6 +2747,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keyword_search, gap_fill_linear, rfm_segments — every one stays
     # oracled and bit-exact-mirrored via tools/check_correctness.py each
     # round (rule 3).
+    #
+    # R6 ROTATION GUIDANCE: the four oracled queries ADDED in r5
+    # (llm_gold_pipeline, semantic_decontaminate, leakage_safe_split,
+    # dedup_keep_best) are the top risk-ranked candidates (new >
+    # stable); after them, continue through the still-never-windowed
+    # oracled set (ngram_topk, quantile_summary already windowed r5;
+    # remaining: rebalance_sample, min_cost_supplier,
+    # nation_revenue_share, dormant_rich_customers, temperature_sample,
+    # split_assign, priority_linestatus, custdist, promo_revenue_share,
+    # top_revenue_supplier, supplier_part_counts, disjunctive_revenue,
+    # dominant_suppliers, hopping_window, mad_outliers, hist_bins,
+    # dense_ids, equi_depth_hist, unpivot_ohlc, longest_up_streak,
+    # salted_flag_totals, vwap_brand, market_breadth,
+    # repeat_purchase_rate, price_distribution, class_centroids,
+    # quantize_embeddings, triangle_count, centroid_outliers,
+    # skew_report...). EPS queries stay out (rule 4).
     return {
         "wmy_gold_pipeline": q_wmy_gold_pipeline,
         "wmy_weekly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "W"),
