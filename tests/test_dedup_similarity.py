@@ -791,3 +791,28 @@ def test_dedup_keep_best_policy(spark):
     assert out[1].group_key == 1 and out[1].group_size == 3
     assert out[7].keep_id == 7 and out[8].keep_id == 7  # tie -> lowest id
     assert out[9].kept and out[9].group_key == 9 and out[9].group_size == 1
+
+
+def test_r5_operators_empty_input_edges(spark):
+    """Empty-side edges: empty pair frames -> all-singleton verdicts;
+    empty train -> typed empty score frame (not a kernel crash)."""
+    from global_stock_data_warehouse_spark.operators.corpus import leakage_safe_split
+    from global_stock_data_warehouse_spark.operators.graph import dedup_keep_best
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9)], "doc_id long, score long"
+    )
+    no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    kb = {r.doc_id: r for r in dedup_keep_best(docs, no_pairs, "score").collect()}
+    assert all(r.kept and r.group_key == i and r.group_size == 1 for i, r in kb.items())
+    ls = {r.doc_id: r.group_key for r in leakage_safe_split(docs, no_pairs).collect()}
+    assert ls == {1: 1, 2: 2}
+
+    ev = spark.createDataFrame([(9, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    empty_train = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = semantic_decontaminate(empty_train, ev)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "nearest_eval_id", "max_cosine", "contaminated"]
