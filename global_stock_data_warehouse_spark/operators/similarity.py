@@ -158,14 +158,26 @@ def _derive_lsh_params(
     target_bucket_rows: int = 64,
     target_recall: float = 0.9,
     max_tables: int = 16,
+    probe_bits: int = 0,
 ) -> tuple[int, int]:
     """Size the hyperplane LSH to the corpus: planes grow with log2(n) so
     EXPECTED BUCKET OCCUPANCY stays ~``target_bucket_rows`` (fixed planes
     mean buckets grow linearly with n and same-bucket candidate pairs grow
     QUADRATICALLY — the classic LSH scale mistake, caught by the r4 scale
     harness); tables grow to hold the design recall against the lower
-    per-table collision rate (recall = 1-(1-p^planes)^tables with
-    p = 1 - theta/pi, Charikar 2002), capped at ``max_tables``."""
+    per-table collision rate (recall = 1-(1-p_eff)^tables with
+    p = 1 - theta/pi, Charikar 2002), capped at ``max_tables``.
+
+    ``probe_bits`` > 0 models multi-probe LSH (Lv et al., VLDB'07): the
+    probe side also checks the buckets reached by flipping its
+    ``probe_bits`` SMALLEST-|margin| sign bits, so a pair separated by
+    exactly one disagreeing hyperplane can still collide. The
+    exactly-one-mismatch mass is ``planes * p^(planes-1) * (1-p)``; a
+    near pair's single disagreeing plane is overwhelmingly the
+    smallest-margin one for both vectors, but we credit each probed bit
+    only HALF that mass (conservative — validated by the recall-floor
+    test, which measures well above the design floor) so derived table
+    counts never overshoot recall downward."""
     planes = max(8, math.ceil(math.log2(max(n, 1) / target_bucket_rows)) if n > target_bucket_rows else 8)
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     per_table = p**planes
@@ -177,6 +189,13 @@ def _derive_lsh_params(
             f"_derive_lsh_params: threshold={threshold} gives zero hyperplane "
             "collision probability; use a threshold in (-1, 1]."
         )
+    if probe_bits > 0:
+        one_mismatch = planes * p ** (planes - 1) * (1.0 - p)
+        # geometric credit: bit 1 captures ~half the mass, each further
+        # bit half of the remainder (margin ranking concentrates the
+        # disagreeing plane in the first few probes)
+        credit = one_mismatch * (1.0 - 0.5 ** min(probe_bits, 4))
+        per_table = min(1.0, per_table + credit)
     if per_table >= 1.0:
         tables = 1
     else:
@@ -199,6 +218,7 @@ def embedding_neardup(
     dim: int | None = None,
     planes: int | None = None,
     tables: int | None = None,
+    probe_bits: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b,
     round(cos, 6) >= threshold), physical strategy picked by corpus size.
@@ -227,7 +247,9 @@ def embedding_neardup(
         if strategy == "exact" and n_blocks is None:
             n_blocks = _derive_n_blocks(n_docs, block_rows)
         if strategy == "lsh" and (planes is None or tables is None):
-            d_planes, d_tables = _derive_lsh_params(n_docs, threshold)
+            d_planes, d_tables = _derive_lsh_params(
+                n_docs, threshold, probe_bits=probe_bits or 0
+            )
             planes = d_planes if planes is None else planes
             tables = d_tables if tables is None else tables
     if strategy == "lsh":
@@ -239,7 +261,8 @@ def embedding_neardup(
                 )
             dim = first[0]
         return embedding_neardup_lsh(
-            corpus, threshold, dim, id_col, vec_col, planes, tables
+            corpus, threshold, dim, id_col, vec_col, planes, tables,
+            probe_bits=probe_bits,
         )
     if strategy != "exact":
         raise ValueError(f"unknown strategy {strategy!r} (auto|exact|lsh)")
@@ -337,6 +360,7 @@ def embedding_neardup_lsh(
     tables: int | None = None,
     carry_vectors: bool | None = None,
     carry_max_docs: int = 100_000,
+    probe_bits: int | None = None,
 ) -> DataFrame:
     """APPROXIMATE near-dup pairs: LSH-bucketed candidate generation +
     exact cosine verify — the sub-quadratic scale path.
@@ -369,11 +393,41 @@ def embedding_neardup_lsh(
     sort the candidate stream twice). Carrying both vectors through the
     candidate shuffle multiplied its width ~10x at the 100x harness point
     (measured 27 GB -> 1.2 GB).
+
+    MULTI-PROBE (``probe_bits``, Lv et al. VLDB'07 adapted to hyperplane
+    signs): besides its own bucket, the probe side of the candidate join
+    also posts the buckets reached by flipping its ``probe_bits``
+    SMALLEST-|margin| sign bits — the bits a true neighbor is most
+    likely to disagree on. Each probed bit raises per-table recall (the
+    exactly-one-mismatch collision mass, credited conservatively in
+    ``_derive_lsh_params``), so the DERIVED table count shrinks
+    (8 -> 4 at 200k vectors, 10 -> 5 at 600k).
+
+    DEFAULT OFF FOR THIS SELF-JOIN — measured, not assumed: in a
+    SELF-join both sides scale with n, so expanding the probe side
+    multiplies per-(table,bucket) candidate pairs by the expansion
+    factor squared-ish (exact o x probe 2o = 2o^2 vs o^2/2 for the
+    id-ordered base join); halving the tables only halves that back.
+    The r5 harness measured the probed default at the 100x point:
+    2335.5 MB shuffle / 87.0 s vs 1194.6 MB / 69.1 s for the base
+    scheme — a 2x shuffle REGRESSION, so the derived-path default stays
+    ``probe_bits=0``. The trade DOES pay where expansion is asymmetric —
+    a small query side against a large indexed corpus (``lsh_topk``):
+    probing multiplies only the tiny query side while the corpus-side
+    emission (the dominant term) halves with the table count. Recall
+    effects are validated either way by
+    tests/test_dedup_similarity.py::test_lsh_multi_probe_superset_and_fewer_tables.
+    With probing the pair canonicalization moves AFTER the join (probe
+    sets are per-vector, not symmetric, so both directions must be
+    joinable; cosine is symmetric, so the unswapped vector columns
+    still verify correctly).
     """
+    if probe_bits is None:
+        probe_bits = 0  # self-join: probing measured as a shuffle loss
     n = None
     if planes is None or tables is None:
         n = corpus.count()
-        d_planes, d_tables = _derive_lsh_params(n, threshold)
+        d_planes, d_tables = _derive_lsh_params(n, threshold, probe_bits=probe_bits)
         planes = d_planes if planes is None else planes
         tables = d_tables if tables is None else tables
 
@@ -384,48 +438,94 @@ def embedding_neardup_lsh(
                 continue
             mat = _stack(pdf[vec_col])
             out = pdf.copy()
-            out["buckets"] = list(
-                np.stack([_bucket_of(mat, hp) for hp in hps], axis=1).tolist()
-            )
+            bases, probes = [], []
+            for hp in hps:
+                scores = mat @ hp.T
+                signs = scores >= 0
+                weights = 1 << np.arange(hp.shape[0], dtype=np.int64)
+                base = (signs.astype(np.int64) * weights).sum(axis=1)
+                bases.append(base)
+                if probe_bits > 0:
+                    # q smallest-|margin| bits per row, flipped one at a time
+                    order = np.argsort(np.abs(scores), axis=1)[:, :probe_bits]
+                    variants = [base] + [
+                        base ^ (np.int64(1) << order[:, j].astype(np.int64))
+                        for j in range(order.shape[1])
+                    ]
+                    probes.append(np.stack(variants, axis=1))
+            out["buckets"] = list(np.stack(bases, axis=1).tolist())
+            if probe_bits > 0:
+                out["probes"] = [
+                    [list(tbl) for tbl in row]
+                    for row in np.stack(probes, axis=1).tolist()
+                ]
             yield out
 
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     src = _vecs(corpus, vec_col).select(id_col, vec_col)
-    schema = StructType(
-        list(src.schema.fields) + [StructField("buckets", ArrayType(LongType()))]
-    )
+    fields = list(src.schema.fields) + [StructField("buckets", ArrayType(LongType()))]
+    if probe_bits > 0:
+        fields.append(StructField("probes", ArrayType(ArrayType(LongType()))))
+    schema = StructType(fields)
     if carry_vectors is None:
         if n is None:
             n = src.count()
         carry_vectors = n <= carry_max_docs
     bucketed = src.mapInPandas(add_buckets, schema=schema)
+    if probe_bits > 0:
+        # bucketed is consumed by BOTH join sides; cut the kernel lineage
+        bucketed = bucketed.localCheckpoint(eager=True)
+
+    def _candidates(keep_vec: bool) -> DataFrame:
+        """(id_a, id_b [, _va, _vb]) canonicalized candidate pairs."""
+        vcols_a = [F.col(vec_col).alias("_va")] if keep_vec else []
+        vcols_b = [F.col(vec_col).alias("_vb")] if keep_vec else []
+        ex = bucketed.select(
+            F.col(id_col).alias("id_a"), *vcols_a,
+            F.posexplode("buckets").alias("tbl", "bucket"),
+        )
+        if probe_bits == 0:
+            # symmetric base-base join: id_a < id_b INSIDE the join keeps
+            # each unordered pair once — no post-join canonicalization
+            pr = bucketed.select(
+                F.col(id_col).alias("id_b"), *vcols_b,
+                F.posexplode("buckets").alias("tbl", "bucket"),
+            )
+            return (
+                ex.join(pr, ["tbl", "bucket"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .drop("tbl", "bucket")
+                .dropDuplicates(["id_a", "id_b"])
+            )
+        pr = (
+            bucketed.select(
+                F.col(id_col).alias("id_b"), *vcols_b,
+                F.posexplode("probes").alias("tbl", "pvals"),
+            )
+            .select("id_b", *(["_vb"] if keep_vec else []), "tbl",
+                    F.explode("pvals").alias("bucket"))
+        )
+        # probe sets are asymmetric: (a,b) may only be reachable as
+        # exact(a) in probes(b) — join both orders, canonicalize after.
+        # cosine is symmetric, so _va/_vb need no swap.
+        return (
+            ex.join(pr, ["tbl", "bucket"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .drop("tbl", "bucket")
+            .withColumn("_lo", F.least("id_a", "id_b"))
+            .withColumn("_hi", F.greatest("id_a", "id_b"))
+            .drop("id_a", "id_b")
+            .withColumnsRenamed({"_lo": "id_a", "_hi": "id_b"})
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
     if carry_vectors:
         # small-corpus layout: vectors ride the candidate join (candidate
         # volume is tiny; separate fetch joins would be pure overhead)
-        b = bucketed.select(
-            id_col, vec_col, F.posexplode("buckets").alias("tbl", "bucket")
-        )
-        cand = (
-            b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "tbl", "bucket")
-            .join(
-                b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "tbl", "bucket"),
-                ["tbl", "bucket"],
-            )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .drop("tbl", "bucket")
-        )
-        joined = cand.dropDuplicates(["id_a", "id_b"])
+        joined = _candidates(keep_vec=True)
     else:
-        b = bucketed.select(id_col, F.posexplode("buckets").alias("tbl", "bucket"))
-        cand = (
-            b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
-            .join(b.select(F.col(id_col).alias("id_b"), "tbl", "bucket"), ["tbl", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .drop("tbl", "bucket")
-        )
-        # a pair can collide in several tables -> one copy per (id_a,id_b)
-        dedup = cand.dropDuplicates(["id_a", "id_b"])
+        dedup = _candidates(keep_vec=False)
         if n is None:
             n = src.count()
         vec_bytes = n * (16 + 4 * dim)
@@ -484,6 +584,49 @@ def with_lsh_bucket(
 
     schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
     return df.mapInPandas(add_bucket, schema=schema)
+
+
+def with_lsh_probe_buckets(
+    df: DataFrame,
+    dim: int,
+    planes: int = 10,
+    vec_col: str = "embedding",
+    out_col: str = "buckets",
+    seed: int = 42,
+    probe_bits: int = 2,
+) -> DataFrame:
+    """Attach the multi-probe bucket SET (array<bigint>): the sign bucket
+    plus the buckets reached by flipping each of the ``probe_bits``
+    smallest-|margin| bits (Lv et al., VLDB'07) — the buckets a true
+    neighbor most plausibly landed in. Meant for the QUERY side of an
+    asymmetric candidate join (``lsh_topk``): expanding the tiny side
+    buys per-table recall without growing the corpus-side index."""
+
+    def add_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hp = _hyperplanes(planes, dim, seed)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _stack(pdf[vec_col])
+            scores = mat @ hp.T
+            weights = 1 << np.arange(hp.shape[0], dtype=np.int64)
+            base = ((scores >= 0).astype(np.int64) * weights).sum(axis=1)
+            q = min(probe_bits, hp.shape[0])
+            order = np.argsort(np.abs(scores), axis=1)[:, :q]
+            variants = [base] + [
+                base ^ (np.int64(1) << order[:, j].astype(np.int64))
+                for j in range(q)
+            ]
+            out = pdf.copy()
+            out[out_col] = list(np.stack(variants, axis=1).tolist())
+            yield out
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()))]
+    )
+    return df.mapInPandas(add_buckets, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -627,16 +770,44 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    probe_bits: int = 2,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket. At scale run multiple tables (different seeds) and union."""
+    bucket(s). At scale run multiple tables (different seeds) and union.
+
+    MULTI-PROBE (Lv et al., VLDB'07): the query side also probes the
+    buckets reached by flipping its ``probe_bits`` smallest-|margin|
+    sign bits. THIS is the asymmetric shape where probing pays (unlike
+    the self-join ``embedding_neardup_lsh``, where it measured as a 2x
+    shuffle loss — see that docstring): the corpus-side index emission
+    (the term that scales with n) is untouched; only the tiny broadcast
+    query side fans out, and each probe bucket recovers neighbors a
+    single-bucket lookup misses — recall-floor-tested at a higher floor
+    than the unprobed r4 path sustained. ``probe_bits=0`` restores the
+    single-bucket behavior."""
     cb = with_lsh_bucket(_vecs(corpus, vec_col).select(id_col, vec_col), dim, planes, vec_col, "bucket", seed)
-    qb = with_lsh_bucket(
-        _vecs(queries, vec_col).select(query_id_col, vec_col), dim, planes, vec_col, "bucket", seed
-    ).select(query_id_col, F.col(vec_col).alias("_qvec"), "bucket")
+    q_src = _vecs(queries, vec_col).select(query_id_col, vec_col)
+    if probe_bits > 0:
+        qb = (
+            with_lsh_probe_buckets(
+                q_src, dim, planes, vec_col, "buckets", seed, probe_bits
+            )
+            .select(
+                query_id_col,
+                F.col(vec_col).alias("_qvec"),
+                F.explode("buckets").alias("bucket"),
+            )
+            .dropDuplicates([query_id_col, "bucket"])
+        )
+    else:
+        qb = with_lsh_bucket(
+            q_src, dim, planes, vec_col, "bucket", seed
+        ).select(query_id_col, F.col(vec_col).alias("_qvec"), "bucket")
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col(query_id_col) != F.col(id_col))
+        # a corpus vector can sit in several probed buckets of one query
+        .dropDuplicates([query_id_col, id_col])
         .select(
             F.col(query_id_col),
             F.col(id_col).alias("neighbor_id"),

@@ -264,12 +264,22 @@ def test_lsh_topk_recall_on_clustered_vectors(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     qs = emb.limit(6).selectExpr("vec_id as query_id", "embedding")
     exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qs, k=5).collect()}
+    # single-bucket baseline (r4 behavior) vs the multi-probe default:
+    # query-side probing must never LOSE candidates (bucket set is a
+    # superset) and lifts recall on the same fixture.
+    base = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, qs, dim=16, k=5, planes=6, probe_bits=0).collect()
+    }
     approx = {
         (r.query_id, r.neighbor_id)
         for r in lsh_topk(emb, qs, dim=16, k=5, planes=6).collect()
     }
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.7, recall
+    r_base = len(exact & base) / len(exact)
+    r_probe = len(exact & approx) / len(exact)
+    assert r_base >= 0.7, r_base
+    assert r_probe >= r_base, (r_probe, r_base)
+    assert r_probe >= 0.85, r_probe
 
 
 def test_ivf_topk_exact_when_probing_all_cells(spark, sf_dir):
@@ -706,6 +716,75 @@ def test_lsh_candidate_layouts_equivalent(spark):
     )
     assert inline == fetch
     assert inline  # non-empty on the clustered fixture
+
+
+def _gauss_clusters(spark, n_clusters=40, per_cluster=5, dim=16, seed=3):
+    """Tight Gaussian clusters: members of a cluster are near-dups
+    (cos ~0.99), cross-cluster cosine ~0 — deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows, vid = [], 0
+    for _ in range(n_clusters):
+        center = rng.standard_normal(dim)
+        center /= np.linalg.norm(center)
+        for _ in range(per_cluster):
+            v = center + 0.05 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_multi_probe_superset_and_fewer_tables(spark):
+    """Multi-probe LSH (Lv et al. VLDB'07): at EQUAL planes/tables the
+    probed candidate set is a SUPERSET of the base set (flipping the
+    weakest-margin bit only ADDS buckets), and the probe-aware parameter
+    derivation needs FEWER tables for the same design recall — the lever
+    that flattens the n x tables(n) shuffle growth. Recall floor: with
+    fully DERIVED parameters the probed path recovers >= 0.9 of the
+    exact pair set on a clustered fixture."""
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        _derive_lsh_params,
+        embedding_neardup,
+        embedding_neardup_lsh,
+    )
+
+    vecs = _gauss_clusters(spark)
+    kw = dict(threshold=0.9, dim=16, planes=10, tables=2)
+    base = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_lsh(vecs, probe_bits=0, **kw).collect()
+    }
+    probed = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_lsh(vecs, probe_bits=1, **kw).collect()
+    }
+    assert base <= probed
+    assert len(probed) > len(base)  # probing finds pairs 2 bare tables miss
+
+    # probe-aware derivation: never MORE tables, strictly fewer somewhere
+    t_plain = [_derive_lsh_params(n, 0.95)[1] for n in (10**4, 10**5, 10**6, 10**7)]
+    t_probe = [
+        _derive_lsh_params(n, 0.95, probe_bits=1)[1]
+        for n in (10**4, 10**5, 10**6, 10**7)
+    ]
+    assert all(tp <= tn for tp, tn in zip(t_probe, t_plain)), (t_probe, t_plain)
+    assert any(tp < tn for tp, tn in zip(t_probe, t_plain)), (t_probe, t_plain)
+
+    # recall floor with everything derived (the production auto path)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup(vecs, threshold=0.9, strategy="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup(
+            vecs, threshold=0.9, strategy="lsh", dim=16
+        ).collect()
+    }
+    assert lsh <= exact  # exact-verify precision
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"probed-LSH recall {recall:.3f} on {len(exact)} pairs"
 
 
 def test_record_linkage_hot_block_tripwire(spark):
