@@ -1,9 +1,14 @@
 """Benchmark harness: runs every declared query at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "repeat": N}. Each query is forced with
-a noop write (full execution, no driver collect — measures the engine, not
-py4j serialization).
+"queries": {name: sec}, "shuffle_mb": {name: mb}, "sf": ..., "repeat": N}.
+Each query is forced with a noop write (full execution, no driver collect —
+measures the engine, not py4j serialization). ``shuffle_mb`` is the
+per-query shuffle-WRITE megabytes (Spark REST stage metrics diffed around
+the first sweep, outside the timed section): wall seconds drift ±10-20%
+run-to-run on this rig while shuffle bytes are deterministic, so
+regression calls should cite bytes first (a lone wall jump with identical
+bytes is drift; byte growth is real).
 
 ``--repeat N`` (or $SPARK_GRAFT_BENCH_REPEAT, default 3) sweeps the full
 query set N times in one JVM session and reports the PER-QUERY MEDIAN —
