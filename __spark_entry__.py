@@ -1419,6 +1419,16 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture planning: per-source docs/tokens/share and the
+    effective epochs a 1M-token proportional sample implies. One
+    source-keyed agg + a partition-less window over the tiny per-source
+    frame (single scan)."""
+    from global_stock_data_warehouse_spark.operators.corpus import source_mix_report
+
+    return source_mix_report(_t(spark, sf_dir, "documents"), token_budget=1_000_000)
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted mixture (alpha=0.5, budget=200 docs): the
     multilingual-LM exponentiated-sampling recipe — low-resource languages
@@ -2867,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "llm_gold_pipeline": q_llm_gold_pipeline,
         "dedup_keep_best": q_dedup_keep_best,
+        "source_mix_report": q_source_mix_report,
         "priority_linestatus": q_priority_linestatus,
         "custdist": q_custdist,
         "promo_revenue_share": q_promo_revenue_share,
@@ -3602,6 +3613,20 @@ JOIN (SELECT doc_id, group_key,
       FROM keyed) ky
   ON cl.doc_id = ky.doc_id
 ORDER BY cl.doc_id
+""",
+        "source_mix_report": """
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens * 1.0 / GREATEST(sum(n_tokens) OVER (), 1), 6) AS share,
+       round(1000000 * (n_tokens * 1.0 / GREATEST(sum(n_tokens) OVER (), 1))
+             / GREATEST(n_tokens, 1), 6) AS effective_epochs
+FROM per
+ORDER BY source
 """,
         "dedup_keep_best": """
 WITH RECURSIVE toks AS (

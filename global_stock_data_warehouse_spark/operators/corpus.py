@@ -436,6 +436,49 @@ def with_split(
     return df.withColumn(out_col, expr)
 
 
+def source_mix_report(
+    df: DataFrame,
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pretraining mixture planning: per source, document/token counts,
+    corpus share, and the EFFECTIVE EPOCHS a proportional sample at
+    ``token_budget`` total tokens implies (budget x share / available =
+    budget / total — constant across sources under proportional
+    sampling, reported per-row so non-proportional planners can rescale;
+    >1.0 means that source repeats, the signal mixture designers watch).
+
+    One map-side tokenize + ONE (source)-keyed aggregation — map-side
+    combine collapses to |sources| rows per task, so the shuffle is a
+    few rows per task regardless of corpus size; the global total rides
+    a partition-less window over the tiny per-source frame (same
+    single-scan discipline as benford_audit).
+    """
+    per = (
+        df.select(F.col(source_col).alias("source"), tokens(text_col).alias("t"))
+        .select("source", F.size("t").alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.greatest(total, F.lit(1)), 6).alias("share"),
+        F.round(
+            F.lit(token_budget)
+            * (F.col("n_tokens") / F.greatest(total, F.lit(1)))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("effective_epochs"),
+    ).orderBy("source")
+
+
 def leakage_safe_split(
     docs: DataFrame,
     pairs: DataFrame,

@@ -631,3 +631,23 @@ def test_vocab_growth_hapax_and_ttr(spark):
     # sb: degenerate template source -> hapax share collapses to 0
     assert out["sb"].n_vocab == 1 and out["sb"].n_hapax == 0
     assert out["sb"].hapax_ratio == 0.0
+
+
+def test_source_mix_report(spark):
+    """Shares sum to 1; proportional effective epochs = budget/total for
+    every source; zero-token sources don't divide by zero."""
+    from global_stock_data_warehouse_spark.operators.corpus import source_mix_report
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "web"), (2, "d e", "web"), (3, "f g h i j", "books"),
+         (4, "", "empty")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in source_mix_report(df, token_budget=100).collect()}
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-6
+    assert out["web"].n_docs == 2 and out["web"].n_tokens == 5
+    assert out["books"].n_tokens == 5
+    # proportional sampling: every non-empty source repeats budget/total x
+    assert abs(out["web"].effective_epochs - 10.0) < 1e-6
+    assert abs(out["books"].effective_epochs - 10.0) < 1e-6
+    assert out["empty"].n_tokens == 0 and out["empty"].effective_epochs == 0.0
