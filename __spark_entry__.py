@@ -1429,6 +1429,57 @@ def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix_report(_t(spark, sf_dir, "documents"), token_budget=1_000_000)
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal contamination verdicts: the n-gram (exact overlap) and
+    embedding (semantic) decontamination checks joined into ONE per-doc
+    report — the release-gate view a dataset card wants. documents and
+    embeddings share the id space in the fixtures (doc_id = vec_id);
+    docs without an embedding keep NULL semantic scores (left join) and
+    the combined flag treats missing as clean."""
+    from global_stock_data_warehouse_spark.operators.corpus import decontaminate
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    ng = decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=5,
+    ).select(
+        "doc_id",
+        F.col("n_collisions").cast("long").alias("n_collisions"),
+        F.col("contaminated").alias("ngram_contaminated"),
+    )
+    sem = semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        threshold=0.3,
+    ).select(
+        F.col("vec_id"),
+        "max_cosine",
+        F.col("contaminated").alias("semantic_contaminated"),
+    )
+    return (
+        ng.join(sem, ng.doc_id == sem.vec_id, "left")
+        .select(
+            "doc_id",
+            "n_collisions",
+            "ngram_contaminated",
+            "max_cosine",
+            F.coalesce("semantic_contaminated", F.lit(False)).alias(
+                "semantic_contaminated"
+            ),
+            (
+                F.col("ngram_contaminated")
+                | F.coalesce("semantic_contaminated", F.lit(False))
+            ).alias("any_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted mixture (alpha=0.5, budget=200 docs): the
     multilingual-LM exponentiated-sampling recipe — low-resource languages
@@ -2878,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_gold_pipeline": q_llm_gold_pipeline,
         "dedup_keep_best": q_dedup_keep_best,
         "source_mix_report": q_source_mix_report,
+        "contamination_report": q_contamination_report,
         "priority_linestatus": q_priority_linestatus,
         "custdist": q_custdist,
         "promo_revenue_share": q_promo_revenue_share,
@@ -3613,6 +3665,50 @@ JOIN (SELECT doc_id, group_key,
       FROM keyed) ky
   ON cl.doc_id = ky.doc_id
 ORDER BY cl.doc_id
+""",
+        "contamination_report": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS gram
+  FROM toks, UNNEST(range(0, greatest(len(t) - 4, 0))) AS u(i)
+), tg AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 20 != 0
+), eg AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0
+), hits AS (
+  SELECT doc_id, count(*) AS n_collisions FROM tg JOIN eg USING (gram) GROUP BY doc_id
+), ng AS (
+  SELECT d.doc_id,
+         CAST(coalesce(h.n_collisions, 0) AS BIGINT) AS n_collisions,
+         coalesce(h.n_collisions, 0) > 0 AS ngram_contaminated
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) d
+  LEFT JOIN hits h USING (doc_id)
+), ev AS (
+  SELECT vec_id AS eval_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 20 = 0
+), tr AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 20 != 0
+), scored AS (
+  SELECT tr.vec_id,
+         round(list_dot_product(tr.v, ev.v)
+               / (sqrt(list_dot_product(tr.v, tr.v))
+                  * sqrt(list_dot_product(ev.v, ev.v))), 6) AS c
+  FROM tr CROSS JOIN ev
+), sem AS (
+  SELECT vec_id, max(c) AS max_cosine, max(c) >= 0.3 AS semantic_contaminated
+  FROM scored GROUP BY vec_id
+)
+SELECT ng.doc_id, ng.n_collisions, ng.ngram_contaminated,
+       sem.max_cosine,
+       coalesce(sem.semantic_contaminated, FALSE) AS semantic_contaminated,
+       ng.ngram_contaminated OR coalesce(sem.semantic_contaminated, FALSE)
+         AS any_contaminated
+FROM ng LEFT JOIN sem ON ng.doc_id = sem.vec_id
+ORDER BY ng.doc_id
 """,
         "source_mix_report": """
 WITH per AS (
