@@ -1429,6 +1429,46 @@ def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix_report(_t(spark, sf_dir, "documents"), token_budget=1_000_000)
 
 
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup funnel in ONE summary row: docs in -> exact-dup
+    removals (fingerprint keep-one) -> near-dup removals (bigram-Jaccard
+    components over the exact survivors, keep-one per component) ->
+    survivors + retention rate. The dataset-card diagnostic every dedup
+    pipeline reports; composes dedup_exact + dedup_groups counts without
+    materializing any intermediate corpus."""
+    from global_stock_data_warehouse_spark.operators.graph import dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    groups = dedup_exact(docs)  # (fp, keep_id, n_dups)
+    survivors = docs.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id"
+    ).localCheckpoint(eager=True)
+    nd = dedup_groups(ngram_jaccard_pairs(survivors, threshold=0.2))
+    exact_stats = groups.agg(
+        F.count(F.lit(1)).alias("_groups"),
+        F.sum("n_dups").cast("long").alias("_docs"),
+    )
+    nd_stats = nd.agg(
+        F.coalesce(F.sum(F.col("group_size") - 1), F.lit(0))
+        .cast("long")
+        .alias("_nd_removed")
+    )
+    return (
+        exact_stats.crossJoin(F.broadcast(nd_stats))
+        .select(
+            F.col("_docs").alias("n_docs"),
+            (F.col("_docs") - F.col("_groups")).cast("long").alias("n_exact_removed"),
+            F.col("_nd_removed").alias("n_neardup_removed"),
+            (F.col("_groups") - F.col("_nd_removed")).cast("long").alias("n_final"),
+            F.round(
+                (F.col("_groups") - F.col("_nd_removed"))
+                / F.greatest(F.col("_docs"), F.lit(1)),
+                6,
+            ).alias("retention_rate"),
+        )
+    )
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal contamination verdicts: the n-gram (exact overlap) and
     embedding (semantic) decontamination checks joined into ONE per-doc
@@ -2930,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "source_mix_report": q_source_mix_report,
         "contamination_report": q_contamination_report,
+        "dedup_funnel": q_dedup_funnel,
         "priority_linestatus": q_priority_linestatus,
         "custdist": q_custdist,
         "promo_revenue_share": q_promo_revenue_share,
@@ -3665,6 +3706,60 @@ JOIN (SELECT doc_id, group_key,
       FROM keyed) ky
   ON cl.doc_id = ky.doc_id
 ORDER BY cl.doc_id
+""",
+        "dedup_funnel": """
+WITH RECURSIVE fp AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
+         min(doc_id) AS keep_id, count(*) AS n_dups
+  FROM documents GROUP BY 1
+), surv AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN fp ON d.doc_id = fp.keep_id
+), toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS t
+  FROM surv
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+              ELSE [] END AS s
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(s) AS n FROM sh
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(n_common * 1.0 / (x.n + y.n - n_common), 6) AS jaccard
+    FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id)
+  WHERE jaccard >= 0.2
+), sym AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT r.a, s2.d FROM reach r JOIN sym s2 ON r.b = s2.s
+), comp AS (
+  SELECT a AS id, min(b) AS comp FROM reach GROUP BY a
+), ndstats AS (
+  SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS nd_removed
+  FROM (SELECT comp, count(*) AS n FROM comp GROUP BY comp)
+), ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS groups, CAST(sum(n_dups) AS BIGINT) AS docs FROM fp
+)
+SELECT ex.docs AS n_docs,
+       ex.docs - ex.groups AS n_exact_removed,
+       ndstats.nd_removed AS n_neardup_removed,
+       ex.groups - ndstats.nd_removed AS n_final,
+       round((ex.groups - ndstats.nd_removed) * 1.0 / GREATEST(ex.docs, 1), 6)
+         AS retention_rate
+FROM ex CROSS JOIN ndstats
 """,
         "contamination_report": """
 WITH toks AS (
