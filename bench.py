@@ -1,7 +1,9 @@
 """Benchmark harness: runs every declared query at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "shuffle_mb": {name: mb}, "sf": ..., "repeat": N}.
+"sf": ..., "repeat": N, "shuffle_mb": {name: mb}, "queries": {name: sec}}.
+`queries` (seconds) is deliberately LAST: the driver truncates the tail of
+the line, and the per-query seconds are what must survive truncation.
 Each query is forced with a noop write (full execution, no driver collect —
 measures the engine, not py4j serialization). ``shuffle_mb`` is the
 per-query shuffle-WRITE megabytes (Spark REST stage metrics diffed around
@@ -101,33 +103,60 @@ def main() -> None:
     # The REST reads happen OUTSIDE the timed section.
     from tools.scale_slope import shuffle_write_bytes
 
+    def settled_shuffle_bytes() -> int:
+        # Spark's AppStatusListener drains its event queue asynchronously:
+        # a read taken immediately after an action can miss the last
+        # stages (they'd then be mis-attributed to the NEXT query). Poll
+        # until two consecutive reads agree (stage metrics are monotone
+        # within a session), bounded at ~2s so a dead REST endpoint can't
+        # stall the bench.
+        prev = shuffle_write_bytes(spark)
+        for _ in range(20):
+            time.sleep(0.1)
+            cur = shuffle_write_bytes(spark)
+            if cur == prev:
+                return cur
+            prev = cur
+        return prev
+
     runs: dict[str, list[float]] = {name: [] for name in entrymod.queries()}
     shuffle_mb: dict[str, float] = {}
     for sweep in range(repeat):
+        sb_prev = settled_shuffle_bytes() if sweep == 0 else 0
         for name, fn in entrymod.queries().items():
-            sb0 = shuffle_write_bytes(spark) if sweep == 0 else 0
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.time() - t0, 3))
             if sweep == 0:
-                sb1 = shuffle_write_bytes(spark)
+                # nothing runs between queries, so the settled post-read of
+                # query N is query N+1's baseline — one settle per query.
+                sb1 = settled_shuffle_bytes()
                 shuffle_mb[name] = (
-                    round((sb1 - sb0) / 1e6, 3) if sb0 >= 0 and sb1 >= 0 else -1.0
+                    round((sb1 - sb_prev) / 1e6, 3)
+                    if sb_prev >= 0 and sb1 >= 0
+                    else -1.0
                 )
+                sb_prev = sb1
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
+    # FIELD ORDER IS LOAD-BEARING: the driver's capture truncates the TAIL
+    # of this line, so `queries` (per-query SECONDS — the adjudication
+    # metric) must be the LAST dict. Round 5 serialized shuffle_mb after
+    # queries and the driver's BENCH artifact kept megabytes instead of
+    # seconds (VERDICT r5 item 1). shuffle_mb goes first; never append a
+    # new dict after `queries`.
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "shuffle_mb": shuffle_mb,
                 "sf": sf,
                 "repeat": repeat,
+                "shuffle_mb": shuffle_mb,
+                "queries": timings,
             }
         )
     )
