@@ -692,6 +692,16 @@ def simhash_neardup(
 ) -> DataFrame:
     """Pairs whose SimHash Hamming distance <= max_hamming.
 
+    COMPLETENESS CONTRACT: the result is exhaustive (every qualifying
+    pair present) only for ``max_hamming <= 3``. With 4 chunks the
+    pigeonhole argument needs d < 4; at d in 4..6 a pair can differ in
+    every 16-bit chunk and is then never generated, so ``"chunk"`` with
+    ``max_hamming > 3`` is an APPROXIMATE mode — recall is high in
+    practice (gated >= 0.8 at d=6 in tests/test_dedup_similarity.py) but
+    NOT guaranteed. For coarser matching with recall guarantees use
+    ``minhash_neardup``, whose band-key space scales with the hash range.
+    ``"multi_index"`` refuses ``max_hamming > 3`` outright (ValueError).
+
     Two candidate-generation strategies, stats-dispatched (``"auto"``
     probes ``df.count()`` — parquet metadata for file sources — same
     discipline as ``embedding_neardup`` / ``ngram_jaccard_pairs``):

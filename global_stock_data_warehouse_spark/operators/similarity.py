@@ -803,11 +803,16 @@ def lsh_topk(
         qb = with_lsh_bucket(
             q_src, dim, planes, vec_col, "bucket", seed
         ).select(query_id_col, F.col(vec_col).alias("_qvec"), "bucket")
+    candidates = cb.join(F.broadcast(qb), "bucket").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    if probe_bits > 0:
+        # a corpus vector can sit in several probed buckets of one query;
+        # with probe_bits=0 each (query, corpus) pair collides at most
+        # once, so the dedup would only add a full-stream exchange
+        candidates = candidates.dropDuplicates([query_id_col, id_col])
     scored = (
-        cb.join(F.broadcast(qb), "bucket")
-        .filter(F.col(query_id_col) != F.col(id_col))
-        # a corpus vector can sit in several probed buckets of one query
-        .dropDuplicates([query_id_col, id_col])
+        candidates
         .select(
             F.col(query_id_col),
             F.col(id_col).alias("neighbor_id"),
@@ -1074,6 +1079,16 @@ def semantic_decontaminate(
     spark = train.sparkSession
     eval_id = eval_id_col or id_col
     id_type = train.schema[id_col].dataType.simpleString()
+    eval_id_type = _vecs(eval_df, vec_col).schema[eval_id].dataType.simpleString()
+    if eval_id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # the eval ids ride a numpy int64 array through the broadcast and
+        # nearest_eval_id is emitted as long — a string/decimal id would
+        # die later in an opaque numpy cast; refuse up front instead
+        raise ValueError(
+            "semantic_decontaminate requires an integral eval id column "
+            f"(got {eval_id!r}: {eval_id_type}); map ids to integers first "
+            "(e.g. dense_ids) or pass eval_id_col naming an integral column"
+        )
     schema = (
         f"{id_col} {id_type}, nearest_eval_id long, "
         "max_cosine double, contaminated boolean"
