@@ -146,6 +146,45 @@ def _wmy_resample_returns(spark: SparkSession, sf_dir: str, freq: str) -> DataFr
     )
 
 
+def _acf_fx_oracle(lags: tuple[int, ...] = (1, 2, 3, 5)) -> str:
+    """DuckDB twin of autocorrelation_fx: per-lag Pearson ACF from
+    HUGEINT sums of integer daily-close cents (the exact arithmetic the
+    Spark side does in decimal(38,0)); floor(x*1e6+0.5) final round."""
+    lag_cols = ",\n         ".join(
+        f"lag(x, {k}) OVER (PARTITION BY user_id ORDER BY d) AS y{k}" for k in lags
+    )
+
+    def acf(k: int) -> str:
+        x = f"CASE WHEN y{k} IS NOT NULL THEN CAST(x AS HUGEINT) END"
+        y = f"CAST(y{k} AS HUGEINT)"
+        n, sx, sy = f"count(y{k})", f"sum({x})", f"sum({y})"
+        sxy, sxx, syy = f"sum(({x}) * y{k})", f"sum(({x}) * x)", f"sum({y} * y{k})"
+        num = f"({n}*{sxy} - {sx}*{sy})"
+        dx = f"({n}*{sxx} - {sx}*{sx})"
+        dy = f"({n}*{syy} - {sy}*{sy})"
+        return (
+            f"CASE WHEN {dx} > 0 AND {dy} > 0 THEN "
+            f"floor(CAST({num} AS DOUBLE) / (sqrt(CAST({dx} AS DOUBLE)) * "
+            f"sqrt(CAST({dy} AS DOUBLE))) * 1e6 + 0.5) / 1e6 END AS acf{k}"
+        )
+
+    accs = ",\n       ".join(acf(k) for k in lags)
+    return f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(floor(last(value ORDER BY ts, event_id) * 100 + 0.5) AS BIGINT) AS x
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), lagged AS (
+  SELECT user_id, x,
+         {lag_cols}
+  FROM daily
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+       {accs}
+FROM lagged GROUP BY user_id ORDER BY user_id
+"""
+
+
 def _wmy_oracle(freq: str) -> str:
     if freq == "W":
         bucket = "CAST(ts AS DATE) + CAST((5 - isodow(CAST(ts AS DATE)) + 7) % 7 AS INTEGER)"
@@ -2803,6 +2842,56 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(50)
 
 
+def q_autocorrelation_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact ACF twin (r6): same Pearson ACF at lags 1/2/3/5 as
+    q_autocorrelation, but from integer-cents sums — no libm anywhere in
+    the formula (IEEE /, sqrt are correctly rounded; ln is not), so this
+    variant is bit-identical across engines and driver-window-eligible
+    where the float original is EPS-only forever."""
+    from global_stock_data_warehouse_spark.operators.timeseries import (
+        autocorrelation_fx,
+        daily_close,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return autocorrelation_fx(daily_close(ev))
+
+
+def q_rolling_beta_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact rolling-beta twin (r6): 20-day beta/corr of each
+    entity's daily close vs the cross-sectional index level (sum of
+    closes), all accumulation in integer cents -> driver-hash-eligible
+    (q_rolling_beta's covar/var/corr float path stays EPS-only)."""
+    from global_stock_data_warehouse_spark.operators.timeseries import (
+        rolling_beta_fx,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return rolling_beta_fx(ev)
+
+
+def q_source_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact source-drift twin (r6): Pearson chi^2(source || corpus)
+    over unigram distributions — the same mixture-health check as
+    q_source_kl but transcendental-free, so it is bit-exact on any
+    engine and can carry the driver-grade evidence the KL version's
+    ln() ulp denies it."""
+    from global_stock_data_warehouse_spark.operators.corpus import source_chi2_drift
+
+    return source_chi2_drift(_t(spark, sf_dir, "documents"))
+
+
+def q_unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact unigram-LM quality twin (r6): mean token PROBABILITY
+    (not log-prob) under the corpus-trained add-one top-16 LM — exact
+    integer-ratio arithmetic end-to-end. vocab_size=16 < the corpus's
+    distinct-token count so the OOV bucket is genuinely exercised, like
+    q_unigram_logprob."""
+    from global_stock_data_warehouse_spark.operators.corpus import unigram_prob_score
+
+    return unigram_prob_score(_t(spark, sf_dir, "documents"), vocab_size=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks the first 50 entries against the
     # DuckDB oracle; entries beyond 50 get a weaker rows-only record.
@@ -2998,6 +3087,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "source_kl": q_source_kl,
         "autocorrelation": q_autocorrelation,
+        # r6 hash-exact fixed-point twins of the four EPS-only floats —
+        # oracled bit-exact, driver-window-eligible (VERDICT r5 item 3)
+        "autocorrelation_fx": q_autocorrelation_fx,
+        "rolling_beta_fx": q_rolling_beta_fx,
+        "source_chi2_drift": q_source_chi2_drift,
+        "unigram_prob_score": q_unigram_prob_score,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4295,6 +4390,90 @@ SELECT label, i AS dim,
 FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
 GROUP BY label, dim
 ORDER BY label, dim
+""",
+        "autocorrelation_fx": _acf_fx_oracle(),
+        "rolling_beta_fx": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(floor(last(value ORDER BY ts, event_id) * 100 + 0.5) AS BIGINT) AS x
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), idx AS (
+  SELECT d, sum(CAST(x AS HUGEINT)) AS m FROM daily GROUP BY d
+), s AS (
+  SELECT daily.user_id, daily.d,
+         count(*) OVER w AS n,
+         sum(CAST(daily.x AS HUGEINT)) OVER w AS sx,
+         sum(idx.m) OVER w AS sm,
+         sum(CAST(daily.x AS HUGEINT) * idx.m) OVER w AS sxm,
+         sum(CAST(daily.x AS HUGEINT) * daily.x) OVER w AS sxx,
+         sum(idx.m * idx.m) OVER w AS smm
+  FROM daily JOIN idx USING (d)
+  WINDOW w AS (PARTITION BY daily.user_id ORDER BY daily.d
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, d,
+       CASE WHEN (n*smm - sm*sm) > 0
+            THEN floor(CAST(n*sxm - sx*sm AS DOUBLE) / CAST(n*smm - sm*sm AS DOUBLE)
+                       * 1e6 + 0.5) / 1e6 END AS beta,
+       CASE WHEN (n*sxx - sx*sx) > 0 AND (n*smm - sm*sm) > 0
+            THEN floor(CAST(n*sxm - sx*sm AS DOUBLE)
+                       / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                          * sqrt(CAST(n*smm - sm*sm AS DOUBLE)))
+                       * 1e6 + 0.5) / 1e6 END AS corr_vm,
+       CAST(n AS BIGINT) AS n_obs
+FROM s WHERE n >= 5 ORDER BY user_id, d
+""",
+        "source_chi2_drift": """
+WITH counts AS (
+  SELECT source AS grp, t, count(*) AS n_gt FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x != '')) AS t
+    FROM documents
+  ) GROUP BY grp, t
+), grp_tot AS (
+  SELECT grp, sum(n_gt) AS n_g FROM counts GROUP BY grp
+), term_tot AS (
+  SELECT t, sum(n_gt) AS n_t FROM counts GROUP BY t
+), corpus_tot AS (
+  SELECT sum(n_gt) AS n_corpus FROM counts
+), fx AS (
+  SELECT c.grp, g.n_g,
+         CAST(floor((c.n_gt / g.n_g - tt.n_t / ct.n_corpus)
+                    * (c.n_gt / g.n_g - tt.n_t / ct.n_corpus)
+                    / (tt.n_t / ct.n_corpus) * 1e9 + 0.5) AS BIGINT) AS a_fx,
+         CAST(floor((tt.n_t / ct.n_corpus) * 1e9 + 0.5) AS BIGINT) AS b_fx
+  FROM counts c
+  JOIN grp_tot g ON c.grp = g.grp
+  JOIN term_tot tt ON c.t = tt.t
+  CROSS JOIN corpus_tot ct
+)
+SELECT grp AS source, CAST(max(n_g) AS BIGINT) AS n_tokens,
+       floor(CAST(sum(a_fx) + (1000000000 - sum(b_fx)) AS DOUBLE) / 1e3 + 0.5)
+         / 1e6 AS chi2
+FROM fx GROUP BY grp ORDER BY source
+""",
+        "unigram_prob_score": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> t != '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(c) AS n_total FROM counts
+), vocab AS (
+  SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT 16
+)
+SELECT t.doc_id,
+       floor(sum(CAST(floor((coalesce(v.c, 0) + 1) / (tot.n_total + 17) * 1e12
+                            + 0.5) AS BIGINT))
+             / count(*) / 1e3 + 0.5) / 1e9 AS mean_prob,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok, tot
+GROUP BY t.doc_id
+ORDER BY t.doc_id
 """,
         "source_kl": """
 WITH counts AS (

@@ -1147,3 +1147,111 @@ def vocab_growth(
         )
         .orderBy("source")
     )
+
+
+def _fx_floor(col: Column, scale: float) -> Column:
+    """floor(x*scale + 0.5) as BIGINT — the half-up quantizer both Spark
+    and DuckDB compute bit-identically on doubles (their round() builtins
+    disagree on halfway ties; floor does not)."""
+    return F.floor(col * scale + F.lit(0.5)).cast("long")
+
+
+def source_chi2_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hash-exact twin of ``source_kl_divergence``: Pearson chi-squared
+    divergence chi2(p_s || q) = sum_t (p_t - q_t)^2 / q_t between each
+    source's unigram distribution p_s and the corpus distribution q —
+    the same drift-monitor role (chi2 upper-bounds KL via chi2 >= KL),
+    but with NO transcendental in the formula: p and q are exact
+    integer-count ratios, and +, -, *, / on doubles are correctly rounded
+    per IEEE-754 on every engine — unlike ln(), whose last ulp differs
+    across libms and keeps the KL version EPS-only forever.
+
+    Terms the source never emits still contribute q_t each; summing them
+    directly would need an |S| x |vocab| dense domain, so the closed form
+    ``sum_{t not in s} q_t = 1 - sum_{t in s} q_t`` folds the absent-term
+    mass into one remainder — only source-present terms are scanned, the
+    exact plan shape of the KL original (ONE corpus-sized (group, term)
+    shuffle; every other frame is a re-aggregation of it). Contributions
+    are quantized to a 1e-9 grid (half-up floor) and summed as
+    decimal(38,0) — (p-q)^2/q can reach n_corpus for a vanishing q, so
+    bigint headroom is not enough at 100 TB; DuckDB's HUGEINT sums are
+    the oracle twin.
+    """
+    counts = (
+        df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t"))
+        .groupBy("grp", "t")
+        .agg(F.count(F.lit(1)).alias("n_gt"))
+        .localCheckpoint(eager=True)
+    )
+    grp_tot = counts.groupBy("grp").agg(F.sum("n_gt").alias("n_g"))
+    term_tot = counts.groupBy("t").agg(F.sum("n_gt").alias("n_t"))
+    corpus_tot = counts.agg(F.sum("n_gt").alias("n_corpus"))
+    p = F.col("n_gt") / F.col("n_g")
+    q = F.col("n_t") / F.col("n_corpus")
+    a_fx = _fx_floor((p - q) * (p - q) / q * 1e9, 1.0).cast("decimal(38,0)")
+    b_fx = _fx_floor(q * 1e9, 1.0).cast("decimal(38,0)")
+    return (
+        counts.join(grp_tot, "grp")
+        .join(term_tot, "t")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy(F.col("grp").alias("source"))
+        .agg(
+            F.max("n_g").cast("long").alias("n_tokens"),
+            (
+                F.floor(
+                    (F.sum(a_fx) + (F.lit(1000000000).cast("decimal(38,0)") - F.sum(b_fx)))
+                    .cast("double")
+                    / 1e3
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("chi2"),
+        )
+        .orderBy("source")
+    )
+
+
+def unigram_prob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 2048,
+) -> DataFrame:
+    """Hash-exact twin of ``unigram_logprob``: per-doc MEAN TOKEN
+    PROBABILITY under the corpus-trained add-one-smoothed top-V unigram
+    LM (arithmetic-mean likelihood — monotone in the same "how typical is
+    this text" direction as mean log-prob, without the log whose libm ulp
+    keeps the original EPS-only).
+
+    p(w) = (count_w + 1) / (N + vocab_size + 1), OOV sharing one bucket —
+    an exact ratio of integers, identical on every engine; per-token
+    probabilities are quantized to a 1e-12 grid (p can be ~1e-9 on a
+    100 TB corpus; 1e-12 keeps 3 significant digits even there, and
+    |doc| * 1e12 stays far inside bigint) and mean = sum_fx / T is one
+    exact-integer division. Same plan as the original: tiny vocab + total
+    broadcast, corpus tokens re-derived map-side, one doc-keyed shuffle.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n_total"))
+    vocab = counts.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(vocab_size)
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1) / (
+        F.col("n_total") + F.lit(vocab_size + 1)
+    )
+    return (
+        toks.join(broadcast(vocab), "tok", "left_outer")
+        .crossJoin(broadcast(total))
+        .withColumn("_p_fx", _fx_floor(p, 1e12))
+        .groupBy(id_col)
+        .agg(
+            (
+                F.floor(F.sum("_p_fx") / F.count(F.lit(1)) / 1e3 + F.lit(0.5)) / 1e9
+            ).alias("mean_prob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy(id_col)
+    )

@@ -440,3 +440,119 @@ def autocorrelation(
         F.round(F.corr(value_col, f"_lag{k}"), 4).alias(f"acf{k}") for k in lags
     ]
     return out.groupBy(key_col).agg(*aggs).orderBy(key_col)
+
+
+# ---------------------------------------------------------------------------
+# hash-exact fixed-point twins of the EPS-only float diagnostics
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(38,0)"
+
+
+def _fx6(col):
+    """floor(x*1e6 + 0.5): 6dp round-half-up-toward-+inf on BOTH engines
+    (Spark round() is HALF_UP, DuckDB's double round is banker's-ish —
+    floor(x + 0.5) is the one formulation they share bit-for-bit)."""
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+
+def autocorrelation_fx(
+    daily: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 3, 5),
+    key_col: str = "user_id",
+    value_col: str = "close",
+) -> DataFrame:
+    """Hash-exact twin of ``autocorrelation``: same Pearson ACF semantics,
+    but every accumulation is integer so the result is bit-identical on
+    any engine / partitioning / summation order (the driver's value-hash
+    gate has no tolerance, so the EPS-compared float original can never
+    produce driver-grade evidence — this twin can).
+
+    Trick (same family as ``class_centroids``): quantize the daily close
+    to integer cents once (``floor(close*100 + 0.5)`` — deterministic on
+    the shared input doubles), then corr = (n*Sxy - Sx*Sy) /
+    (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)) from pure integer sums
+    (decimal(38,0) headroom; DuckDB's HUGEINT is the oracle twin).
+    Integer sums are associative in any order; casting an exact integer
+    to double, IEEE division and IEEE sqrt are all correctly-rounded and
+    engine-identical — unlike ln(), there is no libm in this formula.
+    Same plan shape as the original: ONE window exchange serves every
+    lag, the final per-key agg reuses its partitioning.
+    """
+    w = Window.partitionBy(key_col).orderBy("d")
+    x = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    out = daily.withColumn("_x", x)
+    for k in lags:
+        out = out.withColumn(f"_y{k}", F.lag("_x", k).over(w))
+
+    def _corr_fx(k: int):
+        xk = F.when(F.col(f"_y{k}").isNotNull(), F.col("_x"))
+        yk = F.col(f"_y{k}")
+        n = F.count(yk)
+        sx = F.sum(xk).cast(_DEC)
+        sy = F.sum(yk).cast(_DEC)
+        sxy = F.sum((xk.cast(_DEC) * yk))
+        sxx = F.sum((xk.cast(_DEC) * xk))
+        syy = F.sum((yk.cast(_DEC) * yk))
+        num = (n * sxy - sx * sy).cast("double")
+        dx = (n * sxx - sx * sx).cast("double")
+        dy = (n * syy - sy * sy).cast("double")
+        return F.when(
+            (dx > 0) & (dy > 0), _fx6(num / (F.sqrt(dx) * F.sqrt(dy)))
+        ).alias(f"acf{k}")
+
+    aggs = [F.count(F.lit(1)).alias("n_days")] + [_corr_fx(k) for k in lags]
+    return out.groupBy(key_col).agg(*aggs).orderBy(key_col)
+
+
+def rolling_beta_fx(
+    bars: DataFrame,
+    window: int = 20,
+    min_obs: int = 5,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hash-exact twin of the EPS-only ``rolling_beta`` query: rolling
+    ``window``-day beta and correlation of each entity's daily CLOSE
+    against the cross-sectional market index (sum of all entities' closes
+    that day — an equal-weight index level), from integer-cents sums only.
+
+    Same fixed-point argument as ``autocorrelation_fx``; the market index
+    is itself an exact integer (sum of cents), so x*m / m*m products stay
+    integral (decimal(38,0) — at 1e6 entities the index is ~1e13 cents
+    and m^2 ~1e26, far past bigint but comfortably inside 38 digits).
+    Plan: daily-close agg and index agg share one scan, index broadcast
+    back (|days| rows), ONE window exchange computes every running sum.
+    """
+    d = daily_close(bars, time_col=time_col, key_col=key_col, value_col=value_col)
+    d = d.withColumn("_x", F.floor(F.col("close") * 100 + F.lit(0.5)).cast("long"))
+    idx = d.groupBy("d").agg(F.sum("_x").alias("_m"))
+    j = d.join(F.broadcast(idx), "d")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("d")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("_x").over(w).cast(_DEC)
+    sm = F.sum("_m").over(w).cast(_DEC)
+    sxm = F.sum(F.col("_x").cast(_DEC) * F.col("_m")).over(w)
+    sxx = F.sum(F.col("_x").cast(_DEC) * F.col("_x")).over(w)
+    smm = F.sum(F.col("_m").cast(_DEC) * F.col("_m")).over(w)
+    num = (n * sxm - sx * sm).cast("double")
+    dx = (n * sxx - sx * sx).cast("double")
+    dm = (n * smm - sm * sm).cast("double")
+    return (
+        j.select(
+            F.col(key_col),
+            "d",
+            F.when(dm > 0, _fx6(num / dm)).alias("beta"),
+            F.when((dx > 0) & (dm > 0), _fx6(num / (F.sqrt(dx) * F.sqrt(dm)))).alias(
+                "corr_vm"
+            ),
+            n.alias("n_obs"),
+        )
+        .filter(F.col("n_obs") >= min_obs)
+        .orderBy(key_col, "d")
+    )
