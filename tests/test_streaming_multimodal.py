@@ -228,3 +228,46 @@ def test_streaming_semantic_decontaminate(spark, tmp_path):
     assert len(got) == 3
     assert got[1].contaminated and got[1].nearest_eval_id == 100
     assert not got[3].contaminated  # cos vs best eval is 0 or negative
+
+
+def test_synth_media_fixture_roundtrip_closed_form(spark):
+    """synth_media_fixture bytes must decode back to the closed-form
+    pixel/sample sequences the DuckDB oracle predicts — the contract that
+    makes multimodal_features driver-oracle-able."""
+    from global_stock_data_warehouse_spark.operators.media_codecs import (
+        decode_ppm,
+        decode_wav,
+    )
+    from global_stock_data_warehouse_spark.operators.multimodal import (
+        extract_features_typed,
+        synth_media_fixture,
+    )
+
+    ids = spark.createDataFrame([(4,), (7,)], "doc_id long")
+    rows = {r.media_id: r for r in synth_media_fixture(ids).collect()}
+
+    # even id -> PPM whose pixels follow (id*31 + i*7) % 256
+    img = decode_ppm(bytes(rows[4].payload))
+    h, w = 8 + 4 % 5, 8 + 4 % 7
+    assert img.shape == (h, w, 3)
+    i = np.arange(h * w * 3, dtype=np.int64)
+    assert np.array_equal(img.ravel(), ((4 * 31 + i * 7) % 256).astype(np.uint8))
+
+    # odd id -> WAV whose samples follow (id*7 + i*13) % 4096 - 2048
+    x = decode_wav(bytes(rows[7].payload))
+    n = 256 + 7 % 64
+    j = np.arange(n, dtype=np.int64)
+    expect = ((7 * 7 + j * 13) % 4096 - 2048) / 32768.0
+    assert x.size == n and np.array_equal(x, expect)
+
+    # featurize end-to-end: image channel means equal the integer-exact
+    # closed form; audio RMS equals the dyadic-exact closed form
+    feats = {
+        r.media_id: np.asarray(r.feature)
+        for r in extract_features_typed(synth_media_fixture(ids)).collect()
+    }
+    v = ((4 * 31 + i * 7) % 256).astype(np.float64).reshape(h, w, 3)
+    assert feats[4][0] == np.float32(v[:, :, 0].mean())
+    s = (7 * 7 + j * 13) % 4096 - 2048
+    rms = np.sqrt(((s / 32768.0) ** 2).mean())
+    assert feats[7][0] == np.float32(rms)
