@@ -72,6 +72,7 @@ def decontaminate(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    train_tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
     ``n``-gram with an eval/benchmark set (the GPT-3/Dolma-style overlap
@@ -85,10 +86,13 @@ def decontaminate(
     """
     # per-doc gram dedup is LOCAL (array_distinct before the explode): the
     # train side reaches the join without any shuffle at all — a
-    # (doc_id, gram)-distinct here would shuffle the whole exploded corpus
+    # (doc_id, gram)-distinct here would shuffle the whole exploded corpus.
+    # ``train_tokens_col`` reuses a pre-materialized token array (the
+    # plans/llm_gold.py single-tokenize contract) instead of re-splitting.
+    t_toks = F.col(train_tokens_col) if train_tokens_col else tokens(text_col)
     t_grams = train.select(
         id_col,
-        F.explode(F.array_distinct(word_ngrams(tokens(text_col), n))).alias("gram"),
+        F.explode(F.array_distinct(word_ngrams(t_toks, n))).alias("gram"),
     )
     e_grams = (
         eval_set.select(F.explode(word_ngrams(tokens(text_col), n)).alias("gram"))

@@ -119,7 +119,12 @@ def shingles(col: Column | str, n: int = 2) -> Column:
     arrays_zip+transform (struct build/destructure measured ~4x slower
     than zip_with on real corpora).
     """
-    toks = tokens(col)
+    return shingles_from(tokens(col), n)
+
+
+def shingles_from(toks: Column, n: int = 2) -> Column:
+    """``shingles`` over an already-tokenized array column — the reuse
+    hook for plans that materialize tokens once (plans/llm_gold.py)."""
     m = F.size(toks) - (n - 1)
     grams = F.slice(toks, 1, m)
     for j in range(1, n):
@@ -142,8 +147,14 @@ def ngram_jaccard_pairs(
     dense_max_vocab: int = 8192,
     dense_max_docs: int = 200_000,
     block_size: int = 1024,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """All doc pairs (a < b) with shingle-set Jaccard >= threshold. Exact.
+
+    ``tokens_col`` names a pre-materialized token-array column; shingles
+    are then built from it directly and ``text_col`` is never re-split —
+    the reuse hook for plans that tokenize the corpus once
+    (plans/llm_gold.py).
 
     Two physical strategies, picked by corpus shape (``strategy='auto'``
     runs a cheap stats job — doc count + distinct-shingle count — first,
@@ -186,28 +197,32 @@ def ngram_jaccard_pairs(
     from BOTH index and verify arrays (approximate, recall-lowering; only
     needed when even verification arrays get hot at extreme corpus scale).
     """
+    sh_expr = (
+        shingles_from(F.col(tokens_col), n) if tokens_col else shingles(text_col, n)
+    )
     if strategy == "auto":
         # Planner-stats probe folded into the artifact the dense path needs
         # anyway: materialize the distinct-shingle vocab once; its count
         # decides the strategy and the cached vocab is reused for the dense
         # bitmap build (no separate sketch pass over the corpus).
-        vocab = (
-            df.select(F.explode(shingles(text_col, n)).alias("s")).distinct().cache()
-        )
+        vocab = df.select(F.explode(sh_expr).alias("s")).distinct().cache()
         n_vocab = vocab.count()
         n_docs = df.count()  # parquet metadata count — no scan
         if n_vocab <= dense_max_vocab and n_docs <= dense_max_docs:
             return _ngram_jaccard_dense(
-                df, text_col, id_col, n, threshold, block_size, vocab=vocab
+                df, text_col, id_col, n, threshold, block_size,
+                vocab=vocab, tokens_col=tokens_col,
             )
         vocab.unpersist()
         strategy = "sparse"
     if strategy == "dense":
-        return _ngram_jaccard_dense(df, text_col, id_col, n, threshold, block_size)
+        return _ngram_jaccard_dense(
+            df, text_col, id_col, n, threshold, block_size, tokens_col=tokens_col
+        )
 
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias("sh"),
+        F.transform(sh_expr, lambda s: F.xxhash64(s)).alias("sh"),
     )
     # the exploded posting list feeds the document-frequency aggregate,
     # the prefix ranking, and (under max_shingle_df) the shingle-set
@@ -269,6 +284,7 @@ def _ngram_jaccard_dense(
     threshold: float,
     block_size: int,
     vocab: DataFrame | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Dense-regime exact Jaccard: blocked binary-matrix multiply.
 
@@ -296,7 +312,10 @@ def _ngram_jaccard_dense(
     n_docs = max(1, df.count())  # parquet metadata count — no scan
     n_blocks = max(1, math.ceil(n_docs / max(1, block_size)))
 
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    sh_expr = (
+        shingles_from(F.col(tokens_col), n) if tokens_col else shingles(text_col, n)
+    )
+    sh = df.select(F.col(id_col).alias("id"), sh_expr.alias("sh"))
     # cached: read twice (vocab build unless pre-supplied + bitmap build),
     # and re-tokenizing/shingling the corpus is the expensive part
     inv = sh.select("id", F.explode("sh").alias("s")).cache()

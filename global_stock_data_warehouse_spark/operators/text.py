@@ -63,24 +63,30 @@ def punct_ratio(col: Column | str) -> Column:
     return F.when(F.length(c) > 0, punct / F.length(c)).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
-    """Fraction of tokens that are in the stopword set."""
-    toks = tokens(col)
+def stopword_ratio(
+    col: Column | str,
+    stopwords: tuple[str, ...] = LANG_MARKERS["en"],
+    toks: Column | None = None,
+) -> Column:
+    """Fraction of tokens that are in the stopword set. ``toks`` lets a
+    caller that already materialized the token array (plans/llm_gold.py)
+    reuse it instead of re-splitting the text."""
+    toks = tokens(col) if toks is None else toks
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, toks: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic: long enough, not punctuation
     soup, has some stopwords (i.e. looks like natural language)."""
     c = F.col(col) if isinstance(col, str) else col
     len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
-    stop_score = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c, toks=toks) * 4.0, F.lit(1.0))
     return F.round((len_score + punct_score + stop_score) / 3.0, 4)
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(col: Column | str, toks: Column | None = None) -> Column:
     """Stopword-hit language classifier: argmax over per-language marker
     hits, 'und' (undetermined) when nothing matches.
 
@@ -88,7 +94,7 @@ def lang_id(col: Column | str) -> Column:
     lexicographically — ties break toward the alphabetically-last code,
     deterministic. Pure expression; no UDF, no shuffle.
     """
-    toks = tokens(col)
+    toks = tokens(col) if toks is None else toks
 
     def marker_filter(markers: tuple[str, ...]):
         # NB: factory, not a default-arg lambda — a 2-ary lambda would make
@@ -190,16 +196,28 @@ def winnow_fingerprints(
     return stage.select(F.col(id_col), F.explode(fp).alias("fingerprint"))
 
 
-def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One row per document with the full stats battery."""
+def text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """One row per document with the full stats battery. ``tokens_col``
+    names a pre-materialized token-array column to reuse for every
+    token-derived stat (a multi-stage plan like llm_gold_pipeline
+    tokenizes the corpus ONCE and feeds each consumer); the char-level
+    stats and the fingerprint still read the raw text."""
+    toks = F.col(tokens_col) if tokens_col else None
     return df.select(
         F.col(id_col),
         char_count(text_col).alias("n_chars_actual"),
-        token_count(text_col).alias("n_tokens"),
+        (F.size(toks) if toks is not None else token_count(text_col)).alias(
+            "n_tokens"
+        ),
         F.round(punct_ratio(text_col), 4).alias("punct_ratio"),
-        F.round(stopword_ratio(text_col), 4).alias("stopword_ratio"),
-        quality_score(text_col).alias("quality"),
-        lang_id(text_col).alias("lang_pred"),
+        F.round(stopword_ratio(text_col, toks=toks), 4).alias("stopword_ratio"),
+        quality_score(text_col, toks=toks).alias("quality"),
+        lang_id(text_col, toks=toks).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
 

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..operators.corpus import decontaminate, leakage_safe_split
 from ..operators.dedup import ngram_jaccard_pairs
-from ..operators.text import text_stats
+from ..operators.text import text_stats, tokens
 
 
 def llm_gold_pipeline(
@@ -53,7 +53,17 @@ def llm_gold_pipeline(
     is a benchmark even if low-quality) defines the contamination gram
     set. Returns one row per surviving train doc:
     (id, n_tokens, lang_pred, quality, group_key, split)."""
-    st = text_stats(docs)
+    # Tokenize the corpus ONCE (r6): text_stats, decontaminate, and the
+    # near-dup shingles each previously re-split the full text — three
+    # identical regexp-tokenize passes over the corpus. The token arrays
+    # are materialized alongside the text in one checkpoint and every
+    # consumer reuses them (tokens_col hooks). At cluster scale this
+    # checkpoint would be a parquet stage dir; the trade is ~2x bytes
+    # held once vs 3x tokenize CPU re-run per consumer.
+    toked = docs.select(
+        F.col(id_col), F.col("text"), tokens("text").alias("_toks")
+    ).localCheckpoint(eager=True)
+    st = text_stats(toked, tokens_col="_toks")
     w = Window.partitionBy("fingerprint").orderBy(id_col)
     clean = (
         st.filter(F.col("quality") >= quality_min)
@@ -62,14 +72,27 @@ def llm_gold_pipeline(
         .select(id_col, "n_tokens", "lang_pred", "quality")
     ).localCheckpoint(eager=True)
     eval_docs = docs.filter(eval_pred)
-    train_docs = docs.join(clean.select(id_col), id_col).filter(~eval_pred)
+    # anti-join instead of filter(~eval_pred): eval_pred may reference
+    # docs columns the narrow toked frame dropped; the eval id set is
+    # tiny, so AQE broadcasts the anti side
+    train_docs = toked.join(clean.select(id_col), id_col).join(
+        eval_docs.select(id_col), id_col, "left_anti"
+    )
     kept_ids = (
-        decontaminate(train_docs, eval_docs, n=decontaminate_n, id_col=id_col)
+        decontaminate(
+            train_docs,
+            eval_docs,
+            n=decontaminate_n,
+            id_col=id_col,
+            train_tokens_col="_toks",
+        )
         .filter(~F.col("contaminated"))
         .select(id_col)
     )
     kept_docs = train_docs.join(kept_ids, id_col).localCheckpoint(eager=True)
-    pairs = ngram_jaccard_pairs(kept_docs, threshold=neardup_threshold)
+    pairs = ngram_jaccard_pairs(
+        kept_docs, threshold=neardup_threshold, tokens_col="_toks"
+    )
     split = leakage_safe_split(kept_docs, pairs, weights=weights, id_col=id_col)
     return clean.join(split, id_col).select(
         id_col, "n_tokens", "lang_pred", "quality", "group_key", "split"
