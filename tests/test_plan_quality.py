@@ -77,12 +77,16 @@ def test_profile_has_no_expand_either_mode(spark, sf_dir):
 
 
 def test_benford_audit_single_fact_scan(spark, sf_dir):
-    """benford_audit scans the fact column exactly once: the grand total
-    is a partition-less window over the joined 9-row digit frame, NOT a
-    second aggregation lineage of the input (the r4 shape re-ran the full
-    scan+agg twice — at 100 TB that's two table scans for one number)."""
+    """benford_audit scans the fact column exactly once: counts and total
+    ride ONE global aggregate (nine conditional sums), the per-digit rows
+    come from exploding literal structs — no second aggregation lineage
+    of the input (the r4 shape re-ran the full scan+agg twice — at
+    100 TB that's two table scans for one number), and since r6 no
+    domain join / window either (the whole tail is post-agg constant
+    work on one row)."""
     plan = _plan(entry.q_benford_audit(spark, sf_dir))
     assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
 
 
 def test_range_join_preaggregates_fact_side(spark):
