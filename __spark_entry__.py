@@ -2954,45 +2954,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     in tools/check_correctness.py) stay OUT of the window: the
     #     driver's hash has no tolerance.
     #
-    # ROUND-5 ROTATION: 30 slots keep the §2 operator-evidence + LLM-op
-    # anchor queries (unchanged). Of the r4 rotated-in set, TWO stay
-    # because their code changed THIS round (risk rule: changed >
-    # stable): benford_audit (single-scan rewrite) and record_linkage
-    # (tripwire armed by default — a new probe job in the query path).
-    # The other 18 slots rotate to never-windowed oracled queries,
-    # risk-ranked per the r4 review: duplicate_spans, waiting_suppliers,
+    # ROUND-6 ROTATION: 30 anchor slots unchanged. Slots 31-50, risk
+    # order per rule 2: (a) changed this round — benford_audit
+    # (conditional-sum rewrite) and llm_gold_pipeline (single-tokenize
+    # plan, ALSO never windowed); (b) the five queries ADDED this round —
+    # the four hash-exact fixed-point twins (autocorrelation_fx,
+    # rolling_beta_fx, source_chi2_drift, unigram_prob_score — closing
+    # the r5 VERDICT's EPS-only evidence gap) and multimodal_features
+    # (the real Arrow media path, closed-form-oracled); (c) the six
+    # remaining r5 additions that never had a driver hash row
+    # (semantic_decontaminate, leakage_safe_split, dedup_keep_best,
+    # source_mix_report, contamination_report, dedup_funnel); (d) seven
+    # from the never-windowed pool (min_cost_supplier,
+    # nation_revenue_share, dormant_rich_customers, hopping_window,
+    # mad_outliers, equi_depth_hist, triangle_count). Rotated OUT to the
+    # mirror-checked section (all held green driver rows in r5, code
+    # unchanged): record_linkage, duplicate_spans, waiting_suppliers,
     # collocations_topk, vocab_growth, ngram_topk_sketch,
-    # latency_percentiles, session_paths, then the TPC-H shapes
-    # (order_priority_exists, forecast_revenue, volume_shipping,
-    # product_profit, returned_top_customers), then further complex
-    # multi-operator plans (cohort_retention, event_transitions,
+    # latency_percentiles, session_paths, order_priority_exists,
+    # forecast_revenue, volume_shipping, product_profit,
+    # returned_top_customers, cohort_retention, event_transitions,
     # attribution_last_touch, rolling_distinct_users, quantile_summary,
-    # gap_fill). The review also named rolling_beta and unigram_logprob,
-    # but both are EPS_QUERIES — rule 4 keeps them out of the hash
-    # window. Rotated OUT to the mirror-checked section:
-    # remove_duplicate_spans, basket_rules, source_overlap, trend_ols,
-    # market_share, scd2_history, cdc_apply, max_concurrency,
-    # tfidf_topterms, bpe_merge_candidates, paragraph_dedup,
-    # decontaminate, pii_scrub, bm25_score, pack_sequences,
-    # keyword_search, gap_fill_linear, rfm_segments — every one stays
-    # oracled and bit-exact-mirrored via tools/check_correctness.py each
-    # round (rule 3).
+    # gap_fill — every one stays oracled and bit-exact-mirrored via
+    # tools/check_correctness.py each round (rule 3).
     #
-    # R6 ROTATION GUIDANCE: the four oracled queries ADDED in r5
-    # (llm_gold_pipeline, semantic_decontaminate, leakage_safe_split,
-    # dedup_keep_best) are the top risk-ranked candidates (new >
-    # stable); after them, continue through the still-never-windowed
-    # oracled set (ngram_topk, quantile_summary already windowed r5;
-    # remaining: rebalance_sample, min_cost_supplier,
-    # nation_revenue_share, dormant_rich_customers, temperature_sample,
-    # split_assign, priority_linestatus, custdist, promo_revenue_share,
+    # R7 ROTATION GUIDANCE: after r6 the never-windowed oracled pool is
+    # rebalance_sample, temperature_sample, split_assign,
+    # priority_linestatus, custdist, promo_revenue_share,
     # top_revenue_supplier, supplier_part_counts, disjunctive_revenue,
-    # dominant_suppliers, hopping_window, mad_outliers, hist_bins,
-    # dense_ids, equi_depth_hist, unpivot_ohlc, longest_up_streak,
-    # salted_flag_totals, vwap_brand, market_breadth,
+    # dominant_suppliers, hist_bins, dense_ids, unpivot_ohlc,
+    # longest_up_streak, salted_flag_totals, vwap_brand, market_breadth,
     # repeat_purchase_rate, price_distribution, class_centroids,
-    # quantize_embeddings, triangle_count, centroid_outliers,
-    # skew_report...). EPS queries stay out (rule 4).
+    # quantize_embeddings, centroid_outliers, skew_report, plus the
+    # mirror-only composites (remove_duplicate_spans, basket_rules,
+    # source_overlap, trend_ols, market_share, scd2_history, cdc_apply,
+    # max_concurrency, tfidf_topterms, bpe_merge_candidates,
+    # paragraph_dedup, decontaminate, pii_scrub, bm25_score,
+    # pack_sequences, keyword_search, gap_fill_linear, rfm_segments,
+    # ...). Lead with whatever changed in r7; EPS queries stay out
+    # (rule 4 — their _fx twins carry the driver-grade evidence now).
     return {
         "wmy_gold_pipeline": q_wmy_gold_pipeline,
         "wmy_weekly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "W"),
@@ -3024,8 +3024,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
-        # --- r5 rotated window slots (31-50) ---
+        # --- r6 rotated window slots (31-50) ---
+        # risk order: changed this round (benford rewrite, llm_gold
+        # tokenize-sharing) > brand-new r6 oracled queries (the four
+        # fixed-point twins + the media path) > the seven r5 additions
+        # that have never had a driver-grade hash row > never-windowed
+        # pool fill (min_cost_supplier .. triangle_count)
         "benford_audit": q_benford_audit,
+        "llm_gold_pipeline": q_llm_gold_pipeline,
+        "autocorrelation_fx": q_autocorrelation_fx,
+        "rolling_beta_fx": q_rolling_beta_fx,
+        "source_chi2_drift": q_source_chi2_drift,
+        "unigram_prob_score": q_unigram_prob_score,
+        "multimodal_features": q_multimodal_features,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "leakage_safe_split": q_leakage_safe_split,
+        "dedup_keep_best": q_dedup_keep_best,
+        "source_mix_report": q_source_mix_report,
+        "contamination_report": q_contamination_report,
+        "dedup_funnel": q_dedup_funnel,
+        "min_cost_supplier": q_min_cost_supplier,
+        "nation_revenue_share": q_nation_revenue_share,
+        "dormant_rich_customers": q_dormant_rich_customers,
+        "hopping_window": q_hopping_window,
+        "mad_outliers": q_mad_outliers,
+        "equi_depth_hist": q_equi_depth_hist,
+        "triangle_count": q_triangle_count,
+        # --- oracled but beyond the driver's 50-row check window; verified
+        # locally via tools/check_correctness.py ---
+        # rotated out r6 (unchanged code, all previously driver-hashed r5)
         "record_linkage": q_record_linkage,
         "duplicate_spans": q_duplicate_spans,
         "waiting_suppliers": q_waiting_suppliers,
@@ -3045,8 +3072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": q_rolling_distinct_users,
         "quantile_summary": q_quantile_summary,
         "gap_fill": q_gap_fill,
-        # --- oracled but beyond the driver's 50-row check window; verified
-        # locally via tools/check_correctness.py ---
         "remove_duplicate_spans": q_remove_duplicate_spans,
         "basket_rules": q_basket_rules,
         "source_overlap": q_source_overlap,
@@ -3059,7 +3084,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
-        "semantic_decontaminate": q_semantic_decontaminate,
         "pii_scrub": q_pii_scrub,
         "bm25_score": q_bm25_score,
         "pack_sequences": q_pack_sequences,
@@ -3089,17 +3113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "rolling_beta": q_rolling_beta,
         "rebalance_sample": q_rebalance_sample,
-        "min_cost_supplier": q_min_cost_supplier,
-        "nation_revenue_share": q_nation_revenue_share,
-        "dormant_rich_customers": q_dormant_rich_customers,
         "temperature_sample": q_temperature_sample,
         "split_assign": q_split_assign,
-        "leakage_safe_split": q_leakage_safe_split,
-        "llm_gold_pipeline": q_llm_gold_pipeline,
-        "dedup_keep_best": q_dedup_keep_best,
-        "source_mix_report": q_source_mix_report,
-        "contamination_report": q_contamination_report,
-        "dedup_funnel": q_dedup_funnel,
         "priority_linestatus": q_priority_linestatus,
         "custdist": q_custdist,
         "promo_revenue_share": q_promo_revenue_share,
@@ -3108,11 +3123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "dominant_suppliers": q_dominant_suppliers,
         "unigram_logprob": q_unigram_logprob,
-        "hopping_window": q_hopping_window,
-        "mad_outliers": q_mad_outliers,
         "hist_bins": q_hist_bins,
         "dense_ids": q_dense_ids,
-        "equi_depth_hist": q_equi_depth_hist,
         "unpivot_ohlc": q_unpivot_ohlc,
         "longest_up_streak": q_longest_up_streak,
         "salted_flag_totals": q_salted_flag_totals,
@@ -3122,19 +3134,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_distribution": q_price_distribution,
         "class_centroids": q_class_centroids,
         "quantize_embeddings": q_quantize_embeddings,
-        "triangle_count": q_triangle_count,
         "centroid_outliers": q_centroid_outliers,
         "skew_report": q_skew_report,
         "source_kl": q_source_kl,
         "autocorrelation": q_autocorrelation,
-        # r6 hash-exact fixed-point twins of the four EPS-only floats —
-        # oracled bit-exact, driver-window-eligible (VERDICT r5 item 3)
-        "autocorrelation_fx": q_autocorrelation_fx,
-        "rolling_beta_fx": q_rolling_beta_fx,
-        "source_chi2_drift": q_source_chi2_drift,
-        "unigram_prob_score": q_unigram_prob_score,
-        # r6: the real Arrow media path (encode->decode->featurize), oracled
-        "multimodal_features": q_multimodal_features,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
