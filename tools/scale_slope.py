@@ -359,6 +359,64 @@ def _ops():
         df = fixture(spark, "docs", s)
         return llm_gold_pipeline(df, eval_pred=F.col("doc_id") % 20 == 0)
 
+    def funnel(spark, s):
+        # dedup_funnel composition: exact dedup -> survivors checkpoint ->
+        # near-dup components -> one summary row (mirrors q_dedup_funnel)
+        from global_stock_data_warehouse_spark.operators.graph import dedup_groups
+
+        df = fixture(spark, "docs", s)
+        groups = dedup.dedup_exact(df)
+        survivors = df.join(
+            groups.select(F.col("keep_id").alias("doc_id")), "doc_id"
+        ).localCheckpoint(eager=True)
+        nd = dedup_groups(dedup.ngram_jaccard_pairs(survivors, threshold=0.2))
+        exact_stats = groups.agg(
+            F.count(F.lit(1)).alias("_groups"),
+            F.sum("n_dups").cast("long").alias("_docs"),
+        )
+        nd_stats = nd.agg(
+            F.coalesce(F.sum(F.col("group_size") - 1), F.lit(0))
+            .cast("long")
+            .alias("_nd_removed")
+        )
+        return exact_stats.crossJoin(F.broadcast(nd_stats))
+
+    def contamination(spark, s):
+        # contamination_report composition: n-gram decontaminate (docs) +
+        # semantic decontaminate (vecs), left-joined per doc (mirrors
+        # q_contamination_report). The eval side is FIXED at the 1x size
+        # (250 docs / 100 vecs): a benchmark suite does not grow with the
+        # training corpus — that is the operators' documented contract
+        # (eval << train, eval broadcast/collected). Growing eval
+        # proportionally instead makes the semantic BLAS pass O(n*eval)
+        # = O(n^2) BY CONSTRUCTION (first measured here at wall exp 1.8,
+        # 100x in 170s) — a workload-shape fact, not a plan defect; the
+        # harness measures the contract shape.
+        df = fixture(spark, "docs", s)
+        emb = fixture(spark, "vecs", s)
+        n_eval_docs, n_eval_vecs = BASE_DOCS // 20, BASE_VECS // 20
+        ng = corpus.decontaminate(
+            df.filter(F.col("doc_id") >= n_eval_docs),
+            df.filter(F.col("doc_id") < n_eval_docs),
+            n=5,
+        )
+        sem = similarity.semantic_decontaminate(
+            emb.filter(F.col("vec_id") >= n_eval_vecs),
+            emb.filter(F.col("vec_id") < n_eval_vecs),
+            threshold=0.3,
+        )
+        ng2 = ng.select(
+            "doc_id", "n_collisions", F.col("contaminated").alias("ngram_c")
+        )
+        sem2 = sem.select("vec_id", F.col("contaminated").alias("sem_c"))
+        return ng2.join(sem2, ng2.doc_id == sem2.vec_id, "left").select(
+            "doc_id",
+            "n_collisions",
+            (F.col("ngram_c") | F.coalesce("sem_c", F.lit(False))).alias(
+                "any_contaminated"
+            ),
+        )
+
     def wmy_gold(spark, s):
         bars = fixture(spark, "bars", s)
         gold, _ = wmy_pipeline(
@@ -414,6 +472,8 @@ def _ops():
         "semantic_dedup": (semdedup, 1.0, "cell count ~ n, cell size constant"),
         "wmy_gold_pipeline": (wmy_gold, 1.0, "one symbol-keyed exchange shared by gates+resamples"),
         "llm_gold_pipeline": (llm_gold, 1.0, "gate+dedup share one scan; eval grams + components broadcast; stage-wise linear"),
+        "dedup_funnel": (funnel, 1.0, "exact groups agg + near-dup components over survivors; summary crossJoin is 1-row broadcast"),
+        "contamination_report": (contamination, 1.0, "broadcast eval grams + map-only BLAS semantic pass; left join keyed on doc id"),
         "stream_windowed_ohlc": (stream_ohlc, 1.0, "availableNow drain; state ~ symbols x open windows"),
         "embedding_neardup_lsh": (emb_neardup, 1.0, "hyperplane buckets, constant dup density"),
         "ann_ivf_topk": (ann_ivf, 1.0, "cell count ~ n, probe fraction constant"),
