@@ -1508,6 +1508,54 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run dedup: today's batch (doc_id % 3 != 0) checked against
+    yesterday's corpus fingerprint store (doc_id % 3 == 0) AND itself in
+    one pass — the continuous-ingestion shape where the standing corpus
+    is never rescanned. Per-doc verdict frame; the batch crosses the
+    wire once (the in-batch window's fp partitioning is reused by the
+    store probe join)."""
+    from global_stock_data_warehouse_spark.operators.dedup import (
+        fingerprint_store,
+        incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    store = fingerprint_store(docs.filter(F.col("doc_id") % 3 == 0))
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return incremental_dedup(batch, store).orderBy("doc_id")
+
+
+def _dsir_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) over the fixtures: target = English docs,
+    raw pool = everything else; score the pool's target-likeness under
+    hashed uni+bigram models."""
+    from global_stock_data_warehouse_spark.operators.corpus import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs.filter(F.col("lang") != "en"),
+        docs.filter(F.col("lang") == "en"),
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DSIR verdict frame: the paper's log importance weight (EPS —
+    ln + float sum order) alongside the hash-exact fixed-point twin."""
+    return _dsir_frame(spark, sf_dir).orderBy("doc_id")
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection, driver-hashable: top-100 most target-like raw docs
+    by the integer fixed-point score (no float in the output)."""
+    return (
+        _dsir_frame(spark, sf_dir)
+        .select("doc_id", "score_fx", "n_grams")
+        .orderBy(F.col("score_fx").desc(), "doc_id")
+        .limit(100)
+    )
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal contamination verdicts: the n-gram (exact overlap) and
     embedding (semantic) decontamination checks joined into ONE per-doc
@@ -3072,6 +3120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": q_rolling_distinct_users,
         "quantile_summary": q_quantile_summary,
         "gap_fill": q_gap_fill,
+        "incremental_dedup": q_incremental_dedup,
+        "dsir_select": q_dsir_select,
         "remove_duplicate_spans": q_remove_duplicate_spans,
         "basket_rules": q_basket_rules,
         "source_overlap": q_source_overlap,
@@ -3138,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "source_kl": q_source_kl,
         "autocorrelation": q_autocorrelation,
+        "dsir_weights": q_dsir_weights,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4372,6 +4423,100 @@ WITH toks AS (
 SELECT span, n_docs, members FROM g
 WHERE n_docs >= 2
 ORDER BY n_docs DESC, span ASC
+LIMIT 100
+""",
+        "incremental_dedup": """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), store AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0
+), batch AS (
+  SELECT doc_id, fp,
+         min(doc_id) OVER (PARTITION BY fp) AS first_in_batch
+  FROM fp WHERE doc_id % 3 != 0
+)
+SELECT b.doc_id, b.fp,
+       s.fp IS NOT NULL AS dup_of_store,
+       b.doc_id != b.first_in_batch AS dup_in_batch,
+       (s.fp IS NULL AND b.doc_id = b.first_in_batch) AS keep
+FROM batch b LEFT JOIN store s USING (fp)
+ORDER BY doc_id
+""",
+        "dsir_weights": """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS g
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+), b AS (
+  SELECT doc_id, lang, ('0x' || substr(md5(g), 1, 8))::UBIGINT % 8192 AS bkt
+  FROM grams
+), ct AS (
+  SELECT bkt, count(*) AS c FROM b WHERE lang = 'en' GROUP BY 1
+), cr AS (
+  SELECT bkt, count(*) AS c FROM b WHERE lang != 'en' GROUP BY 1
+), nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+   nr AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cr),
+model AS (
+  SELECT COALESCE(ct.bkt, cr.bkt) AS bkt,
+         ln((COALESCE(ct.c, 0) + 1) / (nt.n + 8192))
+           - ln((COALESCE(cr.c, 0) + 1) / (nr.n + 8192)) AS llr,
+         CAST(floor(((COALESCE(ct.c, 0) + 1) / (nt.n + 8192)
+                     - (COALESCE(cr.c, 0) + 1) / (nr.n + 8192)) * 1e12 + 0.5)
+              AS BIGINT) AS dfx
+  FROM ct FULL OUTER JOIN cr ON ct.bkt = cr.bkt, nt, nr
+), sc AS (
+  SELECT b.doc_id, sum(m.llr) AS lw,
+         CAST(sum(m.dfx) AS BIGINT) AS sfx, count(*) AS ng
+  FROM b JOIN model m ON b.bkt = m.bkt WHERE b.lang != 'en' GROUP BY 1
+)
+SELECT d.doc_id, round(COALESCE(sc.lw, 0.0), 6) AS logw,
+       COALESCE(sc.sfx, 0) AS score_fx,
+       CAST(COALESCE(sc.ng, 0) AS BIGINT) AS n_grams
+FROM (SELECT doc_id FROM documents WHERE lang != 'en') d
+LEFT JOIN sc USING (doc_id)
+ORDER BY doc_id
+""",
+        "dsir_select": """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS g
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+), b AS (
+  SELECT doc_id, lang, ('0x' || substr(md5(g), 1, 8))::UBIGINT % 8192 AS bkt
+  FROM grams
+), ct AS (
+  SELECT bkt, count(*) AS c FROM b WHERE lang = 'en' GROUP BY 1
+), cr AS (
+  SELECT bkt, count(*) AS c FROM b WHERE lang != 'en' GROUP BY 1
+), nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+   nr AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cr),
+model AS (
+  SELECT COALESCE(ct.bkt, cr.bkt) AS bkt,
+         CAST(floor(((COALESCE(ct.c, 0) + 1) / (nt.n + 8192)
+                     - (COALESCE(cr.c, 0) + 1) / (nr.n + 8192)) * 1e12 + 0.5)
+              AS BIGINT) AS dfx
+  FROM ct FULL OUTER JOIN cr ON ct.bkt = cr.bkt, nt, nr
+), sc AS (
+  SELECT b.doc_id, CAST(sum(m.dfx) AS BIGINT) AS sfx, count(*) AS ng
+  FROM b JOIN model m ON b.bkt = m.bkt WHERE b.lang != 'en' GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(sc.sfx, 0) AS score_fx,
+       CAST(COALESCE(sc.ng, 0) AS BIGINT) AS n_grams
+FROM (SELECT doc_id FROM documents WHERE lang != 'en') d
+LEFT JOIN sc USING (doc_id)
+ORDER BY score_fx DESC, doc_id
 LIMIT 100
 """,
         "remove_duplicate_spans": """

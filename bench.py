@@ -141,6 +141,10 @@ def main() -> None:
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
+    # Diagnostic (stderr only, never the stdout JSON contract): raw
+    # per-sweep seconds, so a regressed median can be split into
+    # "cold on sweep 1 only" vs "slow every sweep" without a re-run.
+    print(json.dumps({"raw_sweeps": runs}), file=sys.stderr)
     # FIELD ORDER IS LOAD-BEARING: the driver's capture truncates the TAIL
     # of this line, so `queries` (per-query SECONDS — the adjudication
     # metric) must be the LAST dict. Round 5 serialized shuffle_mb after

@@ -1259,3 +1259,122 @@ def unigram_prob_score(
         )
         .orderBy(id_col)
     )
+
+
+def _hashed_gram_buckets(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) row per unigram+bigram instance — the hashed n-gram
+    bag-of-features of DSIR (Xie et al., NeurIPS 2023). md5-derived
+    buckets, not xxhash64, so any engine reproduces the feature map."""
+    toks = tokens(text_col)
+    grams = F.concat(toks, word_ngrams(toks, 2))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_g").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+    return df.select(F.col(id_col), F.explode(grams).alias("_g")).select(
+        F.col(id_col), bucket.alias("_bkt")
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    sample_k: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): score every doc in
+    the ``raw`` pool by how target-like its hashed n-gram features are,
+    for importance resampling of pretraining data toward a high-quality
+    ``target`` sample. Two scores per doc, one plan:
+
+    - ``logw`` — the paper's log importance weight
+      ``sum_grams [ln p_target(b) - ln p_raw(b)]`` under add-one-smoothed
+      hashed-bigram unigram models (transcendental => engine-EPS only);
+    - ``score_fx`` — hash-exact linear twin: the same per-bucket evidence
+      as a probability DIFFERENCE ``p_target(b) - p_raw(b)`` quantized to
+      a 1e-12 grid and summed as BIGINT. Monotone in the same
+      target-likeness direction (same sign per bucket; argsort agrees
+      with logw's at the resolution selection cares about), zero libm —
+      the driver-hashable evidence row for this operator.
+
+    Scale plan: both model fits are ONE groupBy(bucket) each (B<<n rows
+    out); the bucket table (B rows: llr + fx deltas) broadcasts back over
+    the raw gram stream, which is RE-DERIVED map-side rather than
+    checkpointed (tokens x corpus rows are the one frame you never want
+    on disk at 100 TB); per-doc reduce is the only corpus-sized shuffle.
+    Empty docs keep weight 0 (left join back to the pool — total
+    function). Per-row |fx| <= 1e12 and docs are bounded (~1e5 grams), so
+    the BIGINT doc sum has 1e6x headroom regardless of corpus size.
+
+    ``sample_k``: Gumbel-top-k importance RESAMPLING (the paper's final
+    step) with deterministic engine-portable noise — uniforms from
+    md5(id, seed), g = -ln(-ln(u)), take the k largest ``logw + g``.
+    Seeded reproducibility without ``rand()``'s engine/partition
+    nondeterminism.
+    """
+    tb = (
+        _hashed_gram_buckets(target, text_col, id_col, n_buckets)
+        .groupBy("_bkt").agg(F.count(F.lit(1)).alias("_ct"))
+    )
+    rb = (
+        _hashed_gram_buckets(raw, text_col, id_col, n_buckets)
+        .groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cr"))
+    )
+    nt = tb.agg(F.sum("_ct").alias("_nt"))
+    nr = rb.agg(F.sum("_cr").alias("_nr"))
+    pt = (F.coalesce(F.col("_ct"), F.lit(0)) + 1) / (F.col("_nt") + F.lit(n_buckets))
+    pr = (F.coalesce(F.col("_cr"), F.lit(0)) + 1) / (F.col("_nr") + F.lit(n_buckets))
+    model = (
+        tb.join(rb, "_bkt", "full_outer")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "_bkt",
+            (F.log(pt) - F.log(pr)).alias("_llr"),
+            _fx_floor(pt - pr, 1e12).alias("_dfx"),
+        )
+    )
+    scores = (
+        _hashed_gram_buckets(raw, text_col, id_col, n_buckets)
+        .join(F.broadcast(model), "_bkt")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_llr").alias("_logw"),
+            F.sum("_dfx").alias("_sfx"),
+            F.count(F.lit(1)).alias("_ng"),
+        )
+    )
+    out = (
+        raw.select(id_col)
+        .join(scores, id_col, "left")
+        .select(
+            id_col,
+            F.round(F.coalesce(F.col("_logw"), F.lit(0.0)), 6).alias("logw"),
+            F.coalesce(F.col("_sfx"), F.lit(0)).cast("long").alias("score_fx"),
+            F.coalesce(F.col("_ng"), F.lit(0)).cast("long").alias("n_grams"),
+        )
+    )
+    if sample_k is None:
+        return out
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed))).cast("binary")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(2**32))
+    gumbel = -F.log(-F.log(u))
+    return (
+        out.withColumn("_key", F.col("logw") + gumbel)
+        .orderBy(F.col("_key").desc(), F.col(id_col))
+        .limit(sample_k)
+        .drop("_key")
+    )

@@ -988,3 +988,73 @@ def record_linkage(
     return left.join(right, cond).select(
         "id_a", "id_b", "name_a", "name_b", dist.alias("distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-run) dedup against a fingerprint store
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_store(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build (or rebuild) the corpus fingerprint ledger: one row per
+    distinct exact fingerprint with its canonical first keeper and
+    multiplicity. Persist this small-per-byte frame (parquet, bucketed by
+    ``fp``) between ingestion runs — it is the state that makes dedup
+    *incremental*: day N+1 only ever joins its new batch against the
+    ledger, never rescans the 100 TB corpus.
+
+    Refresh after a batch is admitted by unioning the batch's kept
+    fingerprints and re-aggregating (or, on a Delta-capable cluster,
+    MERGE-ing new fps in — same contract as
+    :func:`gsdw.operators.upsert.upsert_keyed`)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("first_id"), F.count(F.lit(1)).alias("n_seen"))
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-dedup a NEW ingestion batch against (a) an existing corpus
+    fingerprint store and (b) itself, in one pass — the continuous-crawl
+    shape of corpus building: yesterday's 100 TB is never rescanned, only
+    the day's batch moves.
+
+    Returns one verdict row per batch doc: ``(id_col, fp, dup_of_store,
+    dup_in_batch, keep)`` where ``keep`` = not already in the store AND
+    the min-id winner of its in-batch fingerprint group. Total function:
+    every batch doc gets a verdict, so the caller can route keeps to the
+    corpus, dups to an audit sink, and feed ``keep`` rows back into
+    :func:`fingerprint_store`.
+
+    Scale plan: the batch fingerprints once (map-only md5), the in-batch
+    winner is a partition-wise window ``min`` over ``fp`` (one shuffle),
+    and the store probe is a left join on the SAME key — Spark reuses the
+    window's hash partitioning for the join's batch side, so the batch
+    crosses the wire once no matter how many checks run. The store side
+    shuffles only if it is not already bucketed by ``fp``; bucket the
+    persisted ledger to make the daily probe a zero-shuffle-store join.
+    Never broadcast the store (it grows with the corpus); AQE may
+    broadcast the BATCH side when the day is small — the right call.
+    """
+    fp = batch.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    first = F.min(id_col).over(Window.partitionBy("fp"))
+    verdicts = fp.withColumn("first_in_batch", first)
+    hit = store.select(F.col("fp"), F.lit(True).alias("_in_store"))
+    joined = verdicts.join(hit, "fp", "left")
+    dup_store = F.coalesce(F.col("_in_store"), F.lit(False))
+    dup_batch = F.col(id_col) != F.col("first_in_batch")
+    return joined.select(
+        F.col(id_col),
+        F.col("fp"),
+        dup_store.alias("dup_of_store"),
+        dup_batch.alias("dup_in_batch"),
+        (~dup_store & ~dup_batch).alias("keep"),
+    )

@@ -455,6 +455,18 @@ def _ops():
             df, threshold=0.95, n_cells=max(8, (BASE_VECS * s) // 2000)
         )
 
+    def inc_dedup(spark, s):
+        df = fixture(spark, "docs", s)
+        store = dedup.fingerprint_store(df.filter(F.col("doc_id") % 3 == 0))
+        return dedup.incremental_dedup(df.filter(F.col("doc_id") % 3 != 0), store)
+
+    def dsir(spark, s):
+        df = fixture(spark, "docs", s)
+        # the DSIR shape: target sample stays FIXED SIZE while the raw
+        # pool grows — the model fit must stay O(pool), never O(pool^2)
+        target = df.filter(F.col("doc_id") < BASE_DOCS // 10)
+        return corpus.dsir_weights(df.filter(F.col("doc_id") % 7 != 0), target)
+
     # (runner, expected exponent, what the expectation comes from)
     return {
         "ngram_jaccard_neardup": (ngram_jaccard, 1.0, "PPJoin prefix blocks, constant df/token"),
@@ -476,6 +488,8 @@ def _ops():
         "contamination_report": (contamination, 1.0, "broadcast eval grams + map-only BLAS semantic pass; left join keyed on doc id"),
         "stream_windowed_ohlc": (stream_ohlc, 1.0, "availableNow drain; state ~ symbols x open windows"),
         "embedding_neardup_lsh": (emb_neardup, 1.0, "hyperplane buckets, constant dup density"),
+        "incremental_dedup": (inc_dedup, 1.0, "md5 fp window + store probe share one hash partitioning"),
+        "dsir_select": (dsir, 1.0, "two B-row bucket aggs + broadcast model over re-derived gram stream"),
         "ann_ivf_topk": (ann_ivf, 1.0, "cell count ~ n, probe fraction constant"),
     }
 
