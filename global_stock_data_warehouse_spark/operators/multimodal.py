@@ -78,35 +78,47 @@ def extract_features(
     PPM images and PCM16 WAV audio and raises on formats needing external
     codecs. The returned array is mean-pooled into ``feature_dim`` buckets
     as a stand-in feature vector, preserving the pipeline shape end-to-end.
+
+    Memory contract: decoded arrays are held for at most
+    ``target_rows_per_batch`` rows at a time — the kernel slices each
+    incoming Arrow batch and yields per slice, so decode memory is
+    bounded NO MATTER what the session's Arrow batch size is. The
+    *encoded* payload batch is bounded upstream by the source's split
+    bytes (``binaryFile`` honors ``spark.sql.files.maxPartitionBytes``),
+    which is the right control at 100 TB. An operator must never reach
+    for ``spark.conf.set`` to get this: session conf is shared state,
+    and rewriting ``arrow.maxRecordsPerBatch`` here would silently
+    degrade EVERY later Arrow exchange in the session (measured: a
+    64-row session cap made unrelated pandas-UDF queries ~5x slower).
     """
     decode_fn = decode or default_decode
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if pdf.empty:
-                continue
-            feats, nbytes = [], []
-            for payload, mtype in zip(pdf[payload_col], pdf[type_col]):
-                raw = bytes(payload) if payload is not None else b""
-                nbytes.append(len(raw))
-                decoded = decode_fn(raw, mtype)
-                flat = np.asarray(decoded, dtype=np.float64).ravel()
-                if flat.size == 0:
-                    feats.append(np.zeros(feature_dim, dtype=np.float32))
-                    continue
-                pad = (-flat.size) % feature_dim
-                pooled = np.pad(flat, (0, pad)).reshape(feature_dim, -1).mean(axis=1)
-                feats.append(pooled.astype(np.float32))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    type_col: pdf[type_col].to_numpy(),
-                    "n_bytes": np.asarray(nbytes, dtype=np.int64),
-                    "feature": feats,
-                }
-            )
+            for lo in range(0, len(pdf), target_rows_per_batch):
+                chunk = pdf.iloc[lo : lo + target_rows_per_batch]
+                feats, nbytes = [], []
+                for payload, mtype in zip(chunk[payload_col], chunk[type_col]):
+                    raw = bytes(payload) if payload is not None else b""
+                    nbytes.append(len(raw))
+                    decoded = decode_fn(raw, mtype)
+                    flat = np.asarray(decoded, dtype=np.float64).ravel()
+                    if flat.size == 0:
+                        feats.append(np.zeros(feature_dim, dtype=np.float32))
+                        continue
+                    pad = (-flat.size) % feature_dim
+                    pooled = (
+                        np.pad(flat, (0, pad)).reshape(feature_dim, -1).mean(axis=1)
+                    )
+                    feats.append(pooled.astype(np.float32))
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].to_numpy(),
+                        type_col: chunk[type_col].to_numpy(),
+                        "n_bytes": np.asarray(nbytes, dtype=np.int64),
+                        "feature": feats,
+                    }
+                )
 
     return df.select(id_col, type_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)
 

@@ -271,3 +271,22 @@ def test_synth_media_fixture_roundtrip_closed_form(spark):
     s = (7 * 7 + j * 13) % 4096 - 2048
     rms = np.sqrt(((s / 32768.0) ** 2).mean())
     assert feats[7][0] == np.float32(rms)
+
+
+def test_extract_features_never_mutates_session_conf(spark):
+    """Regression: extract_features once set the session-wide Arrow
+    maxRecordsPerBatch to its tiny media batch size and never restored
+    it, silently making every LATER pandas-UDF query in the session ~5x
+    slower (64-row Arrow batches). Memory bounding must happen inside
+    the kernel (per-slice decode), never via shared session state."""
+    from global_stock_data_warehouse_spark.operators.multimodal import (
+        extract_features_typed,
+        synth_media_fixture,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key)
+    ids = spark.range(10).withColumnRenamed("id", "doc_id")
+    out = extract_features_typed(synth_media_fixture(ids), target_rows_per_batch=3)
+    assert out.count() == 10  # 3-row slices reassemble the full frame
+    assert spark.conf.get(key) == before
