@@ -3026,8 +3026,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gap_fill — every one stays oracled and bit-exact-mirrored via
     # tools/check_correctness.py each round (rule 3).
     #
-    # R7 ROTATION GUIDANCE: after r6 the never-windowed oracled pool is
-    # rebalance_sample, temperature_sample, split_assign,
+    # R7 ROTATION GUIDANCE: lead with the three queries ADDED LATE in r6
+    # that have never had a driver hash row — incremental_dedup,
+    # dsir_select (hash-exact; dsir_weights stays out as EPS per rule 4)
+    # — plus anything changed in r7. After r6 the never-windowed oracled
+    # pool is rebalance_sample, temperature_sample, split_assign,
     # priority_linestatus, custdist, promo_revenue_share,
     # top_revenue_supplier, supplier_part_counts, disjunctive_revenue,
     # dominant_suppliers, hist_bins, dense_ids, unpivot_ohlc,
