@@ -1793,6 +1793,48 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_kmv(_t(spark, sf_dir, "documents"), k=128)
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed BPE training (Sennrich et al. 2016) over the
+    corpus: 16 merge rounds on the word-frequency table (corpus touched
+    once; each round = one vocab-sized pair agg + a map-only array-fold
+    merge). Deterministic (count-then-lexicographic tiebreak) but
+    iterative/driver-looped -> rows-only; the merge sequence is
+    equivalence-tested against an independent reference trainer in
+    tests/test_bpe.py."""
+    from global_stock_data_warehouse_spark.operators.corpus import bpe_train
+
+    merges, _ = bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=16, max_words=5000
+    )
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        ["rank", "left", "right", "merged"],
+    )
+
+
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-tokenize round trip: encode every doc with the learned
+    merges (zero-shuffle Arrow pass, rank-priority merging, per-batch word
+    memoization) and report per-doc BPE token count vs whitespace word
+    count. Rows-only (the merge list comes from the iterative trainer);
+    encoder≡in-order-replay is tested in tests/test_bpe.py."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        bpe_encode,
+        bpe_train,
+    )
+    from global_stock_data_warehouse_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=16, max_words=5000)
+    words = docs.select("doc_id", token_count("text").alias("n_words"))
+    return (
+        bpe_encode(docs, merges)
+        .select("doc_id", "n_tokens")
+        .join(words, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostic for lineitem keyed on l_suppkey: key
     concentration stats as one row (the pre-flight check before keying a
@@ -3206,6 +3248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "pagerank": q_pagerank,
         "source_overlap_kmv": q_source_overlap_kmv,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_encode_stats": q_bpe_encode_stats,
     }
 
 

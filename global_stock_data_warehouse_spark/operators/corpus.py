@@ -1378,3 +1378,250 @@ def dsir_weights(
         .limit(sample_k)
         .drop("_key")
     )
+
+
+def _bpe_train_driver(
+    counts: dict[str, int], n_merges: int, min_count: int
+) -> tuple[list[tuple[str, str]], dict[str, list[str]]]:
+    """Driver-side BPE merge loop over a collected word-count table —
+    identical tiebreaks (count desc, then lexicographic pair) to the
+    distributed loop, so both paths learn the same vocabulary
+    (equivalence-tested in tests/test_bpe.py)."""
+    segs = {w: list(w) + ["</w>"] for w in counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, sym in segs.items():
+            c = counts[w]
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        (a, b), n = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((a, b))
+        for w, sym in segs.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+def _merge_pair_expr(sym: Column, a: str, b: str) -> Column:
+    """Apply ONE BPE merge (a, b) -> a+b to a symbol array as a pure
+    array-expression fold — left-to-right, non-overlapping, exactly the
+    Sennrich et al. (2016) single-round replace. No UDF: the fold is one
+    ``aggregate`` over the array, JVM-side. A just-merged symbol can never
+    re-match as the pair's left element in the same round (that would
+    need b = '' — impossible), so the fold is equivalent to the
+    reference's scan-and-skip."""
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 100,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_words: int | None = None,
+    checkpoint_every: int = 8,
+    driver_max_vocab: int | None = 200_000,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Distributed BPE training (Sennrich et al. 2016): learn ``n_merges``
+    merge rules over the corpus. Returns ``(merges, vocab_df)`` — the
+    ordered merge list and the final word-vocabulary frame
+    ``(word, wcount, sym)`` with each word's learned segmentation.
+
+    Scale design — the property that makes BPE trainable at 100 TB: the
+    corpus is touched ONCE (the word-frequency aggregation, corpus-sized
+    shuffle with map-side partials); every merge round then runs on the
+    WORD VOCABULARY (|vocab| << corpus by Zipf/Heaps), as (1) an
+    adjacent-pair count over segmentation arrays weighted by word count
+    (vocab-sized shuffle, B-row-out agg) and (2) a map-only array-fold
+    applying the winning pair (``_merge_pair_expr`` — no UDF). The loop
+    is a driver loop like ``pagerank``'s: one top-1 collect per round (a
+    single row), ``localCheckpoint`` every ``checkpoint_every`` rounds so
+    lineage stays bounded. ``max_words`` caps training to the top-K words
+    by frequency — the standard sampling lever when even the vocab is
+    huge; coverage loss is limited to tail words, which BPE falls back to
+    character pieces for anyway.
+
+    Ties break deterministically: highest count, then lexicographically
+    smallest (left, right) — every engine and every run learns the same
+    vocabulary. Stops early when the best pair's count < ``min_count``
+    (merging singletons just memorizes words).
+
+    Word segmentation convention: characters plus a final ``</w>``
+    end-of-word symbol (merges may absorb it, learning whole-word and
+    suffix tokens). ``bpe_encode`` mirrors the convention.
+
+    Physical dispatch (the ``pagerank``/``k_core`` pattern): when the
+    word vocabulary fits comfortably on the driver
+    (``driver_max_vocab``, default 200k words — a few MB), the merge
+    rounds run as a plain in-memory loop over the collected
+    ``(word, count)`` table — same tiebreaks, bit-identical merge
+    sequence (equivalence-tested), and no per-round job overhead. The
+    distributed loop is the >200k-vocab path a 100 TB corpus needs.
+    Either way the CORPUS is only ever touched by the one word-count
+    aggregation.
+    """
+    word_counts = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    if max_words is not None:
+        word_counts = word_counts.orderBy(
+            F.col("wcount").desc(), F.col("word").asc()
+        ).limit(max_words)
+
+    spark = df.sparkSession
+    if driver_max_vocab is not None:
+        word_counts = word_counts.localCheckpoint(eager=True)
+        if word_counts.count() <= driver_max_vocab:
+            rows = word_counts.collect()
+            merges, segs = _bpe_train_driver(
+                {r["word"]: r["wcount"] for r in rows}, n_merges, min_count
+            )
+            vocab_out = spark.createDataFrame(
+                [(w, c, segs[w]) for w, c in ((r["word"], r["wcount"]) for r in rows)],
+                "word string, wcount long, sym array<string>",
+            )
+            return merges, vocab_out
+
+    vocab = word_counts.withColumn(
+        "sym", F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>")))
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for r in range(n_merges):
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("sym"), 1, F.size("sym") - 1),
+                    F.slice(F.col("sym"), 2, F.size("sym") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+            "wcount",
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("wcount").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.a").asc(), F.col("p.b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < min_count:
+            break
+        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
+        merges.append((a, b))
+        vocab = vocab.withColumn("sym", _merge_pair_expr(F.col("sym"), a, b))
+        if (r + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a trained BPE merge list: per word, merge
+    the lowest-RANK adjacent pair repeatedly until none applies (the
+    standard rank-priority formulation — provably equivalent to replaying
+    merges in training order, and what lets a word be encoded in
+    O(len * log len)-ish instead of O(len * n_merges); the equivalence is
+    asserted against an in-order reference in tests).
+
+    Scale plan: merge ranks broadcast in the task closure (a merge table
+    is tiny — 50k rules ~ 1 MB), ONE Arrow-batched map-only pass, zero
+    shuffle; per-batch word memoization exploits Zipf (most words repeat,
+    each distinct word is encoded once per batch). Output
+    ``(id_col, tokens array<string>, n_tokens)``.
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("tokens", ArrayType(StringType())),
+            StructField("n_tokens", LongType()),
+        ]
+    )
+
+    def encode_word(word: str) -> list[str]:
+        sym = list(word) + ["</w>"]
+        while len(sym) >= 2:
+            best_rank, best_i = None, -1
+            for i in range(len(sym) - 1):
+                rk = ranks.get((sym[i], sym[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank, best_i = rk, i
+            if best_rank is None:
+                break
+            a, b = merges[best_rank]
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    def run(batches: "_Iterator[pd.DataFrame]") -> "_Iterator[pd.DataFrame]":
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, toks_col, counts = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [
+                    w
+                    for w in _re.split(r"\s+", str(text or "").strip().lower())
+                    if w
+                ]
+                toks: list[str] = []
+                for w in words:
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = memo[w] = encode_word(w)
+                    toks.extend(enc)
+                ids.append(did)
+                toks_col.append(toks)
+                counts.append(len(toks))
+            yield pd.DataFrame(
+                {id_col: ids, "tokens": toks_col, "n_tokens": counts}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
