@@ -1808,7 +1808,7 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.createDataFrame(
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
-        ["rank", "left", "right", "merged"],
+        "rank int, left string, right string, merged string",
     )
 
 
@@ -2982,6 +2982,29 @@ def q_unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_prob_score(_t(spark, sf_dir, "documents"), vocab_size=16)
 
 
+def q_token_vote_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact source classifier (r6): every in-vocab token votes the
+    add-one-smoothed class posterior (c_tc+1)/(c_t+C) — exact rational,
+    1e-12 fixed-point — and the per-doc argmax (score desc, label asc
+    tiebreak) is a BIGINT comparison, so even the PREDICTED LABEL is
+    driver-hash-safe. vocab_size=64 over the 20 synthetic sources."""
+    from global_stock_data_warehouse_spark.operators.classify import (
+        token_vote_classify,
+    )
+
+    return token_vote_classify(_t(spark, sf_dir, "documents"), vocab_size=64)
+
+
+def q_nb_self_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial-NB per-doc log-likelihood at the doc's own label
+    (add-one smoothing, top-64 vocab + OOV bucket, class prior): the
+    textbook companion to q_token_vote_classify's hash-exact argmax.
+    EPS-compared (ln is libm territory), like unigram_logprob."""
+    from global_stock_data_warehouse_spark.operators.classify import nb_self_loglik
+
+    return nb_self_loglik(_t(spark, sf_dir, "documents"), vocab_size=64)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media path, driver-oracled (r6, VERDICT r5 item 5): synthesize
     deterministic PPM images / PCM16 WAV clips from doc ids
@@ -3234,6 +3257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl": q_source_kl,
         "autocorrelation": q_autocorrelation,
         "dsir_weights": q_dsir_weights,
+        "token_vote_classify": q_token_vote_classify,
+        "nb_self_loglik": q_nb_self_loglik,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4772,6 +4797,89 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN vocab v ON t.tok = v.tok, tot
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+""",
+        "token_vote_classify": """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x != '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok
+                   ORDER BY c DESC, tok ASC LIMIT 64)
+), vtoks AS (
+  SELECT t.doc_id, t.source, t.tok FROM toks t JOIN vocab v USING (tok)
+), ctc AS (
+  SELECT tok, source, count(*) AS ctc FROM vtoks GROUP BY tok, source
+), ct AS (
+  SELECT tok, CAST(sum(ctc) AS BIGINT) AS ct FROM ctc GROUP BY tok
+), classes AS (
+  SELECT DISTINCT source AS cls FROM vtoks
+), ncls AS (
+  SELECT count(*) AS n_cls FROM classes
+), votes AS (
+  SELECT ct.tok, c.cls,
+         CAST(floor((coalesce(x.ctc, 0) + 1) / (ct.ct + n.n_cls) * 1e12 + 0.5)
+              AS BIGINT) AS vote_fx
+  FROM ct CROSS JOIN classes c
+  LEFT JOIN ctc x ON x.tok = ct.tok AND x.source = c.cls
+  CROSS JOIN ncls n
+), scores AS (
+  SELECT t.doc_id, v.cls,
+         CAST(sum(v.vote_fx) AS BIGINT) AS score_fx,
+         count(*) AS n_scored
+  FROM vtoks t JOIN votes v ON t.tok = v.tok
+  GROUP BY t.doc_id, v.cls
+), best AS (
+  SELECT doc_id, cls, score_fx, n_scored,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_fx DESC, cls ASC) AS rn
+  FROM scores
+)
+SELECT d.doc_id, d.source,
+       b.cls AS pred_source, b.score_fx,
+       CAST(coalesce(b.n_scored, 0) AS BIGINT) AS n_scored,
+       b.cls = d.source AS is_correct
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY d.doc_id
+""",
+        "nb_self_loglik": """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x != '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok
+                   ORDER BY c DESC, tok ASC LIMIT 64)
+), vtoks AS (
+  SELECT t.doc_id, t.source, t.tok FROM toks t JOIN vocab v USING (tok)
+), ctc AS (
+  SELECT tok, source, count(*) AS ctc FROM vtoks GROUP BY tok, source
+), cls AS (
+  SELECT source, count(*) AS n_c FROM vtoks GROUP BY source
+), priors AS (
+  SELECT source, count(*) AS n_docs_c FROM documents GROUP BY source
+), alldocs AS (
+  SELECT count(*) AS n_docs_all FROM documents
+), tok_ll AS (
+  SELECT t.doc_id, t.source, count(*) AS n_tokens,
+         sum(ln((coalesce(c.ctc, 0) + 1) / (coalesce(k.n_c, 0) + 65)))
+           AS ll_toks
+  FROM toks t
+  LEFT JOIN ctc c ON c.tok = t.tok AND c.source = t.source
+  LEFT JOIN cls k ON k.source = t.source
+  GROUP BY t.doc_id, t.source
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(l.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(ln(p.n_docs_c / a.n_docs_all) + coalesce(l.ll_toks, 0.0), 4)
+         AS loglik
+FROM documents d
+LEFT JOIN tok_ll l ON l.doc_id = d.doc_id
+JOIN priors p ON p.source = d.source
+CROSS JOIN alldocs a
+ORDER BY d.doc_id
 """,
         "source_kl": """
 WITH counts AS (

@@ -29,6 +29,8 @@ def test_oracle_keys_subset_of_queries():
         "ann_projected_topk",
         "k_core",
         "source_overlap_kmv",
+        "bpe_vocab",
+        "bpe_encode_stats",
     }
     assert qs - oracles <= approx_ok, f"missing oracles: {qs - oracles - approx_ok}"
 

@@ -34,7 +34,7 @@ EXACT = os.environ.get("CHECK_EXACT", "0") == "1"
 # data. These queries live OUTSIDE the driver's hash window by design;
 # compare their float cells with a one-last-digit epsilon instead of
 # bit equality so the local mirror isn't flaky.
-EPS_QUERIES = {"rolling_beta": 2e-4, "unigram_logprob": 2e-4, "source_kl": 2e-4, "autocorrelation": 2e-4, "dsir_weights": 2e-4}
+EPS_QUERIES = {"rolling_beta": 2e-4, "unigram_logprob": 2e-4, "source_kl": 2e-4, "autocorrelation": 2e-4, "dsir_weights": 2e-4, "nb_self_loglik": 2e-4}
 
 
 def _norm_cell(v):
