@@ -2982,6 +2982,18 @@ def q_unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_prob_score(_t(spark, sf_dir, "documents"), vocab_size=16)
 
 
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-0 training-order shuffle (r6): md5(seed:id)
+    assigns every doc a shard and in-shard position — one shard-keyed
+    shuffle + within-shard sort, no global ordering materialized. Pure
+    function of (seed, id) -> bit-exact across engines and re-runs."""
+    from global_stock_data_warehouse_spark.operators.corpus import shard_shuffle
+
+    return shard_shuffle(
+        _t(spark, sf_dir, "documents"), n_shards=8, seed=42
+    ).orderBy("shard", "pos")
+
+
 def q_token_vote_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-exact source classifier (r6): every in-vocab token votes the
     add-one-smoothed class posterior (c_tc+1)/(c_t+C) — exact rational,
@@ -3259,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "token_vote_classify": q_token_vote_classify,
         "nb_self_loglik": q_nb_self_loglik,
+        "shard_shuffle": q_shard_shuffle,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4797,6 +4810,19 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN vocab v ON t.tok = v.tok, tot
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+""",
+        "shard_shuffle": """
+WITH keyed AS (
+  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(k, 1, 8))::UBIGINT % 8 AS BIGINT) AS shard,
+       row_number() OVER (
+         PARTITION BY ('0x' || substr(k, 1, 8))::UBIGINT % 8
+         ORDER BY k ASC, doc_id ASC) AS pos
+FROM keyed
+ORDER BY shard, pos
 """,
         "token_vote_classify": """
 WITH toks AS (

@@ -440,6 +440,43 @@ def with_split(
     return df.withColumn(out_col, expr)
 
 
+def shard_shuffle(
+    df: DataFrame,
+    n_shards: int = 1024,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every doc a
+    shard and an in-shard position from ``md5(seed:id)`` — the
+    write-a-shuffled-corpus step every epoch-0 training run needs, done
+    without ``rand()`` (re-runs, backfills, and other engines produce
+    the identical order; a seed change is a fresh permutation).
+
+    Output ``(id, shard, pos)``. At scale this is ONE hash shuffle on
+    ``shard`` plus a within-shard sort — never a global sort: position
+    is ``row_number`` partitioned by shard, and writing the result is
+    ``repartition(shard).sortWithinPartitions(pos)`` with no total
+    ordering materialized anywhere. md5 ties (never observed, but
+    adversarial inputs exist) break by id, keeping the permutation
+    total and deterministic."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")).cast(
+            "binary"
+        )
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy(F.col("_key").asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), shard, key.alias("_key"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_key")
+    )
+
+
 def source_mix_report(
     df: DataFrame,
     token_budget: int,

@@ -651,3 +651,36 @@ def test_source_mix_report(spark):
     assert abs(out["web"].effective_epochs - 10.0) < 1e-6
     assert abs(out["books"].effective_epochs - 10.0) < 1e-6
     assert out["empty"].n_tokens == 0 and out["empty"].effective_epochs == 0.0
+
+
+def test_shard_shuffle_is_a_deterministic_permutation(spark):
+    """(shard, pos) is a partition of the input into dense 1..n_s runs,
+    identical under repartitioning, and a seed change permutes it."""
+    from global_stock_data_warehouse_spark.operators.corpus import shard_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = shard_shuffle(df, n_shards=4, seed=7).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(200))
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = shard_shuffle(df.repartition(7), n_shards=4, seed=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    reseeded = shard_shuffle(df, n_shards=4, seed=8).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, reseeded))
+    # the shuffle actually shuffles: within some shard, order != id order
+    ids_in_pos_order = [
+        r["doc_id"] for r in sorted(out, key=lambda r: (r["shard"], r["pos"]))
+    ]
+    assert ids_in_pos_order != sorted(ids_in_pos_order)
+
+
+def test_shard_shuffle_rejects_bad_shard_count(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import shard_shuffle
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        shard_shuffle(df, n_shards=0)
