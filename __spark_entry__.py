@@ -2982,6 +2982,20 @@ def q_unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_prob_score(_t(spark, sf_dir, "documents"), vocab_size=16)
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-corpus spherical k-means (Lloyd) assignments (r6): every
+    vector labeled, not just a sample-trained quantizer. Deterministic
+    (hash-ordered seeds, fixed-point int64 centroid accumulation,
+    first-max argmax ties) but iterative -> rows-only; the distributed
+    rounds are bit-equivalence-tested against the driver loop in
+    tests/test_kmeans.py."""
+    from global_stock_data_warehouse_spark.operators.similarity import kmeans
+
+    return kmeans(
+        _t(spark, sf_dir, "embeddings"), k=8, n_iter=10
+    ).orderBy("vec_id")
+
+
 def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-0 training-order shuffle (r6): md5(seed:id)
     assigns every doc a shard and in-shard position — one shard-keyed
@@ -3288,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_kmv": q_source_overlap_kmv,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode_stats": q_bpe_encode_stats,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 

@@ -1177,3 +1177,146 @@ def random_projection(
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}{keep_schema}, {vec_col} array<float>"
     return _vecs(df, vec_col).select(id_col, *keep_cols, vec_col).mapInPandas(project, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# full-corpus k-means (Lloyd), deterministic
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_step(
+    sums_fx: np.ndarray, counts: np.ndarray, prev: np.ndarray, scale: float
+) -> np.ndarray:
+    """New centroids from integer partial sums: (sum/scale)/n, renormalize;
+    empty clusters keep their previous centroid. Identical on the driver
+    and distributed paths by construction (the sums are order-independent
+    int64s; everything after is one numpy expression on the driver)."""
+    cents = prev.copy()
+    nz = counts > 0
+    cents[nz] = (sums_fx[nz] / scale) / counts[nz, None]
+    return _normalize(cents)
+
+
+def kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+    driver_max_rows: int | None = 200_000,
+) -> DataFrame:
+    """FULL-corpus spherical k-means (Lloyd) -> ``(id, cluster)``. Unlike
+    ``train_centroids`` (the FAISS-style coarse quantizer trained on a
+    bounded sample), this clusters EVERY vector — the data-map /
+    cluster-balanced-sampling use case where the assignment of each of
+    10^10 vectors is the product.
+
+    Deterministic at every step, independent of partitioning and Arrow
+    batch boundaries: seeds are the ``k`` first vectors in hash-of-id
+    order (ties by id); assignment is a row-independent argmax of the
+    cosine against broadcast centroids (numpy argmax takes the FIRST max
+    -> lowest cluster index on ties); the centroid update accumulates
+    1e6-quantized int64 partial sums (order-independent — the
+    ``class_centroids`` fixed-point trick), and the division/renormalize
+    runs once on the driver. Early-stops when centroids are exactly
+    unchanged. Empty clusters keep their previous centroid.
+
+    Scale plan: centroids (k x dim floats) broadcast each round; each
+    round is ONE Arrow-batched map pass emitting per-batch (cluster,
+    dim, sum_fx, n) partials — k x dim rows per batch, NOT |corpus| —
+    plus one tiny (cluster, dim)-keyed aggregation whose result
+    (k x dim rows) collects to the driver. The corpus is checkpointed
+    once and re-scanned per round (cache it for real on a cluster). The
+    final labeling is one more map-only pass. Small inputs
+    (``driver_max_rows``) dispatch to an in-memory loop with the SAME
+    quantized math — bit-identical output (equivalence-tested), no
+    per-round job overhead.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    vecs = _vecs(corpus, vec_col).select(id_col, vec_col)
+    spark = corpus.sparkSession
+
+    seeds = (
+        vecs.orderBy(F.pmod(F.hash(F.col(id_col)), F.lit(1 << 31)), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    if not seeds:
+        return spark.createDataFrame([], f"{id_col} {id_type}, cluster long")
+    cents = _normalize(_stack(pd.Series([r[1] for r in seeds])))
+    kk, dim = cents.shape
+
+    use_driver = False
+    if driver_max_rows is not None:
+        vecs = vecs.localCheckpoint(eager=True)
+        use_driver = vecs.count() <= driver_max_rows
+
+    if use_driver:
+        rows = vecs.collect()
+        mat = _normalize(_stack(pd.Series([r[1] for r in rows])))
+        for _ in range(n_iter):
+            assign = np.argmax(mat @ cents.T, axis=1)
+            q = np.rint(mat * scale).astype(np.int64)
+            sums = np.zeros((kk, dim), dtype=np.int64)
+            counts = np.zeros(kk, dtype=np.int64)
+            np.add.at(sums, assign, q)
+            np.add.at(counts, assign, 1)
+            new = _lloyd_step(sums, counts, cents, scale)
+            if np.array_equal(new, cents):
+                break
+            cents = new
+    else:
+        for _ in range(n_iter):
+            bc = spark.sparkContext.broadcast(cents)
+
+            def partials(
+                batches: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                c = bc.value
+                nk, nd = c.shape
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    mat = _normalize(_stack(pdf[vec_col]))
+                    assign = np.argmax(mat @ c.T, axis=1)
+                    q = np.rint(mat * scale).astype(np.int64)
+                    sums = np.zeros((nk, nd), dtype=np.int64)
+                    counts = np.zeros(nk, dtype=np.int64)
+                    np.add.at(sums, assign, q)
+                    np.add.at(counts, assign, 1)
+                    present = np.nonzero(counts)[0]
+                    cl = np.repeat(present, nd)
+                    dims = np.tile(np.arange(nd), len(present))
+                    yield pd.DataFrame(
+                        {
+                            "cluster": cl,
+                            "dim": dims,
+                            "s_fx": sums[present].ravel(),
+                            "n": np.repeat(counts[present], nd),
+                        }
+                    )
+
+            agg = (
+                vecs.mapInPandas(
+                    partials, schema="cluster long, dim long, s_fx long, n long"
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.sum("s_fx").alias("s_fx"), F.sum("n").alias("n"))
+                .collect()
+            )
+            sums = np.zeros((kk, dim), dtype=np.int64)
+            counts = np.zeros(kk, dtype=np.int64)
+            for r in agg:
+                sums[r["cluster"], r["dim"]] = r["s_fx"]
+                counts[r["cluster"]] = r["n"]
+            new = _lloyd_step(sums, counts, cents, scale)
+            if np.array_equal(new, cents):
+                break
+            cents = new
+
+    return with_ivf_cell(vecs, cents, vec_col, out_col="cluster").select(
+        F.col(id_col), F.col("cluster")
+    )

@@ -31,6 +31,7 @@ def test_oracle_keys_subset_of_queries():
         "source_overlap_kmv",
         "bpe_vocab",
         "bpe_encode_stats",
+        "kmeans_clusters",
     }
     assert qs - oracles <= approx_ok, f"missing oracles: {qs - oracles - approx_ok}"
 
