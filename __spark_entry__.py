@@ -2996,6 +2996,20 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving selection (r6): full-corpus k-means + md5-order
+    per-cluster quotas — cap every semantic cluster at 32 survivors so no
+    dense embedding region dominates the mix. Rows-only (kmeans is
+    iterative); both stages individually equivalence/oracle-tested."""
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    return cluster_balanced_sample(
+        _t(spark, sf_dir, "embeddings"), per_cluster=32, k=8, n_iter=10
+    ).orderBy("vec_id")
+
+
 def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-0 training-order shuffle (r6): md5(seed:id)
     assigns every doc a shard and in-shard position — one shard-keyed
@@ -3303,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode_stats": q_bpe_encode_stats,
         "kmeans_clusters": q_kmeans_clusters,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
     }
 
 

@@ -1320,3 +1320,33 @@ def kmeans(
     return with_ivf_cell(vecs, cents, vec_col, out_col="cluster").select(
         F.col(id_col), F.col("cluster")
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    per_cluster: int,
+    k: int = 8,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-preserving corpus pruning (the DataComp / SemDeDup-family
+    selection shape): full-corpus k-means, then cap every semantic
+    cluster at ``per_cluster`` survivors — so no single dense region of
+    embedding space dominates the training mix the way a global
+    quality-score cut lets it.
+
+    Pure composition of two measured operators: ``kmeans`` (deterministic
+    Lloyd) + ``corpus.rebalance_sample`` (md5-order quotas with the
+    analytic big-group prune), so selection is bit-reproducible across
+    runs, engines, and partitionings. Output ``(id, cluster)`` survivors.
+    """
+    from global_stock_data_warehouse_spark.operators.corpus import rebalance_sample
+
+    labels = kmeans(
+        corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    ).withColumn("cluster", F.col("cluster").cast("string"))
+    quotas = {str(c): per_cluster for c in range(k)}
+    return rebalance_sample(
+        labels, quotas, group_col="cluster", id_col=id_col
+    ).select(F.col(id_col), F.col("cluster").cast("long").alias("cluster"))

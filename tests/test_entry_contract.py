@@ -32,6 +32,7 @@ def test_oracle_keys_subset_of_queries():
         "bpe_vocab",
         "bpe_encode_stats",
         "kmeans_clusters",
+        "cluster_balanced_sample",
     }
     assert qs - oracles <= approx_ok, f"missing oracles: {qs - oracles - approx_ok}"
 

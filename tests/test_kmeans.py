@@ -84,3 +84,19 @@ def test_kmeans_k_larger_than_corpus(spark):
     )
     out = kmeans(df, k=5, n_iter=3).collect()
     assert sorted(r["vec_id"] for r in out) == [0, 1]
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark):
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    df = _blob_df(spark, n_per=40)
+    out = cluster_balanced_sample(df, per_cluster=10, k=3, n_iter=8).collect()
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+    assert len(sizes) == 3 and all(n == 10 for n in sizes.values())
+    # selection is deterministic
+    again = cluster_balanced_sample(df, per_cluster=10, k=3, n_iter=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
