@@ -267,6 +267,7 @@ def fixture(spark: SparkSession, kind: str, scale: int) -> DataFrame:
 
 def _ops():
     from global_stock_data_warehouse_spark.operators import (
+        classify,
         corpus,
         dedup,
         graph,
@@ -467,6 +468,53 @@ def _ops():
         target = df.filter(F.col("doc_id") < BASE_DOCS // 10)
         return corpus.dsir_weights(df.filter(F.col("doc_id") % 7 != 0), target)
 
+    def bpe(spark, s):
+        df = fixture(spark, "docs", s)
+        # the trainable-at-100TB property under test: ONE corpus-sized
+        # word agg, then every merge round runs on the word VOCABULARY.
+        # max_words is the documented sampling lever — this fixture's
+        # vocab grows ~4n (adversarial worst case; real corpora are
+        # Zipf-bounded), so the capped form IS the scale configuration:
+        # rounds run on a fixed 100k-word frame at every scale.
+        merges, vocab = corpus.bpe_train(
+            df, n_merges=32, min_count=2, max_words=100_000
+        )
+        return vocab
+
+    _bpe_merges_1x: list = []
+
+    def bpe_enc(spark, s):
+        df = fixture(spark, "docs", s)
+        if not _bpe_merges_1x:
+            # fixed merge table (trained once at 1x) — encode is the op
+            # under measurement, and its merge list size is scale-free
+            m, _ = corpus.bpe_train(fixture(spark, "docs", 1), n_merges=32)
+            _bpe_merges_1x.extend(m)
+        return corpus.bpe_encode(df, list(_bpe_merges_1x))
+
+    def kmeans_op(spark, s):
+        df = fixture(spark, "cvecs", s)
+        # driver_max_rows=None forces the DISTRIBUTED Lloyd path (the
+        # driver twin is equivalence-tested separately)
+        return similarity.kmeans(df, k=16, n_iter=6, driver_max_rows=None)
+
+    def cbs(spark, s):
+        df = fixture(spark, "cvecs", s)
+        # DataComp shape: per-cluster cap FIXED while the corpus grows
+        return similarity.cluster_balanced_sample(
+            df, per_cluster=BASE_VECS // 32, k=16, n_iter=4
+        )
+
+    def tvote(spark, s):
+        df = fixture(spark, "docs", s).withColumn(
+            "source", F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
+        )
+        return classify.token_vote_classify(df, vocab_size=2048)
+
+    def shard(spark, s):
+        df = fixture(spark, "docs", s)
+        return corpus.shard_shuffle(df, n_shards=64)
+
     # (runner, expected exponent, what the expectation comes from)
     return {
         "ngram_jaccard_neardup": (ngram_jaccard, 1.0, "PPJoin prefix blocks, constant df/token"),
@@ -491,6 +539,12 @@ def _ops():
         "incremental_dedup": (inc_dedup, 1.0, "md5 fp window + store probe share one hash partitioning"),
         "dsir_select": (dsir, 1.0, "two B-row bucket aggs + broadcast model over re-derived gram stream"),
         "ann_ivf_topk": (ann_ivf, 1.0, "cell count ~ n, probe fraction constant"),
+        "bpe_train": (bpe, 1.0, "one corpus-sized word agg; 32 merge rounds on the CAPPED top-100k word frame (max_words, the documented sampling lever)", lambda spark, s: fixture(spark, "docs", s)),
+        "bpe_encode": (bpe_enc, 0.0, "broadcast ranks, ONE map-only Arrow pass, zero shuffle by design", lambda spark, s: fixture(spark, "docs", s)),
+        "kmeans_clusters": (kmeans_op, 0.0, "shuffle bounded: rounds x partitions x (k x dim) partial rows, independent of corpus rows", lambda spark, s: fixture(spark, "cvecs", s)),
+        "cluster_balanced_sample": (cbs, 1.0, "kmeans rounds + one cluster-keyed count agg; md5 quota prune is map-only", lambda spark, s: fixture(spark, "cvecs", s)),
+        "token_vote_classify": (tvote, 1.0, "broadcast vote table; one (doc,class) shuffle of |docs| x C"),
+        "shard_shuffle": (shard, 1.0, "one hash shuffle on shard + within-shard sort, no global order"),
     }
 
 
@@ -500,10 +554,14 @@ def run(op_names, scales, md_path):
     ops = _ops()
     results = {}  # (op, scale) -> dict
     for name in op_names:
-        runner, expected, why = ops[name]
+        entry = ops[name]
+        runner, expected, why = entry[:3]
+        # eager ops (driver-loop trainers) declare a cheap `prepare` that
+        # only materializes the fixture; lazy ops just run the builder
+        prepare = entry[3] if len(entry) > 3 else runner
         for s in scales:
             # fixture built outside the timed window
-            runner(spark, s)  # builds the lazy frame; also materializes fixture parquet
+            prepare(spark, s)
             spark.sparkContext.setJobGroup(f"{name}_x{s}", f"{name} at {s}x")
             sb0 = shuffle_write_bytes(spark)
             t0 = time.time()
@@ -569,7 +627,7 @@ def write_md(path, op_names, scales, results, ops):
     # slope needs two scale points; with one, emit '-' instead of crashing
     a, b = (scales[-2], scales[-1]) if len(scales) >= 2 else (None, None)
     for name in op_names:
-        _, expected, why = ops[name]
+        _, expected, why = ops[name][:3]
         secs = [results.get((name, s), {}).get("sec", "-") for s in scales]
         mbs = [results.get((name, s), {}).get("shuffle_mb", "-") for s in scales]
         et = _slope(results, name, a, b, "sec") if b is not None else None
