@@ -3010,6 +3010,28 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-prep flagship (r6): gate -> exact dedup -> BPE
+    train+encode -> deterministic shard shuffle -> pack into 512-token
+    windows, as ONE composed plan — per surviving doc, where it lands in
+    the final packed training stream (shard, position, sequence span).
+    Rows-only (the BPE trainer is iterative and not SQL-expressible);
+    every stage is individually oracled/equivalence-tested, and the
+    composition's conservation + determinism properties are tested in
+    tests/test_training_prep.py."""
+    from global_stock_data_warehouse_spark.plans.training_prep import (
+        training_prep_pipeline,
+    )
+
+    return training_prep_pipeline(
+        _t(spark, sf_dir, "documents"),
+        ctx_len=512,
+        n_merges=16,
+        max_words=5000,
+        n_shards=16,
+    ).orderBy("doc_id")
+
+
 def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-0 training-order shuffle (r6): md5(seed:id)
     assigns every doc a shard and in-shard position — one shard-keyed
@@ -3318,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_stats": q_bpe_encode_stats,
         "kmeans_clusters": q_kmeans_clusters,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "training_prep": q_training_prep,
     }
 
 

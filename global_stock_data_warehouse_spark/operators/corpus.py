@@ -202,6 +202,8 @@ def pack_sequences(
     shard_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing map: concatenate each shard's documents
     in ``id_col`` order and cut the token stream into fixed ``ctx_len``
@@ -209,14 +211,20 @@ def pack_sequences(
     how many sequences it spans (docs straddle boundaries — that IS the
     packing semantics; nothing is padded or dropped).
 
+    ``n_tokens_col`` feeds a precomputed token count (e.g. from
+    ``bpe_encode``) instead of re-tokenizing ``text_col``; ``order_col``
+    overrides the within-shard concatenation order (e.g.
+    ``shard_shuffle``'s position) while ``id_col`` stays the doc key.
+
     All integer arithmetic over one window cumsum per shard: exact on any
     engine, and the shard is the natural parallel unit at 100 TB (each
     shard's stream is independent)."""
-    n_tok = F.size(tokens(text_col))
-    w = Window.partitionBy(shard_col).orderBy(id_col)
+    n_tok = F.col(n_tokens_col) if n_tokens_col else F.size(tokens(text_col))
+    w = Window.partitionBy(shard_col).orderBy(order_col or id_col)
     cum = F.sum("n_tokens").over(w)
+    order_cols = [order_col] if order_col else []
     out = (
-        df.select(shard_col, id_col, n_tok.alias("n_tokens"))
+        df.select(shard_col, id_col, *order_cols, n_tok.alias("n_tokens"))
         .withColumn("cum_tokens", cum)
         .withColumn(
             "seq_first", F.expr(f"(cum_tokens - n_tokens) div {ctx_len}")

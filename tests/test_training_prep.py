@@ -1,0 +1,119 @@
+"""training_prep_pipeline: the gate->dedup->BPE->shuffle->pack composition.
+
+Properties checked: token conservation per shard (the packed windows
+cover exactly the shard's BPE token stream), pos is a dense in-shard
+permutation, exact-dup losers never survive, bit-determinism under an
+adversarial repartition, seed change = fresh permutation with identical
+survivors, and the pack_sequences n_tokens_col/order_col hooks reduce to
+the original text-tokenize behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from global_stock_data_warehouse_spark.operators.corpus import pack_sequences
+from global_stock_data_warehouse_spark.plans.training_prep import (
+    training_prep_pipeline,
+)
+
+
+def _docs(spark, n=120):
+    # ids 0,1 mod 10 share a seed -> exact-dup pairs; every doc has
+    # enough distinct words to clear the quality gate
+    seed = F.when(
+        F.pmod("id", F.lit(10)) < 2, F.col("id") - F.pmod("id", F.lit(2))
+    ).otherwise(F.col("id"))
+    # texts are equal iff seeds are equal: seed*101 + i*13 never wraps,
+    # so only the %10 in {0,1} pairs are exact dups
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array(
+                *[
+                    F.concat(F.lit(f"w{i}tok"), (seed * 101 + i * 13).cast("string"))
+                    for i in range(30)
+                ]
+            ),
+        ).alias("text"),
+    )
+
+
+def _run(spark, df, seed=0):
+    return training_prep_pipeline(
+        df, ctx_len=64, n_merges=8, quality_min=0.0, n_shards=4, seed=seed
+    )
+
+
+def test_conservation_and_permutation(spark):
+    out = _run(spark, _docs(spark)).cache()
+    rows = out.collect()
+    assert rows, "pipeline produced no survivors"
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r["pos"])
+        # pos is a dense 1..n permutation within the shard
+        assert [m["pos"] for m in members] == list(range(1, len(members) + 1))
+        # packing covers exactly the shard's token stream
+        cum = 0
+        for m in members:
+            assert m["seq_first"] == cum // 64
+            cum += m["n_bpe_tokens"]
+            assert m["seq_last"] == max((cum - 1) // 64, m["seq_first"])
+            assert m["n_seqs"] == m["seq_last"] - m["seq_first"] + 1
+    out.unpersist()
+
+
+def test_exact_dup_losers_dropped(spark):
+    out = _run(spark, _docs(spark))
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # ids 1 mod 10 duplicate ids 0 mod 10 exactly; the window keeps the
+    # lower id and every non-dup doc survives
+    assert not any(i % 10 == 1 for i in ids)
+    assert ids == {i for i in range(120) if i % 10 != 1}
+
+
+def test_repartition_determinism(spark):
+    df = _docs(spark)
+    a = sorted(map(tuple, _run(spark, df).collect()))
+    b = sorted(map(tuple, _run(spark, df.repartition(7, "text")).collect()))
+    assert a == b
+
+
+def test_seed_changes_order_not_survivors(spark):
+    df = _docs(spark)
+    a = _run(spark, df, seed=0).collect()
+    b = _run(spark, df, seed=1).collect()
+    assert {r["doc_id"] for r in a} == {r["doc_id"] for r in b}
+    assert {r["doc_id"]: r["n_bpe_tokens"] for r in a} == {
+        r["doc_id"]: r["n_bpe_tokens"] for r in b
+    }
+    order_a = {r["doc_id"]: (r["shard"], r["pos"]) for r in a}
+    order_b = {r["doc_id"]: (r["shard"], r["pos"]) for r in b}
+    assert order_a != order_b, "seed change must produce a fresh permutation"
+
+
+def test_pack_hooks_reduce_to_text_path(spark):
+    df = spark.createDataFrame(
+        [(i, "s", "alpha beta gamma delta"[: 5 + (i % 3) * 6]) for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    base = pack_sequences(df, ctx_len=4).select(
+        "doc_id", "n_tokens", "seq_first", "seq_last", "n_seqs"
+    )
+    from global_stock_data_warehouse_spark.operators.text import tokens
+
+    hooked = pack_sequences(
+        df.withColumn("ntk", F.size(tokens("text"))).withColumn(
+            "ord", F.col("doc_id")
+        ),
+        ctx_len=4,
+        n_tokens_col="ntk",
+        order_col="ord",
+    ).select("doc_id", "n_tokens", "seq_first", "seq_last", "n_seqs")
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, hooked.collect())
+    )
