@@ -201,15 +201,20 @@ def text_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokens_col: str | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """One row per document with the full stats battery. ``tokens_col``
     names a pre-materialized token-array column to reuse for every
     token-derived stat (a multi-stage plan like llm_gold_pipeline
     tokenizes the corpus ONCE and feeds each consumer); the char-level
-    stats and the fingerprint still read the raw text."""
+    stats and the fingerprint still read the raw text. ``passthrough``
+    carries extra input columns into the output unchanged — a gate that
+    filters on the stats and then needs the text avoids a corpus-wide
+    join back onto the source (one exchange instead of two)."""
     toks = F.col(tokens_col) if tokens_col else None
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         char_count(text_col).alias("n_chars_actual"),
         (F.size(toks) if toks is not None else token_count(text_col)).alias(
             "n_tokens"

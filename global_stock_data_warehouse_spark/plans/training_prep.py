@@ -60,19 +60,24 @@ def training_prep_pipeline(
     ``ctx_len``-token windows."""
     toked = docs.select(
         F.col(id_col), F.col("text"), tokens("text").alias("_toks")
-    ).localCheckpoint(eager=True)
-    st = text_stats(toked, tokens_col="_toks")
+    )
+    # gate + dedup in ONE corpus-wide exchange: text rides through the
+    # fingerprint window (text_stats passthrough) so no join back onto
+    # the source is ever needed — the llm_gold join pattern costs a
+    # second wide shuffle here because its downstream consumers only
+    # need _toks, while BPE needs the raw text.
+    st = text_stats(toked, tokens_col="_toks", passthrough=("text",))
     w = Window.partitionBy("fingerprint").orderBy(id_col)
-    kept_ids = (
+    # multi-consumer survivor frame: BPE train AND encode both read it —
+    # checkpoint once so the gate+dedup lineage never re-runs; project to
+    # (id, text) first (localCheckpoint materializes every column and
+    # blocks Catalyst's pruning across it).
+    kept_docs = (
         st.filter(F.col("quality") >= quality_min)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(id_col)
-    )
-    # multi-consumer survivor frame: BPE training re-scans it per merge
-    # round's word agg is one-shot, but train AND encode both read it —
-    # checkpoint once so the gate+dedup lineage never re-runs
-    kept_docs = toked.join(kept_ids, id_col).localCheckpoint(eager=True)
+        .select(id_col, "text")
+    ).localCheckpoint(eager=True)
     merges, _ = bpe_train(
         kept_docs, n_merges=n_merges, min_count=2, max_words=max_words
     )

@@ -515,6 +515,16 @@ def _ops():
         df = fixture(spark, "docs", s)
         return corpus.shard_shuffle(df, n_shards=64)
 
+    def tprep(spark, s):
+        from global_stock_data_warehouse_spark.plans.training_prep import (
+            training_prep_pipeline,
+        )
+
+        df = fixture(spark, "docs", s)
+        return training_prep_pipeline(
+            df, ctx_len=512, n_merges=16, n_shards=64, max_words=100_000
+        )
+
     # (runner, expected exponent, what the expectation comes from)
     return {
         "ngram_jaccard_neardup": (ngram_jaccard, 1.0, "PPJoin prefix blocks, constant df/token"),
@@ -545,6 +555,7 @@ def _ops():
         "cluster_balanced_sample": (cbs, 1.0, "kmeans rounds + one cluster-keyed count agg; md5 quota prune is map-only", lambda spark, s: fixture(spark, "cvecs", s)),
         "token_vote_classify": (tvote, 1.0, "broadcast vote table; one (doc,class) shuffle of |docs| x C"),
         "shard_shuffle": (shard, 1.0, "one hash shuffle on shard + within-shard sort, no global order"),
+        "training_prep": (tprep, 1.0, "gate+dedup share one scan; BPE word agg + shard/pack exchanges all linear; rounds capped", lambda spark, s: fixture(spark, "docs", s)),
     }
 
 
