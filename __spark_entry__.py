@@ -3010,6 +3010,19 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA explained-variance report over the embeddings table (r6): ONE
+    exact distributed moment pass (per-batch int64 Gram partials, d^2+d+1
+    rows per batch, aggregated as DECIMAL(38,0) — bit-identical under any
+    partitioning), then a driver-side (d x d) eigendecomposition.
+    Rows-only (eigensolve is LAPACK territory); moment exactness,
+    driver-reference equivalence, orthonormality, low-rank recovery, and
+    repartition determinism are tested in tests/test_pca.py."""
+    from global_stock_data_warehouse_spark.operators.similarity import pca_variance
+
+    return pca_variance(_t(spark, sf_dir, "embeddings"), k=8)
+
+
 def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-prep flagship (r6): gate -> exact dedup -> BPE
     train+encode -> deterministic shard shuffle -> pack into 512-token
@@ -3341,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "training_prep": q_training_prep,
+        "pca_variance": q_pca_variance,
     }
 
 

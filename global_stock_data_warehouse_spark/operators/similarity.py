@@ -1350,3 +1350,168 @@ def cluster_balanced_sample(
     return rebalance_sample(
         labels, quotas, group_col="cluster", id_col=id_col
     ).select(F.col(id_col), F.col("cluster").cast("long").alias("cluster"))
+
+
+# ---------------------------------------------------------------------------
+# PCA: exact distributed moments -> driver eigendecomposition
+# ---------------------------------------------------------------------------
+
+
+def _pca_moments(
+    vecs: DataFrame, vec_col: str, scale: float
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """EXACT second-moment pass: ``(n, sum_fx, gram_fx)`` where
+    ``sum_fx[i] = sum(rint(x_i * scale))`` and
+    ``gram_fx[i, j] = sum(rint(x_i * scale) * rint(x_j * scale))``.
+
+    One Arrow map pass emits per-batch int64 partials (d^2 + d + 1 rows
+    per batch, NEVER |corpus|); Spark aggregates them as DECIMAL(38,0),
+    so the global sums are exact integers with ~1e38 headroom — no
+    overflow at any realistic corpus size and no float-order
+    nondeterminism: the moments are bit-identical under any partitioning,
+    which makes everything derived from them (eigenvalues, components,
+    projections) reproducible run-to-run."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _stack(pdf[vec_col]).astype(np.float64)
+            q = np.rint(mat * scale).astype(np.int64)
+            g = q.T @ q  # int64-exact: |q| <= scale, batch rows bounded
+            s = q.sum(axis=0)
+            d = q.shape[1]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
+                    "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
+                    "v": np.concatenate([g.ravel(), s, [len(q)]]),
+                }
+            )
+
+    rows = (
+        vecs.mapInPandas(partials, schema="i long, j long, v long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+        .collect()
+    )
+    if not rows:
+        return 0, np.zeros(0, dtype=object), np.zeros((0, 0), dtype=object)
+    d = max(r["i"] for r in rows) + 1
+    n = 0
+    sums = np.zeros(d, dtype=np.float64)
+    gram = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        v = float(r["v"])
+        if r["i"] < 0:
+            n = int(r["v"])
+        elif r["j"] < 0:
+            sums[r["i"]] = v
+        else:
+            gram[r["i"], r["j"]] = v
+    return n, sums, gram
+
+
+def pca_fit(
+    corpus: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA over the FULL corpus: returns ``(mean, components,
+    explained_ratio)`` with ``components`` as a (k, d) row matrix sorted
+    by descending eigenvalue. The data-dependent twin of
+    ``random_projection`` (JL): same map-only projection cost downstream,
+    but axes chosen by the corpus' actual covariance.
+
+    Scale plan: ONE exact distributed moment pass (see ``_pca_moments`` —
+    d^2 partials per batch, decimal-exact aggregation), then the (d x d)
+    eigendecomposition runs on the driver: d is the embedding width
+    (16-4096), so the driver work is microseconds and independent of
+    corpus size. Determinism: the covariance matrix is a pure function of
+    exact integer moments -> ``eigh`` sees bit-identical input under any
+    partitioning; each component's sign is fixed by making its
+    largest-|coefficient| entry positive (first index on ties)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    vecs = _vecs(corpus, vec_col)
+    n, sums, gram = _pca_moments(vecs, vec_col, scale)
+    if n == 0:
+        return np.zeros(0), np.zeros((0, 0)), np.zeros(0)
+    d = len(sums)
+    mean = sums / (n * scale)
+    cov = gram / (n * scale * scale) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][: min(k, d)]
+    comps = evecs[:, order].T.copy()
+    top = np.abs(comps).argmax(axis=1)
+    flip = comps[np.arange(len(comps)), top] < 0
+    comps[flip] *= -1.0
+    total = float(evals.clip(min=0.0).sum())
+    ratio = (
+        evals[order].clip(min=0.0) / total if total > 0 else np.zeros(len(order))
+    )
+    return mean, comps, ratio
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+    fit: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """Project every vector onto the top-``k`` principal axes:
+    ``(id, vec_col array<float>)`` rounded to 6dp. ``fit`` reuses a
+    ``pca_fit`` result (e.g. fit on yesterday's corpus, project today's
+    increment); otherwise the corpus is fit first. The projection itself
+    is one map-only Arrow pass with the (k x d) component matrix carried
+    in the task closure — zero shuffle, like ``random_projection``."""
+    mean, comps, _ = fit if fit is not None else pca_fit(df, k, vec_col, scale)
+    if comps.size == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, {vec_col} array<float>"
+        )
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _stack(pdf[vec_col]).astype(np.float64)
+            low = np.round((mat - mean) @ comps.T, 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: list(low.astype(np.float32)),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return (
+        _vecs(df, vec_col)
+        .select(id_col, vec_col)
+        .mapInPandas(project, schema=f"{id_col} {id_type}, {vec_col} array<float>")
+    )
+
+
+def pca_variance(
+    corpus: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Explained-variance report: one row per principal component with
+    its eigenvalue, variance ratio, and cumulative ratio (6dp) — the
+    how-compressible-is-this-embedding-space diagnostic that sizes
+    ``pca_project``'s k (and arbitrates PCA vs JL for a given corpus)."""
+    _, _, ratio = pca_fit(corpus, k, vec_col, scale)
+    cum = 0.0
+    rows = []
+    for i, r in enumerate(ratio):
+        cum += float(r)
+        rows.append((i, round(float(r), 6), round(cum, 6)))
+    return corpus.sparkSession.createDataFrame(
+        rows, "component int, explained_ratio double, cum_ratio double"
+    )

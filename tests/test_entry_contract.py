@@ -33,6 +33,8 @@ def test_oracle_keys_subset_of_queries():
         "bpe_encode_stats",
         "kmeans_clusters",
         "cluster_balanced_sample",
+        "training_prep",
+        "pca_variance",
     }
     assert qs - oracles <= approx_ok, f"missing oracles: {qs - oracles - approx_ok}"
 
