@@ -3166,10 +3166,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gap_fill — every one stays oracled and bit-exact-mirrored via
     # tools/check_correctness.py each round (rule 3).
     #
-    # R7 ROTATION GUIDANCE: lead with the three queries ADDED LATE in r6
+    # R7 ROTATION GUIDANCE: lead with the queries ADDED LATE in r6
     # that have never had a driver hash row — incremental_dedup,
     # dsir_select (hash-exact; dsir_weights stays out as EPS per rule 4)
-    # — plus anything changed in r7. After r6 the never-windowed oracled
+    # — plus anything changed in r7. (training_prep, pca_variance,
+    # bpe_vocab/bpe_encode_stats, kmeans_clusters,
+    # cluster_balanced_sample are rows-only by rule 1; their evidence is
+    # the equivalence/property suites named in COVERAGE.md.) After r6 the never-windowed oracled
     # pool is rebalance_sample, temperature_sample, split_assign,
     # priority_linestatus, custdist, promo_revenue_share,
     # top_revenue_supplier, supplier_part_counts, disjunctive_revenue,
