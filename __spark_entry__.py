@@ -1526,6 +1526,25 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(batch, store).orderBy("doc_id")
 
 
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run NEAR-dedup (r6): today's batch probed against the
+    standing corpus' banded MinHash-LSH ledger AND itself in one pass —
+    the fuzzy sibling of incremental_dedup (same store/probe shape, but
+    the ledger holds band buckets + signatures, not exact fingerprints).
+    Rows-only (MinHash estimates); verdict semantics, greedy-policy
+    equivalence with minhash_neardup's pair list, and repartition
+    determinism are tested in tests/test_incremental_dsir.py."""
+    from global_stock_data_warehouse_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    store = minhash_store(docs.filter(F.col("doc_id") % 3 == 0))
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return incremental_minhash_dedup(batch, store, threshold=0.5).orderBy("doc_id")
+
+
 def _dsir_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR (Xie et al. 2023) over the fixtures: target = English docs,
     raw pool = everything else; score the pool's target-likeness under
@@ -3358,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "training_prep": q_training_prep,
         "pca_variance": q_pca_variance,
+        "incremental_minhash": q_incremental_minhash,
     }
 
 

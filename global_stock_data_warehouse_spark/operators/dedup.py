@@ -571,26 +571,7 @@ def minhash_neardup(
             .select("id_a", "id_b", "jaccard")
         )
 
-    r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
-    packed = sig.select(
-        "id", F.array(*[F.col(f"mh{k}") for k in range(num_hashes)]).alias("sig")
-    )
-    banded = packed.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(F.slice("sig", bi * r + 1, r)).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded_signatures(df, text_col, id_col, num_hashes, bands, ngram)
     # self-join: without a cut the signature kernel runs once per side
     banded = banded.localCheckpoint(eager=True)
     x, y = banded.alias("x"), banded.alias("y")
@@ -1057,4 +1038,163 @@ def incremental_dedup(
         dup_store.alias("dup_of_store"),
         dup_batch.alias("dup_in_batch"),
         (~dup_store & ~dup_batch).alias("keep"),
+    )
+
+
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    ngram: int,
+) -> DataFrame:
+    """(id, sig, band, bucket) banded-LSH frame — the shared layout of
+    the batch path (``minhash_neardup``) and the incremental store/probe
+    pair below. Signatures are map-side (``minhash_signatures``); the
+    band explode is the only fan-out (x``bands``). Docs with zero
+    shingles emit no row."""
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
+    packed = sig.select(
+        "id", F.array(*[F.col(f"mh{k}") for k in range(num_hashes)]).alias("sig")
+    )
+    return packed.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(F.slice("sig", bi * r + 1, r)).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 2,
+) -> DataFrame:
+    """Build (or rebuild) the NEAR-dup ledger: the banded-LSH index
+    ``(band, bucket, id, sig)`` of the admitted corpus — the MinHash
+    sibling of :func:`fingerprint_store`. Persist it (parquet, bucketed
+    by ``(band, bucket)``) between ingestion runs; day N+1 probes its
+    batch against this frame and never re-signatures the standing corpus.
+    ~``bands`` rows x (8B x ``num_hashes``) per doc: orders of magnitude
+    under the raw text it replaces on the probe path.
+
+    Refresh after a batch is admitted by appending the kept docs'
+    banded rows (the index is append-only under keep-policy dedup; a
+    doc's rows are a pure function of its text)."""
+    return _banded_signatures(df, text_col, id_col, num_hashes, bands, ngram).select(
+        "band", "bucket", "id", "sig"
+    )
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    store: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 2,
+) -> DataFrame:
+    """NEAR-dedup a new ingestion batch against (a) the standing corpus'
+    :func:`minhash_store` ledger and (b) itself, in one pass — the
+    continuous-crawl shape for FUZZY duplicates, complementing
+    :func:`incremental_dedup`'s exact fingerprints (the reference's
+    one-shot INSERT OR REPLACE world has no incremental-index notion;
+    engine extension per SURVEY §6).
+
+    Returns one verdict row per batch doc: ``(id_col, dup_of_store,
+    store_match_id, store_jaccard, dup_in_batch, batch_match_id,
+    batch_jaccard, keep)``. Jaccards are the MinHash estimate (fraction
+    of matching signature positions — deterministic, hash-exact).
+    ``dup_in_batch`` uses the GREEDY smaller-id-neighbor policy: a doc is
+    a batch dup iff some SMALLER-id batch doc is near it (deterministic,
+    single-pass; unlike component-min dedup it never drops a doc whose
+    only link to the component is through a non-neighbor — for A~C, B~C,
+    A!~B it keeps A and B and drops C). Docs with zero shingles (empty
+    text) match nothing and are kept; route them to the exact path.
+
+    Scale plan: the batch is signatured map-side and banded ONCE
+    (checkpointed — both probes read it); the store probe and the
+    in-batch self-join both key on ``(band, bucket)``, so one hash
+    partitioning of the batch serves both, and a ``(band, bucket)``-
+    bucketed ledger joins with ZERO store-side shuffle. The estimator
+    runs inside each join's output and filters before any aggregation,
+    so only passing candidates reach the per-doc verdict aggs. The store
+    is never broadcast (it grows with the corpus); AQE may broadcast the
+    small per-doc agg outputs onto the batch spine — the right call."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    b = _banded_signatures(
+        batch, text_col, id_col, num_hashes, bands, ngram
+    ).localCheckpoint(eager=True)
+
+    def est(a, bcol):
+        matched = F.size(
+            F.filter(F.zip_with(a, bcol, lambda x, y: x == y), lambda v: v)
+        )
+        return F.round(matched / F.lit(num_hashes), 6)
+
+    s = store.select(
+        "band", "bucket", F.col("id").alias("sid"), F.col("sig").alias("ssig")
+    )
+    store_hits = (
+        b.join(s, ["band", "bucket"])
+        .select("id", F.col("sid"), est(F.col("sig"), F.col("ssig")).alias("est"))
+        .filter(F.col("est") >= threshold)
+        .groupBy("id")
+        .agg(
+            F.max("est").alias("store_jaccard"),
+            F.expr("min_by(sid, struct(-est, sid))").alias("store_match_id"),
+        )
+    )
+    x, y = b.alias("x"), b.alias("y")
+    batch_hits = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("y.id").alias("id"),
+            F.col("x.id").alias("nid"),
+            est(F.col("x.sig"), F.col("y.sig")).alias("est"),
+        )
+        .filter(F.col("est") >= threshold)
+        .groupBy("id")
+        .agg(
+            F.max("est").alias("batch_jaccard"),
+            F.expr("min_by(nid, struct(-est, nid))").alias("batch_match_id"),
+        )
+    )
+    spine = batch.select(F.col(id_col).alias("id"))
+    out = spine.join(store_hits, "id", "left").join(batch_hits, "id", "left")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("store_match_id").isNotNull().alias("dup_of_store"),
+        "store_match_id",
+        "store_jaccard",
+        F.col("batch_match_id").isNotNull().alias("dup_in_batch"),
+        "batch_match_id",
+        "batch_jaccard",
+        (F.col("store_match_id").isNull() & F.col("batch_match_id").isNull()).alias(
+            "keep"
+        ),
     )

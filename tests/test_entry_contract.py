@@ -35,6 +35,7 @@ def test_oracle_keys_subset_of_queries():
         "cluster_balanced_sample",
         "training_prep",
         "pca_variance",
+        "incremental_minhash",
     }
     assert qs - oracles <= approx_ok, f"missing oracles: {qs - oracles - approx_ok}"
 

@@ -202,3 +202,92 @@ def test_dsir_plan_broadcasts_model_no_python(spark):
     plan = _plan(out)
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash near-dup (store/probe)
+# ---------------------------------------------------------------------------
+
+from global_stock_data_warehouse_spark.operators.dedup import (  # noqa: E402
+    incremental_minhash_dedup,
+    minhash_neardup,
+    minhash_store,
+)
+
+
+def _texts(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _mk_text(seed, n=30, mutate=0):
+    # seed-namespaced words: disjoint vocabularies across seeds
+    words = [f"w{seed}_{i}" for i in range(n)]
+    for j in range(mutate):
+        words[j] = f"mut{seed}_{j}"
+    return " ".join(words)
+
+
+def test_incremental_minhash_store_and_batch_verdicts(spark):
+    corpus = _texts(spark, [(i, _mk_text(i)) for i in range(20)])
+    store = minhash_store(corpus).localCheckpoint(eager=True)
+    batch = _texts(
+        spark,
+        [
+            # 100: near-dup of store doc 3 (2 of 30 words mutated)
+            (100, _mk_text(3, mutate=2)),
+            # 101/102: near-dups of each other, novel vs store
+            (101, _mk_text(777)),
+            (102, _mk_text(777, mutate=2)),
+            # 103: novel
+            (103, _mk_text(888)),
+            # 104: zero shingles
+            (104, ""),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dedup(batch, store, threshold=0.5).collect()
+    }
+    assert len(out) == 5, "verdict must be total over the batch"
+    assert out[100]["dup_of_store"] and out[100]["store_match_id"] == 3
+    assert not out[100]["keep"]
+    assert out[101]["keep"] and not out[101]["dup_of_store"]
+    # greedy smaller-id policy: 102 dups 101, 101 is kept
+    assert out[102]["dup_in_batch"] and out[102]["batch_match_id"] == 101
+    assert not out[102]["keep"]
+    assert out[103]["keep"]
+    assert out[104]["keep"] and not out[104]["dup_of_store"]
+
+
+def test_incremental_minhash_empty_store_matches_batch_pairs(spark):
+    """With an empty store, the keep set must equal the greedy
+    smaller-id reduction of minhash_neardup's pair list (same params)."""
+    batch = _texts(
+        spark,
+        [(i, _mk_text(i // 3, mutate=i % 3)) for i in range(30)],
+    )
+    empty = minhash_store(batch.limit(0))
+    out = incremental_minhash_dedup(batch, empty, threshold=0.5).collect()
+    pairs = minhash_neardup(batch, threshold=0.5).collect()
+    has_smaller = {p["id_b"] for p in pairs}
+    for r in out:
+        assert r["dup_in_batch"] == (r["doc_id"] in has_smaller)
+        assert r["keep"] == (r["doc_id"] not in has_smaller)
+        assert not r["dup_of_store"]
+
+
+def test_incremental_minhash_repartition_deterministic(spark):
+    corpus = _texts(spark, [(i, _mk_text(i)) for i in range(15)])
+    batch = _texts(spark, [(100 + i, _mk_text(i, mutate=1)) for i in range(10)])
+    a = sorted(
+        map(tuple, incremental_minhash_dedup(batch, minhash_store(corpus)).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            incremental_minhash_dedup(
+                batch.repartition(7), minhash_store(corpus.repartition(5))
+            ).collect(),
+        )
+    )
+    assert a == b

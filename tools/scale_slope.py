@@ -468,6 +468,13 @@ def _ops():
         target = df.filter(F.col("doc_id") < BASE_DOCS // 10)
         return corpus.dsir_weights(df.filter(F.col("doc_id") % 7 != 0), target)
 
+    def inc_minhash(spark, s):
+        df = fixture(spark, "docs", s)
+        store = dedup.minhash_store(df.filter(F.col("doc_id") % 3 == 0))
+        return dedup.incremental_minhash_dedup(
+            df.filter(F.col("doc_id") % 3 != 0), store, threshold=0.5
+        )
+
     def bpe(spark, s):
         df = fixture(spark, "docs", s)
         # the trainable-at-100TB property under test: ONE corpus-sized
@@ -556,6 +563,7 @@ def _ops():
         "token_vote_classify": (tvote, 1.0, "broadcast vote table; one (doc,class) shuffle of |docs| x C"),
         "shard_shuffle": (shard, 1.0, "one hash shuffle on shard + within-shard sort, no global order"),
         "training_prep": (tprep, 1.0, "gate+dedup share one scan; BPE word agg + shard/pack exchanges all linear; rounds capped", lambda spark, s: fixture(spark, "docs", s)),
+        "incremental_minhash": (inc_minhash, 1.0, "banded batch crosses once ((band,bucket) partitioning shared by store probe + self-join); constant dup density"),
     }
 
 
