@@ -1130,20 +1130,46 @@ def incremental_minhash_dedup(
     A!~B it keeps A and B and drops C). Docs with zero shingles (empty
     text) match nothing and are kept; route them to the exact path.
 
-    Scale plan: the batch is signatured map-side and banded ONCE
-    (checkpointed — both probes read it); the store probe and the
-    in-batch self-join both key on ``(band, bucket)``, so one hash
-    partitioning of the batch serves both, and a ``(band, bucket)``-
-    bucketed ledger joins with ZERO store-side shuffle. The estimator
-    runs inside each join's output and filters before any aggregation,
-    so only passing candidates reach the per-doc verdict aggs. The store
-    is never broadcast (it grows with the corpus); AQE may broadcast the
-    small per-doc agg outputs onto the batch spine — the right call."""
+    Scale plan — the signature array (8B x ``num_hashes``) must cross
+    the wire ONCE per doc at most, never once per band: the bucket joins
+    (store probe + in-batch self-join) run on the NARROW ``(id, band,
+    bucket)`` projection, pre-partitioned ONCE on ``(band, bucket)`` so
+    both joins reuse the same exchange; candidate pairs are
+    ``distinct``-ed (a doc pair colliding on k bands is one candidate,
+    not k) and CHECKPOINT-COUNTED, and when they are bounded (the normal
+    regime — candidates ~ dup density x batch) the candidate frame is
+    BROADCAST through the two signature lookups, so the big signature
+    frames are scanned map-side and never shuffle at all (a degenerate
+    batch past the cap falls back to shuffled signature joins rather
+    than OOMing the executors). Three formulations were measured at 300x
+    on the scale harness: sig-inside-banded-rows 4786 MB, narrow-bucket
+    + shuffled sig joins 1038 MB, this one 480 MB (exactly linear
+    200x->300x; ~2/3 is the one b_band repartition, ~1/3 the store's
+    bucket columns, which a (band,bucket)-bucketed ledger makes zero) —
+    all with identical output. The store probe reads the ledger twice, both ways pruned at
+    the scan: the bucket columns for the join (zero store-side shuffle
+    when the ledger is bucketed by ``(band, bucket)``) and the
+    ``band = 0`` slice as the by-id signature lookup (every doc has
+    exactly one band-0 row). The full store is never broadcast (it grows
+    with the corpus)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    b = _banded_signatures(
-        batch, text_col, id_col, num_hashes, bands, ngram
-    ).localCheckpoint(eager=True)
+    banded = _banded_signatures(batch, text_col, id_col, num_hashes, bands, ngram)
+    b_sig = banded.filter(F.col("band") == 0).select("id", "sig").localCheckpoint(
+        eager=True
+    )
+    spark = batch.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    b_band = (
+        banded.select("id", "band", "bucket")
+        .repartition(n_shuffle, "band", "bucket")
+        .localCheckpoint(eager=True)
+    )
+    # broadcast cap for the candidate-pair frames: ~2M pairs x 16B = a
+    # 32MB hash relation — comfortably executor-safe; beyond it (a
+    # degenerate near-all-dup batch) the shuffled-join fallback is the
+    # honest plan
+    _CAND_BCAST_CAP = 2_000_000
 
     def est(a, bcol):
         matched = F.size(
@@ -1151,39 +1177,62 @@ def incremental_minhash_dedup(
         )
         return F.round(matched / F.lit(num_hashes), 6)
 
-    s = store.select(
-        "band", "bucket", F.col("id").alias("sid"), F.col("sig").alias("ssig")
-    )
-    store_hits = (
-        b.join(s, ["band", "bucket"])
-        .select("id", F.col("sid"), est(F.col("sig"), F.col("ssig")).alias("est"))
-        .filter(F.col("est") >= threshold)
-        .groupBy("id")
-        .agg(
-            F.max("est").alias("store_jaccard"),
-            F.expr("min_by(sid, struct(-est, sid))").alias("store_match_id"),
+    # the half frame carries one signature per candidate (~300B/row), so
+    # its broadcast cap is tighter than the bare-pair frame's
+    _HALF_BCAST_CAP = 200_000
+
+    def hits(cand, right_key, right_sig, match_col, score_col):
+        """Attach both signatures to the candidate pairs and aggregate
+        per-doc verdicts. ``cand`` is checkpointed; when bounded it is
+        broadcast so the signature frames never shuffle."""
+        n_cand = cand.count()
+        c = F.broadcast(cand) if n_cand <= _CAND_BCAST_CAP else cand
+        half = b_sig.join(c, "id")  # (id, sig, right_key) — |cand| rows out
+        h = F.broadcast(half) if n_cand <= _HALF_BCAST_CAP else half
+        return (
+            right_sig.join(h, right_key)
+            .select(
+                "id",
+                F.col(right_key),
+                est(F.col("sig"), F.col("rsig")).alias("est"),
+            )
+            .filter(F.col("est") >= threshold)
+            .groupBy("id")
+            .agg(
+                F.max("est").alias(score_col),
+                F.expr(
+                    f"min_by({right_key}, struct(-est, {right_key}))"
+                ).alias(match_col),
+            )
         )
+
+    s_sig = store.filter(F.col("band") == 0).select(
+        F.col("id").alias("sid"), F.col("sig").alias("rsig")
     )
-    x, y = b.alias("x"), b.alias("y")
-    batch_hits = (
+    cand_store = (
+        b_band.join(
+            store.select("band", "bucket", F.col("id").alias("sid")),
+            ["band", "bucket"],
+        )
+        .select("id", "sid")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    store_hits = hits(cand_store, "sid", s_sig, "store_match_id", "store_jaccard")
+    x, y = b_band.alias("x"), b_band.alias("y")
+    cand_batch = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.id") < F.col("y.id")),
         )
-        .select(
-            F.col("y.id").alias("id"),
-            F.col("x.id").alias("nid"),
-            est(F.col("x.sig"), F.col("y.sig")).alias("est"),
-        )
-        .filter(F.col("est") >= threshold)
-        .groupBy("id")
-        .agg(
-            F.max("est").alias("batch_jaccard"),
-            F.expr("min_by(nid, struct(-est, nid))").alias("batch_match_id"),
-        )
+        .select(F.col("y.id").alias("id"), F.col("x.id").alias("nid"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    n_sig = b_sig.select(F.col("id").alias("nid"), F.col("sig").alias("rsig"))
+    batch_hits = hits(cand_batch, "nid", n_sig, "batch_match_id", "batch_jaccard")
     spine = batch.select(F.col(id_col).alias("id"))
     out = spine.join(store_hits, "id", "left").join(batch_hits, "id", "left")
     return out.select(
