@@ -301,3 +301,70 @@ def enrich_stream_stream(
         & (rw[right_ts] < lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond).drop(rw[on])
+
+
+def neardup_gate_sink(
+    stream: DataFrame,
+    ledger_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 2,
+):
+    """Streaming NEAR-dup front door: each micro-batch of documents is
+    probed against the persisted MinHash-LSH ledger (and itself) with
+    :func:`gsdw.operators.dedup.incremental_minhash_dedup`; survivors are
+    appended to ``out_path`` and their banded signature rows to the
+    ledger, so batch N+1 sees every doc batch N admitted. The fuzzy twin
+    of :func:`corpus_clean_stream`'s exact-fingerprint dedup — state
+    lives in the APPEND-ONLY parquet ledger, not the streaming state
+    store, so a near-dup horizon is unbounded-corpus-sized without any
+    watermark/state-memory trade (a signature row is a pure function of
+    the doc's text; re-processing after a checkpoint recovery re-appends
+    idempotently identical rows, and the min-id keep policy makes the
+    verdicts insensitive to the duplicate ledger rows).
+
+    At cluster scale, write the ledger bucketed by ``(band, bucket)``
+    (`storage/bucketing.py`) so each micro-batch's store probe is a
+    zero-shuffle-store join against yesterday's 100 TB."""
+    from global_stock_data_warehouse_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_store,
+    )
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        try:
+            store = spark.read.parquet(ledger_path)
+        except Exception:
+            store = minhash_store(
+                batch.limit(0), text_col, id_col, num_hashes, bands, ngram
+            )
+        verdicts = incremental_minhash_dedup(
+            batch,
+            store,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            ngram=ngram,
+        )
+        kept = batch.join(
+            verdicts.filter(F.col("keep")).select(id_col), id_col
+        ).localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(out_path)
+        minhash_store(kept, text_col, id_col, num_hashes, bands, ngram).write.mode(
+            "append"
+        ).parquet(ledger_path)
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

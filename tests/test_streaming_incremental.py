@@ -109,3 +109,45 @@ def test_streaming_incremental_matches_batch_rebuild(spark, tmp_path):
 
     assert norm(spark.read.parquet(paths[1])) == norm(expect_gold)
     assert norm(spark.read.parquet(paths[2])) == norm(expect_verd)
+
+
+def test_neardup_gate_sink_cross_batch(spark, tmp_path):
+    """Streaming near-dup gate: batch 2's fuzzy duplicate of a batch-1
+    survivor is rejected via the parquet ledger; novel docs admitted;
+    in-batch near-dups reduced to the min-id winner."""
+    from global_stock_data_warehouse_spark.streaming.pipeline import (
+        neardup_gate_sink,
+        read_bar_stream,
+    )
+
+    def text(seed, n=30, mutate=0):
+        words = [f"w{seed}_{i}" for i in range(n)]
+        for j in range(mutate):
+            words[j] = f"mut{seed}_{j}"
+        return " ".join(words)
+
+    schema = "doc_id long, text string"
+    src, out, ledger, ckpt = (
+        str(tmp_path / p) for p in ("src", "out", "ledger", "ckpt")
+    )
+    # file 1 = micro-batch 1: two novel docs + an in-batch near-dup pair
+    spark.createDataFrame(
+        [(1, text(10)), (2, text(20)), (3, text(10, mutate=2))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = read_bar_stream(spark, src, schema, max_files_per_trigger=1)
+    q = neardup_gate_sink(stream, ledger, out, ckpt, threshold=0.5).start()
+    q.awaitTermination(180)
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]  # 3 is a near-dup of 1 within the batch
+
+    # file 2 = micro-batch 2: near-dup of admitted doc 1, plus a novel doc
+    spark.createDataFrame(
+        [(11, text(10, mutate=1)), (12, text(99))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = neardup_gate_sink(stream, ledger, out, ckpt, threshold=0.5).start()
+    q.awaitTermination(180)
+    final = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert final == [1, 2, 12]  # 11 rejected via the LEDGER, 12 admitted
+    # ledger holds banded rows for every admitted doc
+    led = spark.read.parquet(ledger)
+    assert sorted({r.id for r in led.collect()}) == [1, 2, 12]
