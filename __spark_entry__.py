@@ -3089,6 +3089,47 @@ def q_token_vote_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_vote_classify(_t(spark, sf_dir, "documents"), vocab_size=64)
 
 
+def q_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class quality report over the hash-exact token-vote classifier
+    (r6): docs / predictions / correct counts plus recall and precision
+    as EXACT integer parts-per-million (``n*1e6 DIV d`` — integer
+    division, no float rounding anywhere, so the whole report is
+    driver-hash-safe like the classifier itself). The
+    evaluate-the-labeler step a source-balancing pipeline runs before
+    trusting predicted domains."""
+    from global_stock_data_warehouse_spark.operators.classify import (
+        token_vote_classify,
+    )
+
+    out = token_vote_classify(_t(spark, sf_dir, "documents"), vocab_size=64)
+    per_label = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_correct"), 1).otherwise(0)).alias("n_correct"),
+    )
+    per_pred = (
+        out.filter(F.col("pred_source").isNotNull())
+        .groupBy(F.col("pred_source").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_pred"))
+    )
+    return (
+        per_label.join(per_pred, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.col("n_correct").cast("bigint").alias("n_correct"),
+            F.expr("CAST(n_correct * 1000000 DIV n_docs AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+            F.expr(
+                "CASE WHEN coalesce(n_pred, 0) > 0 THEN "
+                "CAST(n_correct * 1000000 DIV n_pred AS BIGINT) END"
+            ).alias("precision_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_nb_self_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial-NB per-doc log-likelihood at the doc's own label
     (add-one smoothing, top-64 vocab + OOV bucket, class prior): the
@@ -3355,6 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrelation": q_autocorrelation,
         "dsir_weights": q_dsir_weights,
         "token_vote_classify": q_token_vote_classify,
+        "classifier_confusion": q_classifier_confusion,
         "nb_self_loglik": q_nb_self_loglik,
         "shard_shuffle": q_shard_shuffle,
         # --- rows-only from here (approximate / hash-value-specific) ---
@@ -3382,6 +3424,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    d["classifier_confusion"] = f"""
+WITH tv AS ({d["token_vote_classify"]}), per_label AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN is_correct THEN 1 ELSE 0 END) AS n_correct
+  FROM tv GROUP BY source
+), per_pred AS (
+  SELECT pred_source AS source, count(*) AS n_pred FROM tv
+  WHERE pred_source IS NOT NULL GROUP BY pred_source
+)
+SELECT l.source, CAST(l.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(l.n_correct AS BIGINT) AS n_correct,
+       CAST(l.n_correct * 1000000 // l.n_docs AS BIGINT) AS recall_ppm,
+       CASE WHEN coalesce(p.n_pred, 0) > 0
+            THEN CAST(l.n_correct * 1000000 // p.n_pred AS BIGINT) END AS precision_ppm
+FROM per_label l LEFT JOIN per_pred p USING (source)
+ORDER BY l.source
+"""
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "wmy_gold_pipeline": """
 WITH bars AS (
