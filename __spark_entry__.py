@@ -3076,6 +3076,31 @@ def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("shard", "pos")
 
 
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED packed training stream (r6): md5 shard shuffle ->
+    concatenate each shard's docs in training order -> cut into 64-token
+    sequences, emitting the actual token content per sequence
+    (space-joined so the value hash sees one string cell). Everything is
+    integer/md5 arithmetic — oracled bit-exact including every token's
+    position in every sequence."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        pack_token_sequences,
+        shard_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    order = shard_shuffle(docs, n_shards=8, seed=42)
+    packed = pack_token_sequences(
+        docs.join(order, "doc_id"), ctx_len=64
+    )
+    return packed.select(
+        "shard",
+        "seq_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.array_join("input_ids", " ").alias("token_str"),
+    ).orderBy("shard", "seq_id")
+
+
 def q_token_vote_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-exact source classifier (r6): every in-vocab token votes the
     add-one-smoothed class posterior (c_tc+1)/(c_t+C) — exact rational,
@@ -3399,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_confusion": q_classifier_confusion,
         "nb_self_loglik": q_nb_self_loglik,
         "shard_shuffle": q_shard_shuffle,
+        "packed_sequences": q_packed_sequences,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3448,6 +3474,41 @@ ORDER BY l.source
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        "packed_sequences": """
+WITH keyed AS (
+  SELECT doc_id, text, md5('42:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), ordered AS (
+  SELECT text,
+         CAST(('0x' || substr(k, 1, 8))::UBIGINT % 8 AS BIGINT) AS shard,
+         row_number() OVER (
+           PARTITION BY ('0x' || substr(k, 1, 8))::UBIGINT % 8
+           ORDER BY k ASC, doc_id ASC) AS pos
+  FROM keyed
+), toks AS (
+  SELECT shard, pos,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS tk
+  FROM ordered
+), offs AS (
+  SELECT shard, tk,
+         coalesce(sum(len(tk)) OVER (
+           PARTITION BY shard ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM toks
+), stream AS (
+  SELECT shard,
+         off + unnest(range(0, len(tk))) AS gpos,
+         unnest(tk) AS tok
+  FROM offs
+)
+SELECT shard, CAST(gpos // 64 AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY gpos % 64) AS token_str
+FROM stream GROUP BY shard, gpos // 64
+ORDER BY shard, seq_id
+""",
+
         "wmy_gold_pipeline": """
 WITH bars AS (
   SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, value FROM events

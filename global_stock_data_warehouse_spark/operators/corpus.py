@@ -1670,3 +1670,59 @@ def bpe_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    ctx_len: int,
+    shard_col: str = "shard",
+    order_col: str = "pos",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """MATERIALIZE the packed training stream: concatenate each shard's
+    documents in ``order_col`` order and emit the actual fixed-length
+    sequences — ``(shard, seq_id, input_ids array<string>, n_tokens)``,
+    every sequence exactly ``ctx_len`` tokens except each shard's last.
+    The physical counterpart of :func:`pack_sequences` (which emits only
+    the doc -> sequence-span MAP); this one is what a writer job runs to
+    produce ready-to-train shards.
+
+    ``tokens_col`` feeds pre-tokenized arrays (e.g. ``bpe_encode``
+    output); otherwise ``text_col`` is whitespace-tokenized.
+
+    Scale shape: per-doc offsets are ONE narrow window cumsum per shard
+    (token counts, not tokens); the token-level explode+regroup is the
+    unavoidable materialization cost of writing packed output — it
+    shuffles each token exactly once, keyed ``(shard, seq_id)``, and
+    per-group state is bounded by ``ctx_len`` (the collect_list holds
+    one sequence, never a shard). Everything is integer/deterministic:
+    global position = doc offset + in-doc position, sequence membership
+    is integer division — identical on any engine or partitioning."""
+    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
+    base = df.select(F.col(shard_col), F.col(order_col), toks.alias("_tk"))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = base.withColumn(
+        "_off", F.coalesce(F.sum(F.size("_tk")).over(w), F.lit(0))
+    )
+    tok = off.select(
+        shard_col, "_off", F.posexplode("_tk").alias("_p", "_tok")
+    )
+    seqd = tok.select(
+        shard_col,
+        F.expr(f"CAST((_off + _p) DIV {int(ctx_len)} AS BIGINT)").alias("seq_id"),
+        ((F.col("_off") + F.col("_p")) % ctx_len).alias("_sp"),
+        "_tok",
+    )
+    return seqd.groupBy(shard_col, "seq_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_sp", "_tok"))),
+            lambda s: s["_tok"],
+        ).alias("input_ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

@@ -117,3 +117,52 @@ def test_pack_hooks_reduce_to_text_path(spark):
     assert sorted(map(tuple, base.collect())) == sorted(
         map(tuple, hooked.collect())
     )
+
+
+def test_pack_token_sequences_materializes_exact_stream(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        pack_token_sequences,
+        shard_shuffle,
+    )
+
+    df = _docs(spark, 60)
+    order = shard_shuffle(df, n_shards=3, seed=5)
+    joined = df.join(order, "doc_id")
+    packed = pack_token_sequences(joined, ctx_len=16).collect()
+    # per shard: every sequence full except the last; ids dense from 0
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, seqs in by_shard.items():
+        seqs.sort(key=lambda r: r["seq_id"])
+        assert [s["seq_id"] for s in seqs] == list(range(len(seqs)))
+        assert all(s["n_tokens"] == 16 for s in seqs[:-1])
+        assert all(len(s["input_ids"]) == s["n_tokens"] for s in seqs)
+        # reconstruction: the packed stream equals the docs' tokens in
+        # training order
+        stream = [t for s in seqs for t in s["input_ids"]]
+        docs = sorted(
+            joined.select("shard", "pos", "text").collect(),
+            key=lambda r: r["pos"],
+        )
+        expect = [
+            t
+            for r in docs
+            if r["shard"] == shard
+            for t in r["text"].lower().split()
+        ]
+        assert stream == expect
+
+
+def test_pack_token_sequences_tokens_col_hook(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        pack_token_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 0, i + 1, ["a", "b", "c"][: 1 + i % 3]) for i in range(9)],
+        "doc_id long, shard long, pos long, toks array<string>",
+    )
+    out = pack_token_sequences(df, ctx_len=4, tokens_col="toks").collect()
+    assert sum(r["n_tokens"] for r in out) == sum(1 + i % 3 for i in range(9))
+    assert all(len(r["input_ids"]) == r["n_tokens"] for r in out)
