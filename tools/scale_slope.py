@@ -468,6 +468,19 @@ def _ops():
         target = df.filter(F.col("doc_id") < BASE_DOCS // 10)
         return corpus.dsir_weights(df.filter(F.col("doc_id") % 7 != 0), target)
 
+    def packed(spark, s):
+        df = fixture(spark, "docs", s)
+        order = corpus.shard_shuffle(df, n_shards=64)
+        return corpus.pack_token_sequences(df.join(order, "doc_id"), ctx_len=512)
+
+    def pca(spark, s):
+        from global_stock_data_warehouse_spark.operators.similarity import (
+            pca_variance,
+        )
+
+        df = fixture(spark, "vecs", s)
+        return pca_variance(df, k=8)
+
     def inc_minhash(spark, s):
         df = fixture(spark, "docs", s)
         store = dedup.minhash_store(df.filter(F.col("doc_id") % 3 == 0))
@@ -564,6 +577,8 @@ def _ops():
         "shard_shuffle": (shard, 1.0, "one hash shuffle on shard + within-shard sort, no global order"),
         "training_prep": (tprep, 1.0, "gate+dedup share one scan; BPE word agg + shard/pack exchanges all linear; rounds capped", lambda spark, s: fixture(spark, "docs", s)),
         "incremental_minhash": (inc_minhash, 1.0, "banded batch crosses once ((band,bucket) partitioning shared by store probe + self-join); constant dup density"),
+        "packed_sequences": (packed, 1.0, "each token shuffles exactly once keyed (shard, seq_id); offsets are a narrow count cumsum"),
+        "pca_variance": (pca, 0.0, "moment partials bounded: (d^2+d+1) rows per batch regardless of corpus rows", lambda spark, s: fixture(spark, "vecs", s)),
     }
 
 
