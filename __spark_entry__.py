@@ -3251,11 +3251,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gap_fill — every one stays oracled and bit-exact-mirrored via
     # tools/check_correctness.py each round (rule 3).
     #
-    # R7 ROTATION GUIDANCE: lead with the queries ADDED LATE in r6
-    # that have never had a driver hash row — incremental_dedup,
-    # dsir_select (hash-exact; dsir_weights stays out as EPS per rule 4)
-    # — plus anything changed in r7. (training_prep, pca_variance,
-    # bpe_vocab/bpe_encode_stats, kmeans_clusters,
+    # R7 ROTATION GUIDANCE: lead with the ORACLED queries ADDED LATE in
+    # r6 that have never had a driver hash row — incremental_dedup,
+    # dsir_select, token_vote_classify, classifier_confusion,
+    # packed_sequences, shard_shuffle (all hash-exact by construction;
+    # dsir_weights and nb_self_loglik stay out as EPS per rule 4) — plus
+    # anything changed in r7. (training_prep, pca_variance,
+    # incremental_minhash, bpe_vocab/bpe_encode_stats, kmeans_clusters,
     # cluster_balanced_sample are rows-only by rule 1; their evidence is
     # the equivalence/property suites named in COVERAGE.md.) After r6 the never-windowed oracled
     # pool is rebalance_sample, temperature_sample, split_assign,
