@@ -3126,7 +3126,12 @@ def q_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_vote_classify,
     )
 
-    out = token_vote_classify(_t(spark, sf_dir, "documents"), vocab_size=64)
+    # two consumers (per-label + per-pred aggs) — materialize the
+    # classifier output once or the full vote plan executes twice
+    # (PLANS.md showed 25 exchanges vs token_vote's 12 before this cut)
+    out = token_vote_classify(
+        _t(spark, sf_dir, "documents"), vocab_size=64
+    ).localCheckpoint(eager=True)
     per_label = out.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("is_correct"), 1).otherwise(0)).alias("n_correct"),

@@ -159,6 +159,14 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "repeat": repeat,
+                # per-sweep totals: this rig drifts ±10-20% wall
+                # run-to-run, so a tight spread here says "stable
+                # reading" while a wide one flags the whole run as
+                # hot/cold — context for adjudicating the median
+                "sweep_totals": [
+                    round(sum(ts[i] for ts in runs.values()), 1)
+                    for i in range(repeat)
+                ],
                 "shuffle_mb": shuffle_mb,
                 "queries": timings,
             }
