@@ -166,3 +166,39 @@ def test_pack_token_sequences_tokens_col_hook(spark):
     out = pack_token_sequences(df, ctx_len=4, tokens_col="toks").collect()
     assert sum(r["n_tokens"] for r in out) == sum(1 + i % 3 for i in range(9))
     assert all(len(r["input_ids"]) == r["n_tokens"] for r in out)
+
+
+def test_r6_late_ops_empty_and_degenerate_inputs(spark):
+    """Edge battery for the r6-late ops: empty frames, all-filtered
+    gates, and empty token arrays must yield empty (not crash)."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        pack_token_sequences,
+        shard_shuffle,
+    )
+    from global_stock_data_warehouse_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_store,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    # incremental minhash: empty batch, empty store
+    assert incremental_minhash_dedup(empty, minhash_store(empty)).count() == 0
+    # empty batch vs NON-empty store
+    corpus = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    assert incremental_minhash_dedup(empty, minhash_store(corpus)).count() == 0
+    # pack: empty input, and all-empty texts (zero tokens -> zero rows)
+    e2 = spark.createDataFrame([], "doc_id long, shard long, pos long, text string")
+    assert pack_token_sequences(e2, ctx_len=8).count() == 0
+    blank = spark.createDataFrame(
+        [(1, 0, 1, ""), (2, 0, 2, "   ")],
+        "doc_id long, shard long, pos long, text string",
+    )
+    assert pack_token_sequences(blank, ctx_len=8).count() == 0
+    # shard_shuffle over empty
+    assert shard_shuffle(empty).count() == 0
+    # training_prep with an impossible gate -> empty, stable schema
+    out = training_prep_pipeline(_docs(spark, 20), quality_min=100.0, n_merges=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "shard", "pos", "n_bpe_tokens", "seq_first", "seq_last", "n_seqs",
+    ]
