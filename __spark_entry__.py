@@ -3029,6 +3029,29 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension fixed-point moments of the embedding corpus (r6):
+    n, sum and sum-of-squares of floor(x*1e6 + 0.5) as exact BIGINTs —
+    the distributed half of PCA (`pca_fit`'s moment pass) expressed in
+    oracle-able form, so the cross-engine exactness of integer moment
+    accumulation gets a driver-grade hash row (the eigensolve on top
+    stays rows-only in pca_variance, correctly). Quantized in DOUBLE
+    with the floor(+0.5) idiom every fx twin here uses."""
+    fx = F.expr("CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("dim", "x"))
+        .select(F.col("dim").cast("bigint").alias("dim"), fx.alias("q"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("sum_fx"),
+            F.sum(F.col("q") * F.col("q")).alias("sumsq_fx"),
+        )
+        .orderBy("dim")
+    )
+
+
 def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA explained-variance report over the embeddings table (r6): ONE
     exact distributed moment pass (per-batch int64 Gram partials, d^2+d+1
@@ -3432,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_self_loglik": q_nb_self_loglik,
         "shard_shuffle": q_shard_shuffle,
         "packed_sequences": q_packed_sequences,
+        "embedding_moments": q_embedding_moments,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3481,6 +3505,22 @@ ORDER BY l.source
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        "embedding_moments": """
+WITH stream AS (
+  SELECT unnest(range(0, len(embedding))) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+), q AS (
+  SELECT dim, CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+  FROM stream
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_fx,
+       CAST(sum(q * q) AS BIGINT) AS sumsq_fx
+FROM q GROUP BY dim ORDER BY dim
+""",
+
         "packed_sequences": """
 WITH keyed AS (
   SELECT doc_id, text, md5('42:' || CAST(doc_id AS VARCHAR)) AS k
