@@ -1236,6 +1236,43 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_neardup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup consensus (r6): the text-level bigram-Jaccard
+    pair set full-outer-joined with the embedding-cosine pair set
+    (doc_id = vec_id in the fixtures) — per candidate pair, which
+    modality flagged it and whether they agree. The triage view a dedup
+    operator reviews before choosing thresholds: 'both' pairs are
+    near-certain dups, single-modality pairs show where paraphrase
+    (semantic_only) or template noise (text_only) lives. Both inputs are
+    individually oracled bit-exact; the oracle here composes their SQL
+    as CTEs so the three can never drift apart."""
+    from global_stock_data_warehouse_spark.operators.similarity import (
+        embedding_neardup,
+    )
+
+    tp = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    ).select("id_a", "id_b", "jaccard")
+    ep = embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    both = F.col("jaccard").isNotNull() & F.col("cosine_sim").isNotNull()
+    return (
+        tp.join(ep, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            "cosine_sim",
+            F.col("jaccard").isNotNull().alias("text_dup"),
+            F.col("cosine_sim").isNotNull().alias("semantic_dup"),
+            F.when(both, F.lit("both"))
+            .when(F.col("jaccard").isNotNull(), F.lit("text_only"))
+            .otherwise(F.lit("semantic_only"))
+            .alias("agreement"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic scale path: multi-table LSH candidates + exact cosine
     verify (approximate recall by design -> rows-only check)."""
@@ -3456,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_shuffle": q_shard_shuffle,
         "packed_sequences": q_packed_sequences,
         "embedding_moments": q_embedding_moments,
+        "neardup_consensus": q_neardup_consensus,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3482,6 +3520,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
+    d["neardup_consensus"] = f"""
+WITH tp AS ({d["ngram_jaccard_neardup"]}), ep AS ({d["embedding_neardup"]})
+SELECT coalesce(t.id_a, e.id_a) AS id_a,
+       coalesce(t.id_b, e.id_b) AS id_b,
+       t.jaccard, e.cosine_sim,
+       t.id_a IS NOT NULL AS text_dup,
+       e.id_a IS NOT NULL AS semantic_dup,
+       CASE WHEN t.id_a IS NOT NULL AND e.id_a IS NOT NULL THEN 'both'
+            WHEN t.id_a IS NOT NULL THEN 'text_only'
+            ELSE 'semantic_only' END AS agreement
+FROM tp t FULL OUTER JOIN ep e ON t.id_a = e.id_a AND t.id_b = e.id_b
+ORDER BY 1, 2
+"""
     d["classifier_confusion"] = f"""
 WITH tv AS ({d["token_vote_classify"]}), per_label AS (
   SELECT source, count(*) AS n_docs,
