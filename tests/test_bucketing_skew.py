@@ -144,3 +144,72 @@ def test_salted_join_bounds_per_task_rows_at_100x_skew(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_minhash_ledger_bucketed_probe_skips_store_shuffle(spark, tmp_path):
+    """The minhash_store docstring claims a (band, bucket)-bucketed
+    ledger makes the daily probe a zero-shuffle-store join. The
+    operator's candidate stage runs inside an eager checkpoint (its plan
+    is not visible from the final frame), so assert the claim on the
+    probe join itself — the exact shape incremental_minhash_dedup
+    builds: with broadcasts disabled (forcing sort-merge), the bucketed
+    ledger scan reads "Bucketed: true" and the join needs one fewer
+    Exchange than the identical unbucketed ledger; results identical."""
+    from global_stock_data_warehouse_spark.operators.dedup import (
+        _banded_signatures,
+        minhash_store,
+    )
+
+    def text(seed):
+        return " ".join(f"w{seed}_{i}" for i in range(30))
+
+    corpus = spark.createDataFrame(
+        [(i, text(i)) for i in range(40)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, text(i if i % 2 else 900 + i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    store_df = minhash_store(corpus).localCheckpoint(eager=True)
+    write_bucketed(
+        store_df,
+        "t_minhash_ledger",
+        ["band", "bucket"],
+        num_buckets=8,
+        path=str(tmp_path / "ledger"),
+    )
+    b_band = (
+        _banded_signatures(batch, "text", "doc_id", 32, 8, 2)
+        .select("id", "band", "bucket")
+        .localCheckpoint(eager=True)
+    )
+
+    def probe(store):
+        return b_band.join(
+            store.select("band", "bucket", F.col("id").alias("sid")),
+            ["band", "bucket"],
+        ).select("id", "sid")
+
+    thresholds = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in thresholds}
+    try:
+        for k, v in thresholds.items():
+            spark.conf.set(k, v)
+        bucketed = probe(read_table(spark, "t_minhash_ledger"))
+        plain = probe(store_df)
+        rows_b = sorted(map(tuple, bucketed.collect()))
+        rows_p = sorted(map(tuple, plain.collect()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert rows_b == rows_p and rows_b, "probe results must match and be non-empty"
+    plan_b, plan_p = _physical_plan(bucketed), _physical_plan(plain)
+    assert "Bucketed: true" in plan_b, plan_b
+    n_b, n_p = plan_b.count("Exchange"), plan_p.count("Exchange")
+    assert n_b < n_p, f"bucketed probe should drop the store-side shuffle: {n_b} vs {n_p}\n{plan_b}"
