@@ -1154,6 +1154,19 @@ def incremental_minhash_dedup(
     with the corpus)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    # Guard against a ledger built with different parameters: a shorter/
+    # longer stored sig would silently null-pad through zip_with and
+    # deflate every jaccard estimate (missed dups, no error). Signature
+    # LENGTH is checkable from one row (limit-1 scan, one row group);
+    # bands/ngram mismatches are not encoded in the sig — they only
+    # degrade bucket recall — so they remain a documented contract.
+    probe = store.select(F.size("sig").alias("_n")).limit(1).collect()
+    if probe and probe[0]["_n"] != num_hashes:
+        raise ValueError(
+            f"minhash store signature length {probe[0]['_n']} != "
+            f"num_hashes={num_hashes}: the ledger was built with different "
+            "parameters; rebuild it or probe with the store's parameters"
+        )
     banded = _banded_signatures(batch, text_col, id_col, num_hashes, bands, ngram)
     b_sig = banded.filter(F.col("band") == 0).select("id", "sig").localCheckpoint(
         eager=True

@@ -192,7 +192,12 @@ def benford_audit(
     one_row = digits.agg(
         F.count(F.lit(1)).alias("_total"),
         *[
-            F.sum(F.when(F.col("digit") == d, 1).otherwise(0))
+            # coalesce: sum over ZERO rows is NULL, and the empty-input
+            # contract above promises n=0 / observed=0 / deviation=expected
+            # (count-based _total is already 0-safe).
+            F.coalesce(
+                F.sum(F.when(F.col("digit") == d, 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias(f"_n{d}")
             for d in sorted(BENFORD_P)

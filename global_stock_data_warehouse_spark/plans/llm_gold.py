@@ -74,9 +74,14 @@ def llm_gold_pipeline(
     eval_docs = docs.filter(eval_pred)
     # anti-join instead of filter(~eval_pred): eval_pred may reference
     # docs columns the narrow toked frame dropped; the eval id set is
-    # tiny, so AQE broadcasts the anti side
+    # tiny, so AQE broadcasts the anti side. NULL semantics match the
+    # original filter(~eval_pred): a row whose predicate evaluates to
+    # NULL is excluded from train (filter drops non-TRUE rows), so the
+    # anti side is TRUE-or-NULL ids — only explicitly-FALSE rows train.
+    # The contamination gram set stays the explicitly-TRUE docs only.
+    non_train_ids = docs.filter(eval_pred.isNull() | eval_pred).select(id_col)
     train_docs = toked.join(clean.select(id_col), id_col).join(
-        eval_docs.select(id_col), id_col, "left_anti"
+        non_train_ids, id_col, "left_anti"
     )
     kept_ids = (
         decontaminate(

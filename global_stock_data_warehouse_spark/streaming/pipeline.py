@@ -324,9 +324,19 @@ def neardup_gate_sink(
     lives in the APPEND-ONLY parquet ledger, not the streaming state
     store, so a near-dup horizon is unbounded-corpus-sized without any
     watermark/state-memory trade (a signature row is a pure function of
-    the doc's text; re-processing after a checkpoint recovery re-appends
-    idempotently identical rows, and the min-id keep policy makes the
-    verdicts insensitive to the duplicate ledger rows).
+    the doc's text, and the min-id keep policy makes the verdicts
+    insensitive to re-read ledger rows).
+
+    Replay safety: foreachBatch is at-least-once, so BOTH sinks write
+    their micro-batch under a ``_batch_id=N`` partition with DYNAMIC
+    partition overwrite (a per-write option, not session conf) — a
+    replayed batch rewrites exactly its own partition instead of
+    appending a second copy, making recovery idempotent for out_path
+    AND the ledger regardless of where the previous attempt crashed.
+    The ledger partition is written FIRST so a crash between the two
+    writes can only leave admitted signatures without their documents
+    (repaired by the replay's overwrite), never documents the ledger
+    does not know about.
 
     At cluster scale, write the ledger bucketed by ``(band, bucket)``
     (`storage/bucketing.py`) so each micro-batch's store probe is a
@@ -358,10 +368,21 @@ def neardup_gate_sink(
         kept = batch.join(
             verdicts.filter(F.col("keep")).select(id_col), id_col
         ).localCheckpoint(eager=True)
-        kept.write.mode("append").parquet(out_path)
-        minhash_store(kept, text_col, id_col, num_hashes, bands, ngram).write.mode(
-            "append"
-        ).parquet(ledger_path)
+
+        def write_batch_partition(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+
+        write_batch_partition(
+            minhash_store(kept, text_col, id_col, num_hashes, bands, ngram),
+            ledger_path,
+        )
+        write_batch_partition(kept, out_path)
 
     return (
         stream.writeStream.foreachBatch(gate)

@@ -143,3 +143,20 @@ def test_benford_audit_flags_synthetic_digits(spark):
         if d != 5:
             assert spike[d].n == 0 and spike[d].observed == 0.0
             assert spike[d].deviation == spike[d].expected
+
+
+def test_benford_audit_empty_input_contract(spark):
+    """Zero qualifying rows (empty frame, or every value filtered out as
+    non-positive) must still yield the 9-row n=0/observed=0/
+    deviation=expected frame — sum over zero rows is NULL without the
+    coalesce (r6 ADVICE regression)."""
+    from global_stock_data_warehouse_spark.operators.profile import benford_audit
+
+    empty = spark.createDataFrame([], "v double")
+    negatives = spark.createDataFrame([(-3.2,), (0.0,)], ["v"])
+    for df in (empty, negatives):
+        rows = {r.digit: r for r in benford_audit(df, "v").collect()}
+        assert set(rows) == set(range(1, 10))
+        for r in rows.values():
+            assert r.n == 0 and r.observed == 0.0
+            assert r.deviation == r.expected

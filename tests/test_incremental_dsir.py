@@ -291,3 +291,20 @@ def test_incremental_minhash_repartition_deterministic(spark):
         )
     )
     assert a == b
+
+
+def test_incremental_minhash_rejects_mismatched_store_params(spark):
+    """A ledger built with num_hashes=16 probed at num_hashes=32 must
+    raise instead of silently null-padding signatures through zip_with
+    and deflating every jaccard estimate (r6 ADVICE)."""
+    import pytest
+
+    corpus = _texts(spark, [(i, _mk_text(i)) for i in range(5)])
+    store16 = minhash_store(corpus, num_hashes=16, bands=8)
+    batch = _texts(spark, [(100, _mk_text(0, mutate=1))])
+    with pytest.raises(ValueError, match="signature length"):
+        incremental_minhash_dedup(batch, store16, num_hashes=32, bands=8)
+    # matching params still fine; empty store skips the probe entirely
+    incremental_minhash_dedup(batch, store16, num_hashes=16, bands=8).collect()
+    empty = minhash_store(corpus.limit(0), num_hashes=16, bands=8)
+    incremental_minhash_dedup(batch, empty, num_hashes=32, bands=8).collect()

@@ -151,3 +151,57 @@ def test_neardup_gate_sink_cross_batch(spark, tmp_path):
     # ledger holds banded rows for every admitted doc
     led = spark.read.parquet(ledger)
     assert sorted({r.id for r in led.collect()}) == [1, 2, 12]
+
+
+def test_neardup_gate_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: force a replay of the last committed
+    micro-batch (delete its checkpoint commit marker) and assert neither
+    out_path nor the ledger gains duplicate rows — the batch_id-keyed
+    dynamic-partition-overwrite write makes recovery idempotent."""
+    import os
+
+    from global_stock_data_warehouse_spark.streaming.pipeline import (
+        neardup_gate_sink,
+        read_bar_stream,
+    )
+
+    def text(seed, n=30):
+        return " ".join(f"w{seed}_{i}" for i in range(n))
+
+    schema = "doc_id long, text string"
+    src, out, ledger, ckpt = (
+        str(tmp_path / p) for p in ("src", "out", "ledger", "ckpt")
+    )
+    spark.createDataFrame(
+        [(1, text(10)), (2, text(20))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    def run_to_completion():
+        import time
+
+        stream = read_bar_stream(spark, src, schema, max_files_per_trigger=1)
+        q = neardup_gate_sink(stream, ledger, out, ckpt, threshold=0.5).start()
+        q.awaitTermination(180)
+        q.stop()
+        for _ in range(100):  # drain async deregistration before a restart
+            if not q.isActive:
+                break
+            time.sleep(0.1)
+
+    run_to_completion()
+    first_out = sorted(map(tuple, spark.read.parquet(out).collect()))
+    first_led = sorted(map(tuple, spark.read.parquet(ledger).collect()))
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    # simulate a crash after the writes but before the commit: removing
+    # commits/0 makes the restarted query re-run micro-batch 0 verbatim
+    commits = os.path.join(ckpt, "commits")
+    markers = [f for f in os.listdir(commits) if not f.startswith(".")]
+    assert markers, "expected at least one committed batch"
+    last = sorted(markers)[-1]
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")  # local-FS checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_to_completion()
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == first_out
+    assert sorted(map(tuple, spark.read.parquet(ledger).collect())) == first_led

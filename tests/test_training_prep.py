@@ -202,3 +202,32 @@ def test_r6_late_ops_empty_and_degenerate_inputs(spark):
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "shard", "pos", "n_bpe_tokens", "seq_first", "seq_last", "n_seqs",
     ]
+
+
+def test_llm_gold_null_eval_pred_rows_excluded_from_train(spark):
+    """filter(~eval_pred) semantics restored: rows whose eval predicate
+    evaluates to NULL are excluded from train, exactly as the original
+    filter excluded non-TRUE rows (r6 ADVICE)."""
+    from global_stock_data_warehouse_spark.plans.llm_gold import llm_gold_pipeline
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"tok{i}_"), (F.col("id") * 101 + i * 13))
+                for i in range(25)
+            ],
+        ).alias("text"),
+        # flag: TRUE for %5==0, NULL for %5==1, FALSE otherwise
+        F.when(F.pmod("id", F.lit(5)) == 0, F.lit(True))
+        .when(F.pmod("id", F.lit(5)) == 1, F.lit(None).cast("boolean"))
+        .otherwise(F.lit(False))
+        .alias("is_eval"),
+    )
+    out = llm_gold_pipeline(docs, F.col("is_eval"), quality_min=0.0)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids, "explicitly-false docs must survive"
+    assert all(i % 5 not in (0, 1) for i in ids), (
+        "TRUE and NULL eval rows must both be excluded from train"
+    )
