@@ -359,7 +359,7 @@ def embedding_neardup_lsh(
     planes: int | None = None,
     tables: int | None = None,
     carry_vectors: bool | None = None,
-    carry_max_docs: int = 100_000,
+    carry_max_bytes: int = 4 << 20,
     probe_bits: int | None = None,
 ) -> DataFrame:
     """APPROXIMATE near-dup pairs: LSH-bucketed candidate generation +
@@ -384,15 +384,23 @@ def embedding_neardup_lsh(
     the self-join key is (table, bucket), so tables cannot cross-match.
 
     Candidate-row layout is stats-dispatched (``carry_vectors``, auto by
-    corpus count): small corpora keep the vectors RIDING the candidate
-    join — candidate volume is tiny and the two fetch joins would be pure
-    fixed overhead — while large corpora shrink candidates to
+    EXPECTED CANDIDATE BYTES, not corpus count): tiny candidate sets keep
+    the vectors RIDING the candidate join — the two fetch joins would be
+    pure fixed overhead — while everything else shrinks candidates to
     (id_a, id_b) ONLY (16 bytes) through the bucket join and cross-table
     dedup, fetching vectors AFTER dedup (broadcast fetch while the vector
     frame fits, shuffle-hash past that — never sort-merge, which would
     sort the candidate stream twice). Carrying both vectors through the
     candidate shuffle multiplied its width ~10x at the 100x harness point
-    (measured 27 GB -> 1.2 GB).
+    (measured 27 GB -> 1.2 GB). The dispatch estimate is the uniform-
+    bucket lower bound ``tables * n^2 / 2^planes`` pairs x both vectors'
+    width vs ``carry_max_bytes``: a corpus-count threshold mis-dispatched
+    the LOW-planes regime — 2k vectors at planes=6 made 125k candidate
+    pairs and shuffled 47.3 MB of carried vectors at sf0.1 where the
+    narrow layout moves 1.1 MB for the same 256 output rows (r7,
+    measured; wall flat). Real bucket skew only ever INCREASES candidate
+    volume over the estimate, which errs toward the narrow layout — the
+    safe side.
 
     MULTI-PROBE (``probe_bits``, Lv et al. VLDB'07 adapted to hyperplane
     signs): besides its own bucket, the probe side of the candidate join
@@ -471,7 +479,8 @@ def embedding_neardup_lsh(
     if carry_vectors is None:
         if n is None:
             n = src.count()
-        carry_vectors = n <= carry_max_docs
+        exp_pairs = tables * n * n / float(1 << min(planes, 62))
+        carry_vectors = exp_pairs * 2 * (16 + 4 * dim) <= carry_max_bytes
     bucketed = src.mapInPandas(add_buckets, schema=schema)
     if probe_bits > 0:
         # bucketed is consumed by BOTH join sides; cut the kernel lineage
