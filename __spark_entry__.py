@@ -2979,13 +2979,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # distinct on the INT pair, namespace-prefix afterwards: the distinct
+    # shuffles 16B keys instead of two strings (15.9 -> ~11 MB at sf0.1);
+    # the concat is a map-side projection over the already-unique rows
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_suppkey", "o_custkey")
+        .distinct()
         .select(
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
             F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
         )
-        .distinct()
     )
     ranks = pagerank(edges, max_iter=8, tol=1e-6)
     return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(50)
