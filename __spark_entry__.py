@@ -3277,6 +3277,73 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: the fixtures carry no partsupp, so
+    "stock value" is lineitem revenue from one nation's suppliers): parts
+    whose revenue through NATION_7 suppliers exceeds 0.1% of that
+    nation's total — grouped agg + global-total scalar (broadcast cross
+    join of a single-row agg, never a partition-less window over the
+    fact) + share filter. The supplier side is a broadcast dim filter;
+    the only fact shuffle is the per-part agg."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(s.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("part_value")
+        )
+    )
+    tot = per_part.agg(F.sum("part_value").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > 0.001 * F.col("_total"))
+        .select(
+            "l_partkey",
+            "part_value",
+            F.round(F.col("part_value") / F.col("_total"), 6).alias("share"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction on the part co-purchase graph:
+    top-25 NON-adjacent part pairs by neighborhood Jaccard — the
+    candidate-edge miner (Liben-Nowell & Kleinberg CIKM'03). Integer
+    wedge counts + one rounded division -> bit-exact oracle. Scale
+    caveats (hub wedge volume) documented on the operator."""
+    from global_stock_data_warehouse_spark.operators.graph import link_prediction
+
+    return link_prediction(_copurchase_edges(spark, sf_dir), k=25, min_common=2)
+
+
+def q_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay weighted revenue per event type (half-life
+    7 days, anchored to the frame's max date). DYADIC fixed-point: the
+    weight is 2^-halvings with an integer halving count, so every
+    contribution is an exact BIGINT and the sum is order-independent —
+    decay weighting without the exp() that would be EPS-only forever."""
+    from global_stock_data_warehouse_spark.operators.behavior import decayed_totals
+
+    return decayed_totals(_t(spark, sf_dir, "events"))
+
+
+def q_term_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square term/class feature selection over documents (class =
+    source): top-10 most discriminative terms per source by the 2x2
+    presence chi-square (Yang & Pedersen ICML'97). Pure integer-count
+    rational arithmetic — no transcendental — rounded at 6dp."""
+    from global_stock_data_warehouse_spark.operators.corpus import term_class_chi2
+
+    return term_class_chi2(_t(spark, sf_dir, "documents"), top_k=10, min_df=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks the first 50 entries against the
     # DuckDB oracle; entries beyond 50 get a weaker rows-only record.
@@ -3522,6 +3589,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": q_training_prep,
         "pca_variance": q_pca_variance,
         "incremental_minhash": q_incremental_minhash,
+        # --- r7 additions (oracled; rotated into the window per rule 2) ---
+        "important_stock": q_important_stock,
+        "link_prediction": q_link_prediction,
+        "decay_weighted": q_decay_weighted,
+        "term_chi2": q_term_chi2,
     }
 
 
@@ -3557,6 +3629,109 @@ SELECT l.source, CAST(l.n_docs AS BIGINT) AS n_docs,
             THEN CAST(l.n_correct * 1000000 // p.n_pred AS BIGINT) END AS precision_ppm
 FROM per_label l LEFT JOIN per_pred p USING (source)
 ORDER BY l.source
+"""
+    d["important_stock"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+), tot AS (
+  SELECT sum(part_value) AS total FROM per_part
+)
+SELECT l_partkey, part_value,
+       round(part_value / total, 6) AS share
+FROM per_part, tot
+WHERE part_value > 0.001 * total
+ORDER BY part_value DESC, l_partkey ASC
+"""
+    d["link_prediction"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), adj AS (
+  SELECT a AS w, b AS n FROM und UNION ALL SELECT b AS w, a AS n FROM und
+), cn AS (
+  SELECT x.n AS u, y.n AS v, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), open_pairs AS (
+  SELECT cn.* FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = cn.u AND und.b = cn.v)
+), deg AS (
+  SELECT w AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY w
+)
+SELECT u, v, common_neighbors, du.deg AS deg_u, dv.deg AS deg_v,
+       round(CAST(common_neighbors AS DOUBLE)
+             / CAST(du.deg + dv.deg - common_neighbors AS DOUBLE), 6) AS jaccard
+FROM open_pairs
+JOIN deg du ON u = du.node
+JOIN deg dv ON v = dv.node
+ORDER BY jaccard DESC, common_neighbors DESC, u ASC, v ASC
+LIMIT 25
+"""
+    d["decay_weighted"] = """
+WITH anchored AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         least(CAST(floor(date_diff('day', CAST(ts AS DATE),
+                                    (SELECT max(CAST(ts AS DATE)) FROM events))
+                          / 7) AS INTEGER), 10) AS h
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS raw_total,
+       round(CAST(sum(cents * (CAST(1 AS BIGINT) << (10 - h))) AS DOUBLE)
+             / (100.0 * 1024.0), 6) AS decayed_total
+FROM anchored
+GROUP BY event_type
+ORDER BY event_type
+"""
+    d["term_chi2"] = """
+WITH pres AS (
+  SELECT DISTINCT doc_id, source AS cls,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> t != '')) AS term
+  FROM documents
+), a AS (
+  SELECT cls, term, CAST(count(*) AS BIGINT) AS a FROM pres GROUP BY 1, 2
+), term_df AS (
+  SELECT term, sum(a) AS t_df FROM a GROUP BY term
+), cls_n AS (
+  SELECT source AS cls, CAST(count(*) AS BIGINT) AS c_n
+  FROM documents GROUP BY source
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), cells AS (
+  SELECT a.cls, a.term, a.a,
+         CAST(a.a AS DOUBLE) AS ad,
+         CAST(t_df - a.a AS DOUBLE) AS bd,
+         CAST(c_n - a.a AS DOUBLE) AS cd,
+         CAST(n - t_df - c_n + a.a AS DOUBLE) AS dd,
+         CAST(n AS DOUBLE) AS nd
+  FROM a JOIN term_df USING (term) JOIN cls_n USING (cls), n
+  WHERE t_df >= 5
+), scored AS (
+  SELECT cls, term, a AS df_in_class,
+         round(nd * ((ad * dd - bd * cd) * (ad * dd - bd * cd))
+               / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)), 6) AS chi2
+  FROM cells
+)
+SELECT cls, rnk, term, df_in_class, chi2 FROM (
+  SELECT cls, term, df_in_class, chi2,
+         CAST(row_number() OVER (PARTITION BY cls ORDER BY chi2 DESC, term ASC)
+              AS INTEGER) AS rnk
+  FROM scored)
+WHERE rnk <= 10
+ORDER BY cls, rnk
 """
     return d
 

@@ -470,3 +470,66 @@ def basket_rules(
             6,
         ).alias("lift"),
     )
+
+
+def decayed_totals(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    halflife_days: int = 7,
+    max_halvings: int = 10,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Exponential time-decay weighted totals per group — the recency-
+    weighted revenue/engagement rollup behind trend dashboards and
+    feature-store freshness signals (weight halves every
+    ``halflife_days``, anchored to the frame's OWN max date so the
+    result is a pure function of the data, not of wall-clock time).
+
+    Bit-exactness via DYADIC fixed-point: the weight is 2^-h with
+    h = min(floor(age_days / halflife_days), max_halvings) — an INTEGER
+    halving count — so each contribution is
+    round(value * cents_scale) << (max_halvings - h): an exact BIGINT.
+    The sum is integer arithmetic (order-independent, overflow-checked by
+    Spark), divided ONCE at the end by cents_scale * 2^max_halvings.
+    No transcendental, no float summation order dependence — engines
+    agree to the last bit where exp(-lambda*t) weighting never can.
+    Ages past ``max_halvings`` halvings keep the floor weight
+    2^-max_halvings (~1/1000 at the default) rather than dropping to
+    zero: the total remains monotone in the data.
+
+    Plan: one scalar max-date action folded into a broadcast cross join
+    (no single-partition window over the fact table), then ONE hash agg
+    on ``group_col`` whose partials absorb map-side. The fact table is
+    scanned once and never shuffled wider than (group, 2 bigints)."""
+    anchor = events.agg(F.max(F.to_date(ts_col)).alias("_anchor"))
+    h = F.least(
+        F.floor(
+            F.datediff(F.col("_anchor"), F.to_date(ts_col)) / F.lit(halflife_days)
+        ),
+        F.lit(max_halvings),
+    ).cast("int")
+    # half-up floor, not round(): Spark rounds HALF_UP, DuckDB banker's —
+    # floor(x + 0.5) is the same expression on both engines
+    cents = F.floor(F.col(value_col) * cents_scale + F.lit(0.5)).cast("long")
+    denom = float(cents_scale) * float(1 << max_halvings)
+    anchored = events.crossJoin(F.broadcast(anchor)).select(
+        F.col(group_col),
+        cents.alias("_cents"),
+        h.alias("_h"),
+    )
+    contrib = F.expr(
+        f"_cents * shiftleft(CAST(1 AS BIGINT), {int(max_halvings)} - _h)"
+    )
+    return (
+        anchored.groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("_cents").cast("double") / cents_scale, 2).alias(
+                "raw_total"
+            ),
+            F.round(F.sum(contrib).cast("double") / denom, 6).alias("decayed_total"),
+        )
+        .orderBy(group_col)
+    )

@@ -577,3 +577,81 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .orderBy(F.col("core_degree").desc(), F.col("node").asc())
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 25,
+    min_common: int = 2,
+) -> DataFrame:
+    """Common-neighbors link prediction: the top-``k`` NON-adjacent node
+    pairs ranked by neighborhood Jaccard — "parts bought with the same
+    things but never together", the candidate-edge miner for
+    recommendation / missing-link repair (Liben-Nowell & Kleinberg,
+    CIKM'03; the same wedge machinery as :func:`triangle_count` but
+    keeping the OPEN wedges a triangle census throws away).
+
+    Pipeline: canonical undirected edges (checkpointed once) -> map-side
+    adjacency union -> wedge self-join keyed on the shared CENTER node ->
+    per-pair common-neighbor count -> anti-join against the edge set
+    (adjacent pairs are predictions of nothing) -> degree join ->
+    jaccard = cn / (deg_u + deg_v - cn). Integer counts; the one float
+    is a single correctly-rounded division, rounded to 6dp -> engine
+    bit-exact. Total order (jaccard DESC, cn DESC, u ASC, v ASC).
+
+    Scale note: common-neighbor counting needs ALL wedges (sum of
+    deg(center)^2), so unlike the triangle census degree-orientation
+    cannot bound the volume — a degree-10^6 hub emits 10^12 wedge rows.
+    At 100 TB cap the center fan-out explicitly (drop or sample centers
+    above ~10^4 degree — a hub that common-neighbors half the catalog
+    carries no signal — or move to minhash neighborhood sketches); the
+    cap is a documented recall trade the exact sf-scale oracle does not
+    take. ``min_common`` prunes the pair tail before the anti-join and
+    rank."""
+    und = _canonical_undirected(edges, src, dst)
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    )
+    x = adj.select("w", F.col("n").alias("u"))
+    y = adj.select("w", F.col("n").alias("v"))
+    cn = (
+        x.join(y, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    open_pairs = cn.join(
+        und,
+        (cn.u == und.a) & (cn.v == und.b),
+        "left_anti",
+    )
+    deg = adj.groupBy(F.col("w").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (
+        open_pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            "deg_u",
+            "deg_v",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common_neighbors")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(),
+        F.col("common_neighbors").desc(),
+        F.col("u").asc(),
+        F.col("v").asc(),
+    ).limit(k)

@@ -307,3 +307,29 @@ def test_max_concurrency_empty_input_yields_no_rows(spark):
     )
     empty = spark.createDataFrame([], schema)
     assert max_concurrency(empty).count() == 0
+
+
+def test_decayed_totals_exact_dyadic_weights(spark):
+    """Known ages -> known halving counts; the decayed sum is exact
+    integer arithmetic (value 10.00 at age 0/7/14 days with halflife 7
+    -> weights 1, 1/2, 1/4)."""
+    import datetime as dt
+
+    from global_stock_data_warehouse_spark.operators.behavior import decayed_totals
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        ("buy", base, 10.0),
+        ("buy", base - dt.timedelta(days=7), 10.0),
+        ("buy", base - dt.timedelta(days=14), 10.0),
+        ("view", base - dt.timedelta(days=200), 4.0),  # past the cap
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {r.event_type: r for r in decayed_totals(df).collect()}
+    assert out["buy"].n_events == 3
+    assert out["buy"].raw_total == 30.0
+    assert out["buy"].decayed_total == 10.0 + 5.0 + 2.5
+    # age 200d = 28 halvings, capped at 10 -> weight 2^-10
+    assert out["view"].decayed_total == round(4.0 / 1024, 6)
+    # empty input: no rows, no divide-by-zero
+    assert decayed_totals(df.limit(0)).count() == 0

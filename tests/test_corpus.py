@@ -684,3 +684,29 @@ def test_shard_shuffle_rejects_bad_shard_count(spark):
     df = spark.range(5).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError):
         shard_shuffle(df, n_shards=0)
+
+
+def test_term_class_chi2_discriminative_terms(spark):
+    """A term occurring in every class-A doc and nowhere else maxes the
+    chi-square for class A; presence semantics (repeats in one doc count
+    once); min_df prunes rare terms."""
+    from global_stock_data_warehouse_spark.operators.corpus import term_class_chi2
+
+    rows = []
+    for i in range(10):
+        # 'alpha' only in class A (repeated -> presence counted once);
+        # 'common' everywhere; 'rare' in one doc only
+        rows.append((i, "alpha alpha common filler%d" % i, "A"))
+        rows.append((100 + i, "beta common filler%d rare" % i if i == 0
+                     else "beta common filler%d" % i, "B"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = term_class_chi2(df, top_k=3, min_df=2)
+    rows_a = [r for r in out.collect() if r.cls == "A"]
+    assert rows_a[0].term in ("alpha", "beta")  # both perfectly discriminative
+    by_term = {r.term: r for r in rows_a}
+    assert "alpha" in by_term and by_term["alpha"].df_in_class == 10
+    # perfect 10/0 vs 0/10 split over N=20: chi2 == N
+    assert by_term["alpha"].chi2 == 20.0
+    # 'rare' (df=1) pruned by min_df=2; 'common' has chi2 == 0
+    terms = {r.term for r in out.collect()}
+    assert "rare" not in terms

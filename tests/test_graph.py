@@ -233,3 +233,32 @@ def test_k_core_driver_and_distributed_paths_agree(spark):
         for r in k_core(df, k=3, driver_max_edges=0).collect()
     }
     assert small == big
+
+
+def test_link_prediction_common_neighbors(spark):
+    """Handcrafted graph: hub wedges score non-adjacent pairs; adjacent
+    pairs are excluded; jaccard = cn/(du+dv-cn)."""
+    from global_stock_data_warehouse_spark.operators.graph import link_prediction
+
+    # star around 0 (neighbors 1,2,3) plus edge 1-4: pairs (1,2),(1,3),
+    # (2,3) share neighbor 0 only -> cn=1, pruned by min_common=2 unless
+    # lowered; make 1 and 2 also share neighbor 5.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 4), (5, 1), (5, 2)], ["src", "dst"]
+    )
+    out = {
+        (r.u, r.v): r
+        for r in link_prediction(edges, k=10, min_common=2).collect()
+    }
+    # (1,2) share {0,5}; (0,5) share {1,2} — the only cn>=2 pairs
+    assert set(out) == {(1, 2), (0, 5)}
+    r = out[(1, 2)]
+    # deg(1)={0,4,5}=3, deg(2)={0,5}=2, cn=2 -> jaccard=2/(3+2-2)
+    assert r.common_neighbors == 2
+    assert (r.deg_u, r.deg_v) == (3, 2)
+    assert abs(r.jaccard - round(2 / 3, 6)) < 1e-12
+    # with min_common=1 the cn=1 pairs appear, but NEVER adjacent ones
+    all_pairs = link_prediction(edges, k=100, min_common=1).collect()
+    adjacent = {(0, 1), (0, 2), (0, 3), (1, 4), (1, 5), (2, 5)}
+    assert all((p.u, p.v) not in adjacent for p in all_pairs)
+    assert (2, 3) in {(p.u, p.v) for p in all_pairs}  # cn=1 via node 0
