@@ -3334,6 +3334,26 @@ def q_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_totals(_t(spark, sf_dir, "events"))
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-bitmap decontamination: same benchmark-overlap rule as
+    q_decontaminate but the eval gram set is compressed to a 2^20-bit
+    Bloom filter probed via k broadcast joins — the shape that still
+    works when the holdout ledger outgrows a raw-string broadcast.
+    One-sided error (never misses a true hit) -> rows-only; the
+    superset-of-exact property is pytest-enforced
+    (tests/test_corpus.py::test_bloom_decontaminate_superset_of_exact)."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        bloom_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=5,
+    ).orderBy("doc_id")
+
+
 def q_term_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square term/class feature selection over documents (class =
     source): top-10 most discriminative terms per source by the 2x2
@@ -3594,6 +3614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "decay_weighted": q_decay_weighted,
         "term_chi2": q_term_chi2,
+        # rows-only by design (xxhash64 bitmap; superset-of-exact pytest)
+        "bloom_decontaminate": q_bloom_decontaminate,
     }
 
 

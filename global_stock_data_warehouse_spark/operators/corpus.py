@@ -1805,3 +1805,111 @@ def term_class_chi2(
     return ranked.select("cls", "rnk", "term", "df_in_class", "chi2").orderBy(
         "cls", "rnk"
     )
+
+
+def bloom_gram_bitmap(
+    docs: DataFrame,
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter bitmap of a doc set's word ``n``-grams: ``m_bits``
+    bits packed as ``m_bits/64`` BIGINT words ``(word_idx, bits)`` — the
+    compressed membership structure :func:`bloom_decontaminate` probes.
+
+    No gram distinct is needed: duplicate grams OR the same bits, and the
+    ONE shuffle here (groupBy word_idx) collapses map-side to at most
+    ``m_bits/64`` rows per task via partial bit_or — the corpus-sized
+    gram stream never crosses the wire. Positions are
+    ``xxhash64(gram, seed_i) mod m`` (independent per seed column)."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    grams = docs.select(
+        F.explode(word_ngrams(tokens(text_col), n)).alias("gram")
+    )
+    positions = grams.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m_bits))
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    return positions.select(
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+    ).groupBy("word_idx").agg(F.expr("bit_or(mask)").alias("bits"))
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_tokens_col: str | None = None,
+) -> DataFrame:
+    """Scale path of :func:`decontaminate`: when the eval/benchmark gram
+    set is too large to broadcast as STRINGS (a 10k-doc suite is ~5M
+    5-grams x ~40B — fine; a continuously-growing holdout ledger at 100 TB
+    is not), compress it into a ``m_bits`` Bloom bitmap (64x-4000x
+    smaller, fixed size) and probe membership map-side.
+
+    One-sided error: a gram the eval set contains is ALWAYS flagged
+    (no false negatives — the guarantee decontamination actually needs);
+    a clean doc is flagged with probability ~(1-e^{-kn/m})^k per gram
+    (size ``m_bits`` for <<1% at your gram cardinality; over-flagging
+    only costs training data, never leaks eval).
+
+    Plan: the bitmap build's one shuffle collapses to <= m/64 rows
+    map-side (see :func:`bloom_gram_bitmap`); the probe side computes all
+    ``k_hashes`` membership tests as ``k`` BROADCAST joins against the
+    <= m/64-row bitmap (left joins — an absent word means 0 bits set), so
+    the train corpus is scanned once, never shuffled wider than
+    (doc_id, bool) for the final per-doc any() agg. Returns
+    (id_col, n_gram_hits, contaminated) — hit counts are bloom-positive
+    DISTINCT-gram counts per doc, an upper bound on the exact
+    ``n_collisions``. Not SQL-oracle-able (xxhash64); the superset
+    property vs the exact path is pytest-enforced."""
+    bitmap = bloom_gram_bitmap(eval_set, n, m_bits, k_hashes, text_col)
+    t_toks = F.col(train_tokens_col) if train_tokens_col else tokens(text_col)
+    probe = train.select(
+        id_col,
+        F.explode(F.array_distinct(word_ngrams(t_toks, n))).alias("gram"),
+    )
+    for i in range(k_hashes):
+        probe = probe.withColumn(
+            f"_p{i}", F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m_bits))
+        )
+        probe = probe.withColumn(
+            f"_w{i}", (F.col(f"_p{i}") / 64).cast("long")
+        ).withColumn(
+            f"_b{i}",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))"),
+        )
+    hit_all = F.lit(True)
+    for i in range(k_hashes):
+        bm = broadcast(
+            bitmap.select(
+                F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_bits{i}")
+            )
+        )
+        probe = probe.join(bm, f"_w{i}", "left")
+        hit_all = hit_all & (
+            F.coalesce(F.col(f"_bits{i}"), F.lit(0)).bitwiseAND(F.col(f"_b{i}")) != 0
+        )
+    per_doc = (
+        probe.select(F.col(id_col), hit_all.cast("int").alias("_hit"))
+        .groupBy(id_col)
+        .agg(F.sum("_hit").alias("n_gram_hits"))
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_gram_hits").cast("long").alias("n_gram_hits"),
+        (F.col("n_gram_hits") > 0).alias("contaminated"),
+    )

@@ -710,3 +710,42 @@ def test_term_class_chi2_discriminative_terms(spark):
     # 'rare' (df=1) pruned by min_df=2; 'common' has chi2 == 0
     terms = {r.term for r in out.collect()}
     assert "rare" not in terms
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """The bloom path NEVER misses a true contamination (one-sided
+    error), its per-doc hit count upper-bounds the exact collision
+    count, and a tiny bitmap degrades to over-flagging, never leaks."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    def text(seed, n=12):
+        return " ".join(f"w{seed}_{i}" for i in range(n))
+
+    train = spark.createDataFrame(
+        [(i, text(i)) for i in range(40)] + [(100, text(3)), (101, text(7))],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(900, text(3)), (901, text(7)), (902, text(999))],
+        "doc_id long, text string",
+    )
+    exact = {r.doc_id: r for r in decontaminate(train, ev, n=5).collect()}
+    bloom = {r.doc_id: r for r in bloom_decontaminate(train, ev, n=5).collect()}
+    assert set(exact) == set(bloom), "verdict must be total over train"
+    for d, r in exact.items():
+        if r.contaminated:
+            assert bloom[d].contaminated, f"bloom missed true hit {d}"
+        assert bloom[d].n_gram_hits >= r.n_collisions
+    assert exact[3].contaminated and exact[100].contaminated
+    # m = 64 bits: everything collides -> still a valid upper bound
+    tiny = {r.doc_id: r for r in
+            bloom_decontaminate(train, ev, n=5, m_bits=64).collect()}
+    for d, r in exact.items():
+        if r.contaminated:
+            assert tiny[d].contaminated
+    # empty eval set -> empty bitmap -> nothing flagged
+    clear = bloom_decontaminate(train, ev.limit(0), n=5).collect()
+    assert all(not r.contaminated for r in clear)
