@@ -235,3 +235,41 @@ def test_migrate_sqlite_to_parquet_roundtrip(spark, tmp_path):
     assert counts == {"stock_info": 2, "stock_prices": 40}
     back = spark.read.parquet(str(tmp_path / "lake" / "stock_prices.parquet"))
     assert back.count() == 40 and back.schema["close"].dataType.simpleString() == "double"
+
+
+def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
+    """ORC scan/sink parity with the parquet path: values round-trip,
+    filters reach the ORC reader (PushedFilters), scans prune to the
+    selected columns, and hive partition columns prune directories."""
+    from pyspark.sql import functions as F
+
+    from global_stock_data_warehouse_spark.sources.columnar import (
+        scan_orc,
+        sink_orc,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("bucket"),
+        (F.col("id") * 2.5).alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("name"),
+    )
+    path = str(tmp_path / "orc")
+    sink_orc(df, path, partition_by=["bucket"])
+
+    back = scan_orc(spark, path, "id long, v double, name string, bucket int")
+    assert back.count() == 1000
+    assert sorted(map(tuple, back.select("id", "v").collect())) == sorted(
+        map(tuple, df.select("id", "v").collect())
+    )
+    plan = (
+        back.filter(F.col("id") > 990)
+        .select("id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,990)]" in plan
+    assert "ReadSchema: struct<id:bigint>" in plan
+    pruned = back.filter(F.col("bucket") == 2)
+    assert pruned.count() == 250
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan and "bucket" in pplan.split("PartitionFilters")[1][:120]
