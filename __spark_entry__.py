@@ -3470,8 +3470,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-point twins + the media path) > the seven r5 additions
         # that have never had a driver-grade hash row > never-windowed
         # pool fill (min_cost_supplier .. triangle_count)
+        # --- r7 rotated window slots (31-50) ---
+        # risk order per rule 2: changed this round (benford empty-input
+        # coalesce, llm_gold NULL-pred anti-join; dedup_last_writer also
+        # changed but holds anchor slot 6) > the four NEW r7 oracled
+        # queries > the eight r6-late oracled queries that have never had
+        # a driver hash row > never-windowed pool fill
         "benford_audit": q_benford_audit,
         "llm_gold_pipeline": q_llm_gold_pipeline,
+        "important_stock": q_important_stock,
+        "link_prediction": q_link_prediction,
+        "decay_weighted": q_decay_weighted,
+        "term_chi2": q_term_chi2,
+        "incremental_dedup": q_incremental_dedup,
+        "dsir_select": q_dsir_select,
+        "token_vote_classify": q_token_vote_classify,
+        "classifier_confusion": q_classifier_confusion,
+        "packed_sequences": q_packed_sequences,
+        "shard_shuffle": q_shard_shuffle,
+        "embedding_moments": q_embedding_moments,
+        "neardup_consensus": q_neardup_consensus,
+        "rebalance_sample": q_rebalance_sample,
+        "temperature_sample": q_temperature_sample,
+        "split_assign": q_split_assign,
+        "priority_linestatus": q_priority_linestatus,
+        "custdist": q_custdist,
+        "promo_revenue_share": q_promo_revenue_share,
+        # --- oracled but beyond the driver's 50-row check window; verified
+        # locally via tools/check_correctness.py ---
+        # rotated out r7 (unchanged code, all driver-hashed green in r6)
         "autocorrelation_fx": q_autocorrelation_fx,
         "rolling_beta_fx": q_rolling_beta_fx,
         "source_chi2_drift": q_source_chi2_drift,
@@ -3490,8 +3517,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "equi_depth_hist": q_equi_depth_hist,
         "triangle_count": q_triangle_count,
-        # --- oracled but beyond the driver's 50-row check window; verified
-        # locally via tools/check_correctness.py ---
         # rotated out r6 (unchanged code, all previously driver-hashed r5)
         "record_linkage": q_record_linkage,
         "duplicate_spans": q_duplicate_spans,
@@ -3512,8 +3537,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": q_rolling_distinct_users,
         "quantile_summary": q_quantile_summary,
         "gap_fill": q_gap_fill,
-        "incremental_dedup": q_incremental_dedup,
-        "dsir_select": q_dsir_select,
         "remove_duplicate_spans": q_remove_duplicate_spans,
         "basket_rules": q_basket_rules,
         "source_overlap": q_source_overlap,
@@ -3554,12 +3577,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "ngram_topk": q_ngram_topk,
         "rolling_beta": q_rolling_beta,
-        "rebalance_sample": q_rebalance_sample,
-        "temperature_sample": q_temperature_sample,
-        "split_assign": q_split_assign,
-        "priority_linestatus": q_priority_linestatus,
-        "custdist": q_custdist,
-        "promo_revenue_share": q_promo_revenue_share,
         "top_revenue_supplier": q_top_revenue_supplier,
         "supplier_part_counts": q_supplier_part_counts,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -3581,13 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl": q_source_kl,
         "autocorrelation": q_autocorrelation,
         "dsir_weights": q_dsir_weights,
-        "token_vote_classify": q_token_vote_classify,
-        "classifier_confusion": q_classifier_confusion,
         "nb_self_loglik": q_nb_self_loglik,
-        "shard_shuffle": q_shard_shuffle,
-        "packed_sequences": q_packed_sequences,
-        "embedding_moments": q_embedding_moments,
-        "neardup_consensus": q_neardup_consensus,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3609,11 +3620,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": q_training_prep,
         "pca_variance": q_pca_variance,
         "incremental_minhash": q_incremental_minhash,
-        # --- r7 additions (oracled; rotated into the window per rule 2) ---
-        "important_stock": q_important_stock,
-        "link_prediction": q_link_prediction,
-        "decay_weighted": q_decay_weighted,
-        "term_chi2": q_term_chi2,
         # rows-only by design (xxhash64 bitmap; superset-of-exact pytest)
         "bloom_decontaminate": q_bloom_decontaminate,
     }

@@ -545,6 +545,25 @@ def _ops():
             df, ctx_len=512, n_merges=16, n_shards=64, max_words=100_000
         )
 
+    def linkpred(spark, s):
+        e = fixture(spark, "edges", s)
+        return graph.link_prediction(e, k=25, min_common=2)
+
+    def bloomdecon(spark, s):
+        # same contract shape as contamination: the eval side is FIXED at
+        # the 1x size (a benchmark suite doesn't grow with the corpus);
+        # the bitmap is constant m_bits regardless of scale, so the probe
+        # side must stay a linear map-side scan.
+        df = fixture(spark, "docs", s)
+        ev = df.filter(F.col("doc_id") < BASE_DOCS // 20)
+        return corpus.bloom_decontaminate(df.filter(F.col("doc_id") % 7 != 0), ev)
+
+    def termchi2(spark, s):
+        df = fixture(spark, "docs", s).withColumn(
+            "source", F.pmod(F.col("doc_id"), F.lit(20)).cast("string")
+        )
+        return corpus.term_class_chi2(df, top_k=10, min_df=5)
+
     # (runner, expected exponent, what the expectation comes from)
     return {
         "ngram_jaccard_neardup": (ngram_jaccard, 1.0, "PPJoin prefix blocks, constant df/token"),
@@ -579,6 +598,9 @@ def _ops():
         "incremental_minhash": (inc_minhash, 1.0, "banded batch crosses once ((band,bucket) partitioning shared by store probe + self-join); constant dup density"),
         "packed_sequences": (packed, 1.0, "each token shuffles exactly once keyed (shard, seq_id); offsets are a narrow count cumsum"),
         "pca_variance": (pca, 0.0, "moment partials bounded: (d^2+d+1) rows per batch regardless of corpus rows", lambda spark, s: fixture(spark, "vecs", s)),
+        "link_prediction": (linkpred, 1.0, "all-wedge volume ~ n*avg_deg^2: linear at constant degree (hub-cap is the documented lever when degree grows)"),
+        "bloom_decontaminate": (bloomdecon, 1.0, "constant-size bitmap broadcast; probe is one map-side gram scan + (doc,bool) agg"),
+        "term_chi2": (termchi2, 1.0, "one (class,term) shuffle; Heaps vocab keeps per-term df constant"),
     }
 
 
