@@ -1785,22 +1785,35 @@ def term_class_chi2(
         * (det * det)
         / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd))
     )
-    ranked = (
-        cells.select(
-            F.col("cls"),
-            F.col("term"),
-            F.col("a").alias("df_in_class"),
-            F.round(chi2, 6).alias("chi2"),
-        )
+    scored = cells.select(
+        F.col("cls"),
+        F.col("term"),
+        F.col("a").alias("df_in_class"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+    # EXACT two-level top-k: a rank window partitioned by cls alone
+    # funnels the whole (class, term) frame through |classes| tasks —
+    # measured wall exponent 1.28 at the 300x harness point while bytes
+    # stayed linear (the 20-partition window was the hot spot, not the
+    # shuffle). Level 1 ranks within (cls, salt) — 32x the parallelism —
+    # and keeps top_k per salt: any row in the global per-class top_k has
+    # <= top_k-1 rows above it in ITS salt too, so the salt survivors are
+    # a superset. Level 2 re-ranks the <= 32*top_k survivors per class.
+    order = (F.col("chi2").desc(), F.col("term").asc())
+    salted = (
+        scored.withColumn("_salt", F.pmod(F.xxhash64("term"), F.lit(32)))
         .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("cls").orderBy(
-                    F.col("chi2").desc(), F.col("term").asc()
-                )
-            ),
+            "_r1",
+            F.row_number().over(Window.partitionBy("cls", "_salt").orderBy(*order)),
+        )
+        .filter(F.col("_r1") <= top_k)
+    )
+    ranked = (
+        salted.withColumn(
+            "rnk", F.row_number().over(Window.partitionBy("cls").orderBy(*order))
         )
         .filter(F.col("rnk") <= top_k)
+        .drop("_salt", "_r1")
     )
     return ranked.select("cls", "rnk", "term", "df_in_class", "chi2").orderBy(
         "cls", "rnk"

@@ -273,3 +273,54 @@ def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
     assert pruned.count() == 250
     pplan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in pplan and "bucket" in pplan.split("PartitionFilters")[1][:120]
+
+
+def test_blob_sync_incremental_roundtrip(spark, tmp_path):
+    """K4 sink_blob_sync: first sync copies everything, a repeat sync
+    copies nothing, a content change re-copies (checksum mode), and
+    dst-only files are deleted only with delete=True."""
+    import os
+
+    from global_stock_data_warehouse_spark.sources.blob_sync import (
+        blob_manifest,
+        sink_blob_sync,
+        sync_plan,
+    )
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    (src / "nested").mkdir(parents=True)
+    (src / "a.csv").write_text("x,y\n1,2\n")
+    (src / "nested" / "b.json").write_text('{"k": 1}')
+
+    c1 = sink_blob_sync(spark, str(src), str(dst))
+    assert c1["copy_new"] == 2 and c1["failed"] == 0
+    assert (dst / "a.csv").read_text() == "x,y\n1,2\n"
+    assert (dst / "nested" / "b.json").exists()
+
+    c2 = sink_blob_sync(spark, str(src), str(dst))
+    assert c2["copy_new"] == 0 and c2["copy_changed"] == 0 and c2["skip"] == 2
+
+    # same-length content change: metadata-only diff may miss it if the
+    # mtime granularity collapses -- checksum mode must catch it
+    (src / "a.csv").write_text("x,y\n9,8\n")
+    os.utime(src / "a.csv", ns=(1, 1))  # force mtime BACKWARDS
+    plan = {
+        r["rel_path"]: r["action"]
+        for r in sync_plan(
+            blob_manifest(spark, str(src), checksum=True),
+            blob_manifest(spark, str(dst), checksum=True),
+            checksum=True,
+        ).collect()
+    }
+    assert plan["a.csv"] == "copy_changed"
+    c3 = sink_blob_sync(spark, str(src), str(dst), checksum=True)
+    assert c3["copy_changed"] == 1
+    assert (dst / "a.csv").read_text() == "x,y\n9,8\n"
+
+    # dst-only file survives by default, deleted with delete=True
+    (dst / "stale.txt").write_text("old")
+    c4 = sink_blob_sync(spark, str(src), str(dst))
+    assert (dst / "stale.txt").exists()
+    c5 = sink_blob_sync(spark, str(src), str(dst), delete=True)
+    assert c5["delete"] == 1 and not (dst / "stale.txt").exists()
