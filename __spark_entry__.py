@@ -3386,53 +3386,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     in tools/check_correctness.py) stay OUT of the window: the
     #     driver's hash has no tolerance.
     #
-    # ROUND-6 ROTATION: 30 anchor slots unchanged. Slots 31-50, risk
-    # order per rule 2: (a) changed this round — benford_audit
-    # (conditional-sum rewrite) and llm_gold_pipeline (single-tokenize
-    # plan, ALSO never windowed); (b) the five queries ADDED this round —
-    # the four hash-exact fixed-point twins (autocorrelation_fx,
-    # rolling_beta_fx, source_chi2_drift, unigram_prob_score — closing
-    # the r5 VERDICT's EPS-only evidence gap) and multimodal_features
-    # (the real Arrow media path, closed-form-oracled); (c) the six
-    # remaining r5 additions that never had a driver hash row
-    # (semantic_decontaminate, leakage_safe_split, dedup_keep_best,
-    # source_mix_report, contamination_report, dedup_funnel); (d) seven
-    # from the never-windowed pool (min_cost_supplier,
+    # ROUND-7 ROTATION: 30 anchor slots unchanged. Slots 31-50 (risk
+    # order per rule 2): (a) changed this round — benford_audit
+    # (empty-input coalesce) and llm_gold_pipeline (NULL-pred anti-join);
+    # dedup_last_writer also changed (multi-column order) but holds
+    # anchor slot 6; (b) the four r7 additions (important_stock,
+    # link_prediction, decay_weighted, term_chi2 — all CHECK_EXACT=1
+    # verified before promotion); (c) the eight r6-late oracled queries
+    # that never had a driver hash row (incremental_dedup, dsir_select,
+    # token_vote_classify, classifier_confusion, packed_sequences,
+    # shard_shuffle, embedding_moments, neardup_consensus); (d) six
+    # never-windowed pool fills (rebalance_sample, temperature_sample,
+    # split_assign, priority_linestatus, custdist, promo_revenue_share).
+    # Rotated OUT (all green driver rows in r6, code unchanged):
+    # autocorrelation_fx, rolling_beta_fx, source_chi2_drift,
+    # unigram_prob_score, multimodal_features, semantic_decontaminate,
+    # leakage_safe_split, dedup_keep_best, source_mix_report,
+    # contamination_report, dedup_funnel, min_cost_supplier,
     # nation_revenue_share, dormant_rich_customers, hopping_window,
-    # mad_outliers, equi_depth_hist, triangle_count). Rotated OUT to the
-    # mirror-checked section (all held green driver rows in r5, code
-    # unchanged): record_linkage, duplicate_spans, waiting_suppliers,
-    # collocations_topk, vocab_growth, ngram_topk_sketch,
-    # latency_percentiles, session_paths, order_priority_exists,
-    # forecast_revenue, volume_shipping, product_profit,
-    # returned_top_customers, cohort_retention, event_transitions,
-    # attribution_last_touch, rolling_distinct_users, quantile_summary,
-    # gap_fill — every one stays oracled and bit-exact-mirrored via
-    # tools/check_correctness.py each round (rule 3).
+    # mad_outliers, equi_depth_hist, triangle_count — every one stays
+    # oracled and bit-exact-mirrored via tools/check_correctness.py
+    # (rule 3).
     #
-    # R7 ROTATION GUIDANCE: lead with the ORACLED queries ADDED LATE in
-    # r6 that have never had a driver hash row — incremental_dedup,
-    # dsir_select, token_vote_classify, classifier_confusion,
-    # packed_sequences, shard_shuffle (all hash-exact by construction;
-    # dsir_weights and nb_self_loglik stay out as EPS per rule 4) — plus
-    # anything changed in r7. (training_prep, pca_variance,
-    # incremental_minhash, bpe_vocab/bpe_encode_stats, kmeans_clusters,
-    # cluster_balanced_sample are rows-only by rule 1; their evidence is
-    # the equivalence/property suites named in COVERAGE.md.) After r6 the never-windowed oracled
-    # pool is rebalance_sample, temperature_sample, split_assign,
-    # priority_linestatus, custdist, promo_revenue_share,
-    # top_revenue_supplier, supplier_part_counts, disjunctive_revenue,
-    # dominant_suppliers, hist_bins, dense_ids, unpivot_ohlc,
-    # longest_up_streak, salted_flag_totals, vwap_brand, market_breadth,
-    # repeat_purchase_rate, price_distribution, class_centroids,
-    # quantize_embeddings, centroid_outliers, skew_report, plus the
-    # mirror-only composites (remove_duplicate_spans, basket_rules,
-    # source_overlap, trend_ols, market_share, scd2_history, cdc_apply,
-    # max_concurrency, tfidf_topterms, bpe_merge_candidates,
-    # paragraph_dedup, decontaminate, pii_scrub, bm25_score,
-    # pack_sequences, keyword_search, gap_fill_linear, rfm_segments,
-    # ...). Lead with whatever changed in r7; EPS queries stay out
-    # (rule 4 — their _fx twins carry the driver-grade evidence now).
+    # R8 ROTATION GUIDANCE: no oracled query remains un-hashed after
+    # this window (bloom_decontaminate is rows-only by rule 1 —
+    # xxhash64 bitmap; its evidence is the superset-of-exact pytest).
+    # Lead with whatever changes in r8, then refill from the
+    # never-windowed pool: top_revenue_supplier, supplier_part_counts,
+    # disjunctive_revenue, dominant_suppliers, hist_bins, dense_ids,
+    # unpivot_ohlc, longest_up_streak, salted_flag_totals, vwap_brand,
+    # market_breadth, repeat_purchase_rate, price_distribution,
+    # class_centroids, quantize_embeddings, centroid_outliers,
+    # skew_report, and the mirror-only composites
+    # (remove_duplicate_spans, basket_rules, source_overlap, trend_ols,
+    # market_share, scd2_history, cdc_apply, max_concurrency,
+    # tfidf_topterms, bpe_merge_candidates, paragraph_dedup,
+    # decontaminate, pii_scrub, bm25_score, pack_sequences,
+    # keyword_search, gap_fill_linear, rfm_segments, ...). EPS queries
+    # (rolling_beta, unigram_logprob, source_kl, autocorrelation,
+    # dsir_weights, nb_self_loglik) stay out per rule 4 — their _fx
+    # twins carry the driver-grade evidence.
     return {
         "wmy_gold_pipeline": q_wmy_gold_pipeline,
         "wmy_weekly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "W"),

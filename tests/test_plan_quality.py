@@ -101,6 +101,26 @@ def test_range_join_preaggregates_fact_side(spark):
     assert agg_at > join_at, plan
 
 
+def test_decay_weighted_single_fact_exchange(spark, sf_dir):
+    """The anchor (max date) must come back as a broadcast cross join,
+    never a partition-less window; the fact table shuffles once (the
+    group agg) at most."""
+    plan = _plan(entry.queries()["decay_weighted"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # events scanned twice (anchor agg + main agg) but never joined wide
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_important_stock_broadcasts_dims_and_total(spark, sf_dir):
+    """Supplier/nation prune broadcast-side; the scalar total joins back
+    as a broadcast, so lineitem shuffles only for the per-part agg."""
+    plan = _plan(entry.queries()["important_stock"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
 def test_no_plan_antipatterns_in_any_query(spark):
     """Global physical-plan gate over EVERY declared query: no
     CartesianProduct (an unconstrained pair blowup at scale) and no
