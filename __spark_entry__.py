@@ -3334,6 +3334,16 @@ def q_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_totals(_t(spark, sf_dir, "events"))
 
 
+def q_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample KS drift of the doc-length distribution vs
+    the pooled corpus — the nonparametric drift monitor next to
+    source_kl (needs a token model) and source_chi2_drift (needs a term
+    domain). Integer ECDF counts divided once -> engine bit-exact."""
+    from global_stock_data_warehouse_spark.operators.profile import ks_drift
+
+    return ks_drift(_t(spark, sf_dir, "documents"), "source", "n_chars")
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-bitmap decontamination: same benchmark-overlap rule as
     q_decontaminate but the eval gram set is compressed to a 2^20-bit
@@ -3613,6 +3623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": q_training_prep,
         "pca_variance": q_pca_variance,
         "incremental_minhash": q_incremental_minhash,
+        # added r7 AFTER the window froze — window candidate for r8
+        "length_ks_drift": q_length_ks_drift,
         # rows-only by design (xxhash64 bitmap; superset-of-exact pytest)
         "bloom_decontaminate": q_bloom_decontaminate,
     }
@@ -3715,6 +3727,37 @@ SELECT event_type,
 FROM anchored
 GROUP BY event_type
 ORDER BY event_type
+"""
+    d["length_ks_drift"] = """
+WITH counts AS (
+  SELECT source AS grp, n_chars AS v, CAST(count(*) AS BIGINT) AS n_gv
+  FROM documents GROUP BY 1, 2
+), domain AS (
+  SELECT v, sum(n_gv) AS n_v FROM counts GROUP BY v
+), dom_cum AS (
+  SELECT v, sum(n_v) OVER (ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v
+  FROM domain
+), grp_tot AS (
+  SELECT grp, sum(n_gv) AS n_g FROM counts GROUP BY grp
+), n AS (
+  SELECT sum(n_gv) AS n_total FROM counts
+), grid AS (
+  SELECT g.grp, g.n_g, d.v, d.cum_v, coalesce(c.n_gv, 0) AS n_gv
+  FROM grp_tot g CROSS JOIN dom_cum d
+  LEFT JOIN counts c ON c.grp = g.grp AND c.v = d.v
+), ecdf AS (
+  SELECT grp, v, n_g,
+         abs(CAST(sum(n_gv) OVER (PARTITION BY grp ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(n_g AS DOUBLE)
+             - CAST(cum_v AS DOUBLE) / CAST(n_total AS DOUBLE)) AS d
+  FROM grid, n
+)
+SELECT grp AS source, CAST(max(n_g) AS BIGINT) AS n_docs,
+       round(max(d), 6) AS ks_d,
+       first(v ORDER BY d DESC, v ASC) AS at_value
+FROM ecdf GROUP BY grp ORDER BY grp
 """
     d["term_chi2"] = """
 WITH pres AS (

@@ -227,3 +227,68 @@ def benford_audit(
         exp.alias("expected"),
         F.round(F.abs(obs - exp), 6).alias("deviation"),
     ).orderBy("digit")
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per group vs the pooled
+    corpus: D = max_v |F_group(v) - F_corpus(v)| — the NONPARAMETRIC
+    member of the drift-monitor family (source_kl needs a token model,
+    source_chi2_drift a term domain; KS sees any shift in a numeric
+    distribution — doc lengths collapsing, a feed truncating, a scraper
+    suddenly emitting boilerplate stubs — with no binning choices).
+
+    Exactness: ECDF values are integer cumulative counts divided once;
+    both engines compute identical doubles, so the max and its argmax
+    (the smallest value attaining D, reported as ``at_value``) agree
+    bit-for-bit; D is rounded at 6dp for the report.
+
+    Scale: the only corpus-sized pass is the (group, value) count agg —
+    map-side partials absorb the fact stream, and everything after runs
+    on the |groups| x |distinct values| grid (value domains of real
+    numeric profile columns — lengths, token counts, prices-in-cents —
+    are bounded, so the grid does not grow with the corpus). The dense
+    grid (every group needs an ECDF step at EVERY corpus value) is a
+    broadcast cross join of two tiny frames, and the cumulative windows
+    partition by group over that grid, never over the corpus."""
+    counts = (
+        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).alias("n_gv"))
+        .localCheckpoint(eager=True)
+    )
+    domain = counts.groupBy("v").agg(F.sum("n_gv").alias("n_v"))
+    grp_tot = counts.groupBy("grp").agg(F.sum("n_gv").alias("n_g"))
+    n_total = counts.agg(F.sum("n_gv").alias("n_total"))
+    dom_cum = domain.select(
+        "v",
+        F.sum("n_v").over(Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )).alias("cum_v"),
+    )
+    grid = grp_tot.crossJoin(F.broadcast(dom_cum)).join(
+        counts, ["grp", "v"], "left"
+    ).fillna({"n_gv": 0})
+    cum_g = F.sum("n_gv").over(
+        Window.partitionBy("grp").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    ecdf = grid.withColumn("cum_g", cum_g).crossJoin(F.broadcast(n_total))
+    d = F.abs(
+        F.col("cum_g").cast("double") / F.col("n_g").cast("double")
+        - F.col("cum_v").cast("double") / F.col("n_total").cast("double")
+    )
+    return (
+        ecdf.select(F.col("grp").alias(group_col), "v", d.alias("_d"), "n_g")
+        .groupBy(group_col)
+        .agg(
+            F.max("n_g").cast("long").alias("n_docs"),
+            F.round(F.max("_d"), 6).alias("ks_d"),
+            F.expr("min_by(v, struct(-_d, v))").alias("at_value"),
+        )
+        .orderBy(group_col)
+    )

@@ -160,3 +160,30 @@ def test_benford_audit_empty_input_contract(spark):
         for r in rows.values():
             assert r.n == 0 and r.observed == 0.0
             assert r.deviation == r.expected
+
+
+def test_ks_drift_detects_shifted_distribution(spark):
+    """A group drawn from a shifted distribution scores high D; a group
+    identical to the pool scores low; D is in [0,1] and the argmax value
+    is deterministic (smallest value attaining D)."""
+    from global_stock_data_warehouse_spark.operators.profile import ks_drift
+
+    rows = []
+    # groups a & b: identical uniform 0..99 lengths; c: shifted +200
+    for i in range(300):
+        rows.append(("a", i % 100))
+        rows.append(("b", i % 100))
+        rows.append(("c", 200 + i % 100))
+    df = spark.createDataFrame(rows, "source string, n_chars int")
+    out = {r.source: r for r in ks_drift(df).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"].n_docs == 300
+    # a and b see only the dilution from c: F_pool is 2/3 of F_a below 100
+    assert abs(out["a"].ks_d - round(1 / 3, 6)) < 1e-9
+    assert out["a"].ks_d == out["b"].ks_d
+    # c is fully disjoint above the pool's lower mass: D = 2/3
+    assert abs(out["c"].ks_d - round(2 / 3, 6)) < 1e-9
+    # D=2/3 is attained over the whole gap [99, 199]; argmax reports the
+    # SMALLEST attaining value
+    assert out["c"].at_value == 99
+    assert all(0.0 <= r.ks_d <= 1.0 for r in out.values())
