@@ -3602,6 +3602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrelation": q_autocorrelation,
         "dsir_weights": q_dsir_weights,
         "nb_self_loglik": q_nb_self_loglik,
+        # added r7 AFTER the window froze — window candidate for r8
+        "length_ks_drift": q_length_ks_drift,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3623,8 +3625,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": q_training_prep,
         "pca_variance": q_pca_variance,
         "incremental_minhash": q_incremental_minhash,
-        # added r7 AFTER the window froze — window candidate for r8
-        "length_ks_drift": q_length_ks_drift,
         # rows-only by design (xxhash64 bitmap; superset-of-exact pytest)
         "bloom_decontaminate": q_bloom_decontaminate,
     }

@@ -36,6 +36,7 @@ def test_oracle_keys_subset_of_queries():
         "training_prep",
         "pca_variance",
         "incremental_minhash",
+        "bloom_decontaminate",
     }
     assert qs - oracles <= approx_ok, f"missing oracles: {qs - oracles - approx_ok}"
 
