@@ -470,3 +470,77 @@ def test_leakage_safe_split_component_coherent(pairs):
         expected_key = comp[i] if i in linked else i
         assert out[i].group_key == expected_key, (i, out[i])
         assert out[i].split == out[expected_key].split
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges_strategy)
+@SLOW
+def test_link_prediction_matches_bruteforce(rows):
+    """Distributed common-neighbors link prediction == a python
+    brute-force over the same canonical undirected graph (counts, degree
+    attribution, adjacency exclusion, jaccard)."""
+    from global_stock_data_warehouse_spark.operators.graph import link_prediction
+
+    spark = _get_spark()
+    edges = spark.createDataFrame(rows, "src int, dst int")
+    got = {
+        (r.u, r.v): (r.common_neighbors, r.deg_u, r.deg_v, r.jaccard)
+        for r in link_prediction(edges, k=1000, min_common=1).collect()
+    }
+    # brute force
+    und = {(min(a, b), max(a, b)) for a, b in rows if a != b}
+    nbrs: dict = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) in und:
+                continue
+            cn = len(nbrs[u] & nbrs[v])
+            if cn >= 1:
+                j = round(cn / (len(nbrs[u]) + len(nbrs[v]) - cn), 6)
+                want[(u, v)] = (cn, len(nbrs[u]), len(nbrs[v]), j)
+    assert got == want
+
+
+values_strategy = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 30)),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(values_strategy)
+@SLOW
+def test_ks_drift_matches_bruteforce_ecdf(rows):
+    """ks_d equals the brute-force max ECDF gap vs the pool; always in
+    [0, 1]; a group identical to the pool scores 0."""
+    from global_stock_data_warehouse_spark.operators.profile import ks_drift
+
+    spark = _get_spark()
+    df = spark.createDataFrame(rows, "source string, n_chars int")
+    got = {r.source: r.ks_d for r in ks_drift(df).collect()}
+    vals = sorted({v for _, v in rows})
+    n_total = len(rows)
+    for grp in {g for g, _ in rows}:
+        sample = [v for g, v in rows if g == grp]
+        d = max(
+            abs(
+                sum(1 for x in sample if x <= v) / len(sample)
+                - sum(1 for _, x in rows if x <= v) / n_total
+            )
+            for v in vals
+        )
+        assert abs(got[grp] - round(d, 6)) <= 1e-9
+        assert 0.0 <= got[grp] <= 1.0
