@@ -3785,8 +3785,11 @@ WITH pres AS (
   WHERE t_df >= 5
 ), scored AS (
   SELECT cls, term, a AS df_in_class,
-         round(nd * ((ad * dd - bd * cd) * (ad * dd - bd * cd))
-               / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)), 6) AS chi2
+         round(CASE WHEN (ad + bd) * (cd + dd) * (ad + cd) * (bd + dd) = 0
+                    THEN 0.0
+                    ELSE nd * ((ad * dd - bd * cd) * (ad * dd - bd * cd))
+                         / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd))
+               END, 6) AS chi2
   FROM cells
 )
 SELECT cls, rnk, term, df_in_class, chi2 FROM (

@@ -1780,10 +1780,13 @@ def term_class_chi2(
         (F.col("n") - F.col("t_df") - F.col("c_n") + F.col("a")).cast("double"),
     )
     det = ad * dd - bd * cd
-    chi2 = (
-        F.col("n").cast("double")
-        * (det * det)
-        / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd))
+    denom = (ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)
+    # degenerate marginals — a single-class corpus (b+d = 0) or a term
+    # present in EVERY document (c+d = 0) — zero the denominator; the
+    # statistic is defined as 0 there (no discriminative information),
+    # not NULL. The oracle SQL mirrors the same CASE.
+    chi2 = F.when(denom == 0, F.lit(0.0)).otherwise(
+        F.col("n").cast("double") * (det * det) / denom
     )
     scored = cells.select(
         F.col("cls"),

@@ -187,3 +187,16 @@ def test_ks_drift_detects_shifted_distribution(spark):
     # SMALLEST attaining value
     assert out["c"].at_value == 99
     assert all(0.0 <= r.ks_d <= 1.0 for r in out.values())
+
+
+def test_ks_drift_single_group_scores_zero(spark):
+    """One group == the pool: D must be exactly 0; empty input -> empty."""
+    from global_stock_data_warehouse_spark.operators.profile import ks_drift
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 2, 5, 9)], "source string, n_chars int"
+    )
+    rows = ks_drift(df).collect()
+    assert len(rows) == 1 and rows[0].ks_d == 0.0
+    empty = spark.createDataFrame([], "source string, n_chars int")
+    assert ks_drift(empty).count() == 0

@@ -749,3 +749,18 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     # empty eval set -> empty bitmap -> nothing flagged
     clear = bloom_decontaminate(train, ev.limit(0), n=5).collect()
     assert all(not r.contaminated for r in clear)
+
+
+def test_term_class_chi2_empty_and_single_class(spark):
+    """Empty corpus -> empty frame; a single class makes every chi2 zero
+    (no between-class signal: c_n == n, so b*c == a*d degenerates)."""
+    from global_stock_data_warehouse_spark.operators.corpus import term_class_chi2
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert term_class_chi2(empty).count() == 0
+    one = spark.createDataFrame(
+        [(i, "tok%d common" % i, "only") for i in range(8)],
+        "doc_id long, text string, source string",
+    )
+    rows = term_class_chi2(one, top_k=5, min_df=1).collect()
+    assert rows and all(r.chi2 == 0.0 for r in rows)

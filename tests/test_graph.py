@@ -262,3 +262,17 @@ def test_link_prediction_common_neighbors(spark):
     adjacent = {(0, 1), (0, 2), (0, 3), (1, 4), (1, 5), (2, 5)}
     assert all((p.u, p.v) not in adjacent for p in all_pairs)
     assert (2, 3) in {(p.u, p.v) for p in all_pairs}  # cn=1 via node 0
+
+
+def test_link_prediction_degenerate_graphs(spark):
+    """Empty edges, single edge (no wedges), and a fully-connected
+    triangle (every pair adjacent -> nothing to predict) all yield empty
+    predictions without errors."""
+    from global_stock_data_warehouse_spark.operators.graph import link_prediction
+
+    empty = spark.createDataFrame([], "src int, dst int")
+    assert link_prediction(empty, k=5, min_common=1).count() == 0
+    one = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    assert link_prediction(one, k=5, min_common=1).count() == 0
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+    assert link_prediction(tri, k=5, min_common=1).count() == 0
