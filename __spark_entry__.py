@@ -3334,6 +3334,22 @@ def q_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_totals(_t(spark, sf_dir, "events"))
 
 
+def q_bigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram probability per doc under the corpus-trained add-one
+    bigram LM — the context-conditioned rung above unigram_prob_score
+    (word-salad detection). Bounded broadcast model, map-side bigram
+    generation, hash-exact fixed-point mean (no transcendental)."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        bigram_prob_score,
+    )
+
+    # vocab_size=16 / bigram_size=64 < the corpus's distinct counts so
+    # both OOV paths (unknown bigram, unknown context) are exercised
+    return bigram_prob_score(
+        _t(spark, sf_dir, "documents"), vocab_size=16, bigram_size=64
+    )
+
+
 def q_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source two-sample KS drift of the doc-length distribution vs
     the pooled corpus — the nonparametric drift monitor next to
@@ -3602,8 +3618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrelation": q_autocorrelation,
         "dsir_weights": q_dsir_weights,
         "nb_self_loglik": q_nb_self_loglik,
-        # added r7 AFTER the window froze — window candidate for r8
+        # added r7 AFTER the window froze — window candidates for r8
         "length_ks_drift": q_length_ks_drift,
+        "bigram_prob_score": q_bigram_prob_score,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3727,6 +3744,36 @@ SELECT event_type,
 FROM anchored
 GROUP BY event_type
 ORDER BY event_type
+"""
+    d["bigram_prob_score"] = """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM arr, UNNEST(range(0, len(t) - 1)) AS u(i)
+), big AS (
+  SELECT w1, w2, count(*) AS bc FROM grams GROUP BY 1, 2
+), top_big AS (
+  SELECT w1, w2, bc FROM big ORDER BY bc DESC, w1 ASC, w2 ASC LIMIT 64
+), ctx AS (
+  SELECT w1, count(*) AS cc FROM grams GROUP BY 1
+), top_ctx AS (
+  SELECT w1, cc FROM ctx ORDER BY cc DESC, w1 ASC LIMIT 16
+), scored AS (
+  SELECT g.doc_id,
+         CAST(floor((coalesce(tb.bc, 0) + 1)
+                    / (coalesce(tc.cc, 0) + 17) * 1e12 + 0.5) AS BIGINT) AS p_fx
+  FROM grams g
+  LEFT JOIN top_big tb ON g.w1 = tb.w1 AND g.w2 = tb.w2
+  LEFT JOIN top_ctx tc ON g.w1 = tc.w1
+)
+SELECT doc_id,
+       floor(sum(p_fx) / count(*) / 1e3 + 0.5) / 1e9 AS mean_bigram_prob,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """
     d["length_ks_drift"] = """
 WITH counts AS (

@@ -1929,3 +1929,63 @@ def bloom_decontaminate(
         F.col("n_gram_hits").cast("long").alias("n_gram_hits"),
         (F.col("n_gram_hits") > 0).alias("contaminated"),
     )
+
+
+def bigram_prob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 2048,
+    bigram_size: int = 8192,
+) -> DataFrame:
+    """Context-conditioned LM quality: per-doc MEAN BIGRAM PROBABILITY
+    p(w2|w1) under the corpus-trained add-one-smoothed bigram model —
+    the next rung above :func:`unigram_prob_score` on the KenLM-filter
+    ladder (a doc full of real words in IMPOSSIBLE order scores high on
+    unigrams and low here; word-salad detection needs the conditional).
+
+    Hash-exact by the same construction as the unigram twin: the model
+    is top-``bigram_size`` bigram counts + top-``vocab_size`` left-
+    context counts (both deterministic (count DESC, token ASC) prefixes,
+    both broadcast — the model is BOUNDED regardless of corpus size);
+    p = (count(w1,w2)+1) / (count(w1 as context) + vocab_size + 1) is an
+    exact integer ratio, quantized to the 1e-12 grid and mean'd with one
+    exact integer division. No transcendental anywhere. Docs with fewer
+    than two tokens have no bigram positions and are absent from the
+    output (same totality contract as the unigram twin's zero-token
+    docs).
+
+    Plan: bigram instances are generated MAP-SIDE from the token array
+    (slice+transform, no self-join, no window); the two model frames are
+    re-aggregations of that stream; scoring is two broadcast left joins
+    + one doc-keyed shuffle."""
+    grams = df.select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    ).select(
+        id_col,
+        F.explode(
+            F.expr("transform(slice(_t, 1, size(_t) - 1), (x, i) -> struct(x AS w1, _t[i + 1] AS w2))")
+        ).alias("g"),
+    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    big = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    ctx = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    top_big = big.orderBy(
+        F.col("bc").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(bigram_size)
+    top_ctx = ctx.orderBy(F.col("cc").desc(), F.col("w1").asc()).limit(vocab_size)
+    p = (F.coalesce(F.col("bc"), F.lit(0)) + 1) / (
+        F.coalesce(F.col("cc"), F.lit(0)) + F.lit(vocab_size + 1)
+    )
+    return (
+        grams.join(broadcast(top_big), ["w1", "w2"], "left_outer")
+        .join(broadcast(top_ctx), "w1", "left_outer")
+        .withColumn("_p_fx", _fx_floor(p, 1e12))
+        .groupBy(id_col)
+        .agg(
+            (
+                F.floor(F.sum("_p_fx") / F.count(F.lit(1)) / 1e3 + F.lit(0.5)) / 1e9
+            ).alias("mean_bigram_prob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .orderBy(id_col)
+    )

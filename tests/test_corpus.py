@@ -764,3 +764,28 @@ def test_term_class_chi2_empty_and_single_class(spark):
     )
     rows = term_class_chi2(one, top_k=5, min_df=1).collect()
     assert rows and all(r.chi2 == 0.0 for r in rows)
+
+
+def test_bigram_prob_score_detects_word_salad(spark):
+    """Same unigrams, scrambled order: the bigram score must drop while
+    unigram_prob_score cannot tell them apart; sub-2-token docs are
+    absent (no bigram positions); probabilities are exact ratios."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        bigram_prob_score,
+        unigram_prob_score,
+    )
+
+    natural = "the cat sat on the mat " * 10
+    salad = "the the cat mat sat on " + "mat the on sat cat the " * 9
+    docs = spark.createDataFrame(
+        [(1, natural), (2, salad), (3, "single")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           bigram_prob_score(docs, vocab_size=8, bigram_size=16).collect()}
+    assert 3 not in out, "a 1-token doc has no bigram positions"
+    assert out[1].n_bigrams == 59 and out[2].n_bigrams == 59
+    assert out[1].mean_bigram_prob > out[2].mean_bigram_prob
+    uni = {r.doc_id: r.mean_prob for r in
+           unigram_prob_score(docs, vocab_size=8).collect()}
+    assert uni[1] == uni[2], "unigram twin is order-blind by design"
