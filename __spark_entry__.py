@@ -3334,6 +3334,34 @@ def q_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_totals(_t(spark, sf_dir, "events"))
 
 
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PROVENANCE matrix: which source pairs share text-level
+    near-dups (the "who is scraping whom" report a corpus curator runs
+    before trusting source-level mixture weights). Composes the oracled
+    bigram-Jaccard pair set with the doc->source dim, canonicalizes the
+    unordered source pair, and aggregates integer counts + max jaccard
+    (max is order-independent, unlike a float mean) -> bit-exact."""
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def q_bigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean bigram probability per doc under the corpus-trained add-one
     bigram LM — the context-conditioned rung above unigram_prob_score
@@ -3621,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added r7 AFTER the window froze — window candidates for r8
         "length_ks_drift": q_length_ks_drift,
         "bigram_prob_score": q_bigram_prob_score,
+        "dup_source_matrix": q_dup_source_matrix,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3744,6 +3773,18 @@ SELECT event_type,
 FROM anchored
 GROUP BY event_type
 ORDER BY event_type
+"""
+    d["dup_source_matrix"] = f"""
+WITH pairs AS ({d["ngram_jaccard_neardup"]})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(p.jaccard) AS max_jaccard
+FROM pairs p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
     d["bigram_prob_score"] = """
 WITH arr AS (
