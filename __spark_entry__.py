@@ -3334,6 +3334,37 @@ def q_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_totals(_t(spark, sf_dir, "events"))
 
 
+def q_snapshot_diff_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-payload CDC via the HASHED diff: the (pk, xxhash64) narrow
+    pass classifies changes, then only churn rows fetch their five
+    payload columns through broadcast-semi pruning — the wide snapshots
+    never shuffle. Same output contract as snapshot_diff; measured
+    7.7 -> 3.7 MB vs the plain full-outer diff on this demo even at its
+    unrealistically HIGH ~40% churn (the advantage scales with payload
+    width x (1 - churn): a 100-column table at 0.1% churn shuffles
+    ~0.1% of what the plain diff moves)."""
+    from global_stock_data_warehouse_spark.operators.cdc import snapshot_diff_hashed
+
+    # orders is the fixture table with a genuinely UNIQUE PK (lineitem's
+    # (orderkey, linenumber) is not unique here) — keyed snapshots are
+    # the CDC precondition
+    cols = [
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    ]
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", *cols)
+    old = o.filter(F.col("o_orderkey") % 7 != 0)
+    new = o.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff_hashed(old, new, ["o_orderkey"], cols).orderBy(
+        "o_orderkey"
+    )
+
+
 def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PROVENANCE matrix: which source pairs share text-level
     near-dups (the "who is scraping whom" report a corpus curator runs
@@ -3650,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_ks_drift": q_length_ks_drift,
         "bigram_prob_score": q_bigram_prob_score,
         "dup_source_matrix": q_dup_source_matrix,
+        "snapshot_diff_wide": q_snapshot_diff_wide,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3773,6 +3805,38 @@ SELECT event_type,
 FROM anchored
 GROUP BY event_type
 ORDER BY event_type
+"""
+    d["snapshot_diff_wide"] = """
+WITH old AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 7 != 0
+), new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 5 != 0
+), j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                        AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                        AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                        AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+                        AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+                   THEN 'update' END AS change_type,
+         o.o_custkey AS old_o_custkey, o.o_orderstatus AS old_o_orderstatus,
+         o.o_totalprice AS old_o_totalprice, o.o_orderdate AS old_o_orderdate,
+         o.o_orderpriority AS old_o_orderpriority,
+         n.o_custkey AS new_o_custkey, n.o_orderstatus AS new_o_orderstatus,
+         n.o_totalprice AS new_o_totalprice, n.o_orderdate AS new_o_orderdate,
+         n.o_orderpriority AS new_o_orderpriority
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT * FROM j WHERE change_type IS NOT NULL
+ORDER BY o_orderkey
 """
     d["dup_source_matrix"] = f"""
 WITH pairs AS ({d["ngram_jaccard_neardup"]})

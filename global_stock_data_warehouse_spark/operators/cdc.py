@@ -125,3 +125,87 @@ def scd2_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def _row_hash(cols: Sequence[str]):
+    """Null-unambiguous row hash: Spark's multi-arg xxhash64 SKIPS null
+    inputs in its fold, so (NULL, 'a') and ('a', NULL) would collide on
+    adjacent columns. Interleaving each value with its is-null flag
+    (booleans are never null, so every column always contributes) makes
+    the fold sequence unique per (value, null-pattern)."""
+    parts = []
+    for c in cols:
+        parts.append(F.col(c))
+        parts.append(F.col(c).isNull())
+    return F.xxhash64(*parts)
+
+
+def snapshot_diff_hashed(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    broadcast_changed_max: int = 5_000_000,
+) -> DataFrame:
+    """:func:`snapshot_diff` for WIDE tables — identical output, different
+    physical plan. The plain diff full-outer-joins the snapshots, so the
+    shuffle carries every payload column of BOTH sides; at 100 TB with a
+    100-column table that is the whole table twice over the wire to
+    discover that 0.1% of rows changed. This variant:
+
+    1. shuffles only ``(keys, xxhash64(values+null-flags))`` — the
+       narrow pass is key width + 8 bytes regardless of payload width;
+    2. classifies insert/update/delete on the hash compare;
+    3. fetches payloads ONLY for changed keys — and since churn is small
+       relative to the table, the changed-key set is BROADCAST through
+       the two payload lookups (stats-dispatched at
+       ``broadcast_changed_max`` rows; past it, shuffled joins are the
+       honest fallback), so the wide snapshots are scanned map-side and
+       never shuffled at all.
+
+    Trade: a hash collision between two DIFFERENT payloads of the same
+    key (p ~ 2^-64 per changed key) would classify an update as
+    unchanged. The interleaved null flags in :func:`_row_hash` remove
+    the systematic null-shift collision Spark's bare multi-arg xxhash64
+    has. Equivalence to the exact diff is property-tested
+    (tests/test_cdc_profile.py).
+    """
+    keys = list(key_cols)
+    cols = list(compare_cols) if compare_cols is not None else [
+        c for c in new.columns if c not in keys
+    ]
+    oh = old.select(*keys, _row_hash(cols).alias("_ho"))
+    nh = new.select(*keys, _row_hash(cols).alias("_hn"))
+    j = oh.join(nh, keys, "full_outer")
+    change = (
+        F.when(F.col("_ho").isNull(), F.lit("insert"))
+        .when(F.col("_hn").isNull(), F.lit("delete"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("update"))
+    )
+    changed = (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+        .localCheckpoint(eager=True)
+    )
+    ckeys = changed.select(*keys)
+    # a left join cannot broadcast its LEFT side, so the broadcast rides
+    # the SEMI joins instead: the wide snapshots are pruned to changed
+    # rows map-side (broadcast semi = filter, zero snapshot shuffle),
+    # and the final assembly joins run on churn-sized frames.
+    c_b = (
+        F.broadcast(ckeys) if changed.count() <= broadcast_changed_max else ckeys
+    )
+    o_vals = old.select(*keys, *[F.col(x).alias(f"old_{x}") for x in cols]).join(
+        c_b, keys, "left_semi"
+    )
+    n_vals = new.select(*keys, *[F.col(x).alias(f"new_{x}") for x in cols]).join(
+        c_b, keys, "left_semi"
+    )
+    out = changed.join(o_vals, keys, "left").join(n_vals, keys, "left")
+    return out.select(
+        *keys,
+        "change_type",
+        *[f"old_{x}" for x in cols],
+        *[f"new_{x}" for x in cols],
+    )

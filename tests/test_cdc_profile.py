@@ -200,3 +200,46 @@ def test_ks_drift_single_group_scores_zero(spark):
     assert len(rows) == 1 and rows[0].ks_d == 0.0
     empty = spark.createDataFrame([], "source string, n_chars int")
     assert ks_drift(empty).count() == 0
+
+
+def test_snapshot_diff_hashed_equals_exact(spark):
+    """The hashed wide-table diff must equal the exact full-outer diff —
+    including the adversarial NULL-SHIFT case ((NULL,'a') vs ('a',NULL)
+    on adjacent columns) that a bare multi-arg xxhash64 would collide."""
+    from global_stock_data_warehouse_spark.operators.cdc import (
+        snapshot_diff,
+        snapshot_diff_hashed,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, None, "a", 1.0),   # null-shift pair with new
+            (2, "b", "b", 2.0),    # unchanged
+            (3, "c", None, 3.0),   # update (value change)
+            (4, "d", "d", 4.0),    # delete
+        ],
+        "k long, x string, y string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", None, 1.0),   # MUST be an update, not unchanged
+            (2, "b", "b", 2.0),
+            (3, "c", "zz", 3.0),
+            (5, "e", "e", 5.0),    # insert
+        ],
+        "k long, x string, y string, v double",
+    )
+    exact = sorted(map(tuple, snapshot_diff(old, new, ["k"]).collect()))
+    hashed = sorted(map(tuple, snapshot_diff_hashed(old, new, ["k"]).collect()))
+    assert hashed == exact
+    assert any(r[0] == 1 and r[1] == "update" for r in exact)
+    # shuffled-join fallback path (changed set over the broadcast cap)
+    fallback = sorted(
+        map(
+            tuple,
+            snapshot_diff_hashed(
+                old, new, ["k"], broadcast_changed_max=0
+            ).collect(),
+        )
+    )
+    assert fallback == exact
