@@ -3365,6 +3365,43 @@ def q_snapshot_diff_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance end-to-end: the
+    per-customer (count, cents-sum) aggregate of the OLD orders snapshot
+    is updated from the snapshot_diff changeset alone — no rescan of the
+    base — and the ORACLE recomputes the aggregate directly over the NEW
+    snapshot, so the driver hash proves maintain(agg(old), diff) ==
+    agg(new) bit-exactly (cents BIGINT sums: associative, drift-free
+    where float sums never could be)."""
+    from global_stock_data_warehouse_spark.operators.cdc import (
+        maintain_agg,
+        snapshot_diff,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    old = o.filter(F.col("o_orderkey") % 7 != 0)
+    new = o.filter(F.col("o_orderkey") % 5 != 0)
+    base = old.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("cents")
+    )
+    changes = snapshot_diff(old, new, ["o_orderkey"])
+    # the group column (o_custkey) is a PAYLOAD column of the diff —
+    # maintain_agg reads it from the old_/new_ sides, handling rows that
+    # MOVE between groups
+    maintained = maintain_agg(base, changes, ["o_custkey"], ["cents"])
+    return maintained.select(
+        "o_custkey",
+        F.col("n_rows").cast("long").alias("n_orders"),
+        F.round(F.col("cents").cast("double") / 100, 2).alias("total_value"),
+    ).orderBy("o_custkey")
+
+
 def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PROVENANCE matrix: which source pairs share text-level
     near-dups (the "who is scraping whom" report a corpus curator runs
@@ -3682,6 +3719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_prob_score": q_bigram_prob_score,
         "dup_source_matrix": q_dup_source_matrix,
         "snapshot_diff_wide": q_snapshot_diff_wide,
+        "agg_maintain": q_agg_maintain,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3805,6 +3843,19 @@ SELECT event_type,
 FROM anchored
 GROUP BY event_type
 ORDER BY event_type
+"""
+    d["agg_maintain"] = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS total_value
+FROM o WHERE o_orderkey % 5 != 0
+GROUP BY o_custkey
+ORDER BY o_custkey
 """
     d["snapshot_diff_wide"] = """
 WITH old AS (

@@ -243,3 +243,41 @@ def test_snapshot_diff_hashed_equals_exact(spark):
         )
     )
     assert fallback == exact
+
+
+def test_maintain_agg_moves_groups_and_drops_empty(spark):
+    """maintain(agg(old), diff(old,new)) == agg(new) including a row
+    that MOVES between groups and a group whose count reaches zero."""
+    from pyspark.sql import functions as F
+
+    from global_stock_data_warehouse_spark.operators.cdc import (
+        maintain_agg,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k long, g string, v long"
+    )
+    new = spark.createDataFrame(
+        # k=2 moves a->c, k=3 (whole group b) deleted, k=4 inserted in a
+        [(1, "a", 10), (2, "c", 25), (4, "a", 5)], "k long, g string, v long"
+    )
+
+    def agg(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v")
+        )
+
+    maintained = sorted(
+        map(tuple, maintain_agg(agg(old), snapshot_diff(old, new, ["k"]),
+                                ["g"], ["v"]).collect())
+    )
+    recomputed = sorted(map(tuple, agg(new).collect()))
+    assert maintained == recomputed
+    assert not any(r[0] == "b" for r in maintained), "empty group must drop"
+    # empty changeset: identity
+    same = sorted(
+        map(tuple, maintain_agg(agg(old), snapshot_diff(old, old, ["k"]),
+                                ["g"], ["v"]).collect())
+    )
+    assert same == sorted(map(tuple, agg(old).collect()))
