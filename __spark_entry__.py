@@ -3365,6 +3365,58 @@ def q_snapshot_diff_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration report for the token-vote classifier: docs binned by
+    confidence (mean vote strength, 10 VALUE-bins between the corpus
+    min/max — two broadcast scalars, no global rank window funneling the
+    doc frame through one task) with per-bin accuracy in exact ppm. A
+    well-calibrated score is monotone: higher-confidence bins should be
+    more accurate — the report a curator reads before trusting the
+    classifier's labels for mixture weighting. Integer counts + single
+    correctly-rounded divisions -> bit-exact."""
+    tv = q_token_vote_classify(spark, sf_dir).filter(
+        F.col("pred_source").isNotNull()
+    )
+    # /1e9 first: score_fx is 1e9-grid fixed point, and a 6dp round of a
+    # ~6e10 raw value sits BELOW the double ulp (engines disagree in the
+    # last bit); in natural vote units the rounding is far above ulp
+    mv = (
+        F.col("score_fx").cast("double") / 1e9 / F.col("n_scored")
+    ).alias("_mv")
+    scored = tv.select(
+        "doc_id", F.col("is_correct").cast("int").alias("_ok"), mv
+    )
+    rng = scored.agg(
+        F.min("_mv").alias("_lo"), F.max("_mv").alias("_hi")
+    )
+    binned = scored.crossJoin(F.broadcast(rng)).select(
+        "_ok",
+        "_mv",
+        F.when(F.col("_hi") > F.col("_lo"),
+               F.least(
+                   F.floor((F.col("_mv") - F.col("_lo"))
+                           / (F.col("_hi") - F.col("_lo")) * 10),
+                   F.lit(9),
+               ))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ok").cast("long").alias("n_correct"),
+            F.expr("CAST(sum(_ok) * 1000000 DIV count(*) AS BIGINT)").alias(
+                "accuracy_ppm"
+            ),
+            F.round(F.min("_mv"), 6).alias("min_conf"),
+            F.round(F.max("_mv"), 6).alias("max_conf"),
+        )
+        .orderBy("bin")
+    )
+
+
 def q_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance end-to-end: the
     per-customer (count, cents-sum) aggregate of the OLD orders snapshot
@@ -3720,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_source_matrix": q_dup_source_matrix,
         "snapshot_diff_wide": q_snapshot_diff_wide,
         "agg_maintain": q_agg_maintain,
+        "classifier_calibration": q_classifier_calibration,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3843,6 +3896,27 @@ SELECT event_type,
 FROM anchored
 GROUP BY event_type
 ORDER BY event_type
+"""
+    d["classifier_calibration"] = f"""
+WITH tv AS ({d["token_vote_classify"]}), scored AS (
+  SELECT doc_id, CASE WHEN is_correct THEN 1 ELSE 0 END AS ok,
+         CAST(score_fx AS DOUBLE) / 1e9 / n_scored AS mv
+  FROM tv WHERE pred_source IS NOT NULL
+), rng AS (
+  SELECT min(mv) AS lo, max(mv) AS hi FROM scored
+), binned AS (
+  SELECT ok, mv,
+         CAST(CASE WHEN hi > lo
+                   THEN least(floor((mv - lo) / (hi - lo) * 10), 9)
+                   ELSE 0 END AS INTEGER) AS bin
+  FROM scored, rng
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ok) AS BIGINT) AS n_correct,
+       CAST(sum(ok) * 1000000 // count(*) AS BIGINT) AS accuracy_ppm,
+       round(min(mv), 6) AS min_conf,
+       round(max(mv), 6) AS max_conf
+FROM binned GROUP BY bin ORDER BY bin
 """
     d["agg_maintain"] = """
 WITH o AS (
