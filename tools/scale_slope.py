@@ -63,6 +63,7 @@ BASE_VECS = 2_000
 BASE_PEOPLE = 15_000
 BASE_NODES = 5_000
 AVG_DEG = 3  # directed edges per node => 3n edges, 6n after symmetrize
+BASE_WIDE = 15_000  # ~ sf0.1 orders
 BASE_BARS = 100_000  # 1000 symbols x 100 days (sf0.1 events volume)
 
 
@@ -243,6 +244,21 @@ def gen_edges(spark: SparkSession, n_nodes: int) -> DataFrame:
     )
 
 
+def gen_wide(spark: SparkSession, n: int) -> DataFrame:
+    """Wide keyed snapshot for the CDC harness: unique BIGINT pk + 12
+    payload columns (~150B/row). Deterministic values derived from the
+    pk so old/new slices with a fixed 1% churn can be carved by
+    expression."""
+    cols = [F.col("id").alias("pk")]
+    for i in range(8):
+        cols.append((F.xxhash64(F.col("id"), F.lit(i)) % 100000).alias(f"v{i}"))
+    for i in range(4):
+        cols.append(
+            F.concat(F.lit(f"s{i}_"), (F.xxhash64(F.col("id"), F.lit(100 + i)) % 1000)).alias(f"s{i}")
+        )
+    return spark.range(n).select(*cols)
+
+
 def fixture(spark: SparkSession, kind: str, scale: int) -> DataFrame:
     """Materialize (once) and read back the parquet fixture — reads, not
     in-memory lineage, so every run starts from a scan like the bench."""
@@ -255,6 +271,7 @@ def fixture(spark: SparkSession, kind: str, scale: int) -> DataFrame:
             "edges": lambda: gen_edges(spark, BASE_NODES * scale),
             "bars": lambda: gen_bars(spark, BASE_BARS * scale),
             "cvecs": lambda: gen_cvecs(spark, BASE_VECS * scale),
+            "wide": lambda: gen_wide(spark, BASE_WIDE * scale),
         }[kind]
         gen().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -545,6 +562,29 @@ def _ops():
             df, ctx_len=512, n_merges=16, n_shards=64, max_words=100_000
         )
 
+    def _wide_snapshots(spark, s):
+        df = fixture(spark, "wide", s)
+        old = df.filter(F.pmod("pk", F.lit(997)) != 0)  # ~0.1% deletes
+        new = df.filter(F.pmod("pk", F.lit(991)) != 0).withColumn(
+            "v0",
+            F.when(F.pmod("pk", F.lit(100)) == 0, F.col("v0") + 1).otherwise(
+                F.col("v0")
+            ),
+        )  # ~1% updates, ~0.1% inserts
+        return old, new
+
+    def sdiff_plain(spark, s):
+        from global_stock_data_warehouse_spark.operators import cdc
+
+        old, new = _wide_snapshots(spark, s)
+        return cdc.snapshot_diff(old, new, ["pk"])
+
+    def sdiff_hashed(spark, s):
+        from global_stock_data_warehouse_spark.operators import cdc
+
+        old, new = _wide_snapshots(spark, s)
+        return cdc.snapshot_diff_hashed(old, new, ["pk"])
+
     def linkpred(spark, s):
         e = fixture(spark, "edges", s)
         return graph.link_prediction(e, k=25, min_common=2)
@@ -601,6 +641,8 @@ def _ops():
         "link_prediction": (linkpred, 1.0, "all-wedge volume ~ n*avg_deg^2: linear at constant degree (hub-cap is the documented lever when degree grows)"),
         "bloom_decontaminate": (bloomdecon, 1.0, "constant-size bitmap broadcast; probe is one map-side gram scan + (doc,bool) agg"),
         "term_chi2": (termchi2, 1.0, "one (class,term) shuffle; Heaps vocab keeps per-term df constant"),
+        "snapshot_diff_plain": (sdiff_plain, 1.0, "full-outer join shuffles BOTH wide payloads — linear but wide (the comparison row for the hashed variant)"),
+        "snapshot_diff_hashed": (sdiff_hashed, 1.0, "narrow (pk, hash) shuffle + broadcast-semi churn fetch: linear in ROWS, payload-width-independent"),
     }
 
 
