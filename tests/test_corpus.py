@@ -789,3 +789,36 @@ def test_bigram_prob_score_detects_word_salad(spark):
     uni = {r.doc_id: r.mean_prob for r in
            unigram_prob_score(docs, vocab_size=8).collect()}
     assert uni[1] == uni[2], "unigram twin is order-blind by design"
+
+
+def test_text_ops_handle_unicode_and_degenerate_docs(spark):
+    """Unicode tokens (CJK, accents, emoji), a doc that is ONE giant
+    repeated token, and whitespace-only text flow through the r7 text
+    operators without error and with sane shapes."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        bigram_prob_score,
+        term_class_chi2,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörld héllo wörld naïve", "a"),
+            (2, "株式 市場 データ 株式 市場", "a"),
+            (3, "🚀 to the 🌕 and back 🚀", "b"),
+            (4, ("mono " * 50).strip(), "b"),
+            (5, "   \t  ", "b"),  # whitespace-only -> zero tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    chi = term_class_chi2(docs, top_k=50, min_df=1).collect()
+    assert {r.cls for r in chi} <= {"a", "b"}
+    assert any(r.term == "株式" for r in chi), "CJK tokens must survive"
+    assert any(r.term == "🚀" for r in chi), "emoji tokens must survive"
+    bi = {
+        r.doc_id: r
+        for r in bigram_prob_score(docs, vocab_size=8, bigram_size=16).collect()
+    }
+    assert 5 not in bi and 1 in bi and 3 in bi
+    assert bi[4].n_bigrams == 49  # mono x50 -> 49 bigram positions
+    # the mono doc's bigram (mono,mono) dominates the model -> high prob
+    assert bi[4].mean_bigram_prob > bi[3].mean_bigram_prob
