@@ -1963,8 +1963,14 @@ def bigram_prob_score(
         F.col(id_col), tokens(text_col).alias("_t")
     ).select(
         id_col,
+        # greatest(..., 0): a zero-token doc (whitespace-only text) makes
+        # size-1 negative and slice() throws; clamping yields an empty
+        # slice -> no bigram rows, the documented <2-token contract
         F.explode(
-            F.expr("transform(slice(_t, 1, size(_t) - 1), (x, i) -> struct(x AS w1, _t[i + 1] AS w2))")
+            F.expr(
+                "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, _t[i + 1] AS w2))"
+            )
         ).alias("g"),
     ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
     big = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
