@@ -503,6 +503,13 @@ def decayed_totals(
     (no single-partition window over the fact table), then ONE hash agg
     on ``group_col`` whose partials absorb map-side. The fact table is
     scanned once and never shuffled wider than (group, 2 bigints)."""
+    # NULL ts or value rows are EXCLUDED up front: a NULL age would
+    # otherwise silently take the cap weight (Spark's least() skips
+    # NULLs: least(NULL, 10) = 10) and a NULL value would count in
+    # n_events while contributing to neither sum — both silent skews.
+    events = events.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     anchor = events.agg(F.max(F.to_date(ts_col)).alias("_anchor"))
     h = F.least(
         F.floor(

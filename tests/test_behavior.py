@@ -333,3 +333,22 @@ def test_decayed_totals_exact_dyadic_weights(spark):
     assert out["view"].decayed_total == round(4.0 / 1024, 6)
     # empty input: no rows, no divide-by-zero
     assert decayed_totals(df.limit(0)).count() == 0
+
+
+def test_decayed_totals_excludes_null_ts_and_value(spark):
+    """NULL ts would otherwise silently take the CAP weight (Spark least()
+    skips NULLs) and NULL value would inflate n_events while feeding
+    neither sum — both excluded up front."""
+    import datetime as dt
+
+    from global_stock_data_warehouse_spark.operators.behavior import decayed_totals
+
+    base = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [("buy", base, 10.0), ("buy", None, 99.0), ("buy", base, None)],
+        "event_type string, ts timestamp, value double",
+    )
+    out = decayed_totals(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 1 and r.raw_total == 10.0 and r.decayed_total == 10.0
