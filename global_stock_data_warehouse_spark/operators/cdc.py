@@ -133,6 +133,11 @@ def _row_hash(cols: Sequence[str]):
     adjacent columns. Interleaving each value with its is-null flag
     (booleans are never null, so every column always contributes) makes
     the fold sequence unique per (value, null-pattern)."""
+    if not cols:
+        # keys-only diff (pure membership): constant hash makes every
+        # matched key 'unchanged', leaving only inserts/deletes — the
+        # same semantics the exact diff's empty-differs branch has
+        return F.xxhash64(F.lit(0))
     parts = []
     for c in cols:
         parts.append(F.col(c))

@@ -281,3 +281,20 @@ def test_maintain_agg_moves_groups_and_drops_empty(spark):
                                 ["g"], ["v"]).collect())
     )
     assert same == sorted(map(tuple, agg(old).collect()))
+
+
+def test_snapshot_diff_hashed_keys_only_membership(spark):
+    """Zero compare columns = pure membership diff: only inserts and
+    deletes, matched keys silent — identical to the exact diff."""
+    from global_stock_data_warehouse_spark.operators.cdc import (
+        snapshot_diff,
+        snapshot_diff_hashed,
+    )
+
+    old = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    new = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+    exact = sorted(map(tuple, snapshot_diff(old, new, ["k"], []).collect()))
+    hashed = sorted(
+        map(tuple, snapshot_diff_hashed(old, new, ["k"], []).collect())
+    )
+    assert hashed == exact == [(1, "delete"), (4, "insert")]
