@@ -1924,10 +1924,19 @@ def bloom_decontaminate(
         .groupBy(id_col)
         .agg(F.sum("_hit").alias("n_gram_hits"))
     )
-    return per_doc.select(
-        id_col,
-        F.col("n_gram_hits").cast("long").alias("n_gram_hits"),
-        (F.col("n_gram_hits") > 0).alias("contaminated"),
+    # spine join: a doc with fewer than n tokens emits no gram rows and
+    # would vanish from the verdict — the exact path reports it clean,
+    # and the verdict must be TOTAL over train (same contract)
+    return (
+        train.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_gram_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_gram_hits"),
+            (F.coalesce(F.col("n_gram_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
     )
 
 

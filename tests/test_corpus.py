@@ -725,7 +725,8 @@ def test_bloom_decontaminate_superset_of_exact(spark):
         return " ".join(f"w{seed}_{i}" for i in range(n))
 
     train = spark.createDataFrame(
-        [(i, text(i)) for i in range(40)] + [(100, text(3)), (101, text(7))],
+        [(i, text(i)) for i in range(40)]
+        + [(100, text(3)), (101, text(7)), (200, "too short")],
         "doc_id long, text string",
     )
     ev = spark.createDataFrame(
@@ -735,6 +736,7 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     exact = {r.doc_id: r for r in decontaminate(train, ev, n=5).collect()}
     bloom = {r.doc_id: r for r in bloom_decontaminate(train, ev, n=5).collect()}
     assert set(exact) == set(bloom), "verdict must be total over train"
+    assert not bloom[200].contaminated and bloom[200].n_gram_hits == 0
     for d, r in exact.items():
         if r.contaminated:
             assert bloom[d].contaminated, f"bloom missed true hit {d}"
