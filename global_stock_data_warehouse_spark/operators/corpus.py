@@ -1757,6 +1757,11 @@ def term_class_chi2(
     not corpus size — the explode's map-side partial agg absorbs the
     token stream exactly as ``ngram_topk`` does; ``min_df`` prunes the
     long tail before the rank window."""
+    # NULL-class rows are excluded EVERYWHERE (including N): groupBy
+    # would count NULL as a class while the equi-joins silently drop it,
+    # leaving NULL-source docs inside N but outside every class — a
+    # quiet chi2 distortion. One filter makes the contract uniform.
+    df = df.filter(F.col(class_col).isNotNull())
     pres = df.select(
         F.col(class_col).alias("cls"),
         F.explode(F.array_distinct(tokens(text_col))).alias("term"),

@@ -255,7 +255,12 @@ def ks_drift(
     broadcast cross join of two tiny frames, and the cumulative windows
     partition by group over that grid, never over the corpus."""
     counts = (
+        # NULL groups/values are excluded: a NULL value has no place on
+        # an ECDF axis (and engines disagree on NULL ORDER BY placement),
+        # and a NULL group would be a groupBy-group the equi-join grid
+        # silently drops — filter once, uniformly.
         df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .filter(F.col("grp").isNotNull() & F.col("v").isNotNull())
         .groupBy("grp", "v")
         .agg(F.count(F.lit(1)).alias("n_gv"))
         .localCheckpoint(eager=True)

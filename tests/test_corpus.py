@@ -824,3 +824,20 @@ def test_text_ops_handle_unicode_and_degenerate_docs(spark):
     assert bi[4].n_bigrams == 49  # mono x50 -> 49 bigram positions
     # the mono doc's bigram (mono,mono) dominates the model -> high prob
     assert bi[4].mean_bigram_prob > bi[3].mean_bigram_prob
+
+
+def test_term_class_chi2_null_class_uniformly_excluded(spark):
+    """NULL-class docs must not sit inside N while missing from every
+    class: with two clean docs per class plus NULL-source noise docs,
+    chi2 must equal the noise-free computation."""
+    from global_stock_data_warehouse_spark.operators.corpus import term_class_chi2
+
+    clean = [(1, "alpha x", "a"), (2, "alpha y", "a"),
+             (3, "beta x", "b"), (4, "beta y", "b")]
+    noise = [(10 + i, "alpha beta junk%d" % i, None) for i in range(6)]
+    base = spark.createDataFrame(clean, "doc_id long, text string, source string")
+    noisy = spark.createDataFrame(clean + noise,
+                                  "doc_id long, text string, source string")
+    a = sorted(map(tuple, term_class_chi2(base, top_k=10, min_df=1).collect()))
+    b = sorted(map(tuple, term_class_chi2(noisy, top_k=10, min_df=1).collect()))
+    assert a == b
