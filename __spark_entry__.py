@@ -3582,11 +3582,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracled and bit-exact-mirrored via tools/check_correctness.py
     # (rule 3).
     #
-    # R8 ROTATION GUIDANCE: no oracled query remains un-hashed after
-    # this window (bloom_decontaminate is rows-only by rule 1 —
-    # xxhash64 bitmap; its evidence is the superset-of-exact pytest).
-    # Lead with whatever changes in r8, then refill from the
-    # never-windowed pool: top_revenue_supplier, supplier_part_counts,
+    # R8 ROTATION GUIDANCE: lead with the SIX oracled queries added
+    # AFTER this window froze (never driver-hashed): length_ks_drift,
+    # bigram_prob_score, dup_source_matrix, snapshot_diff_wide,
+    # agg_maintain, classifier_calibration — plus whatever changes in
+    # r8 (bloom_decontaminate is rows-only by rule 1 — xxhash64 bitmap;
+    # its evidence is the superset-of-exact pytest). Then refill from
+    # the never-windowed pool: top_revenue_supplier, supplier_part_counts,
     # disjunctive_revenue, dominant_suppliers, hist_bins, dense_ids,
     # unpivot_ohlc, longest_up_streak, salted_flag_totals, vwap_brand,
     # market_breadth, repeat_purchase_rate, price_distribution,
