@@ -389,3 +389,92 @@ def neardup_gate_sink(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def drift_monitor_sink(
+    stream: DataFrame,
+    state_path: str,
+    alerts_path: str,
+    checkpoint: str,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    rel_threshold: float = 0.25,
+    min_batch_n: int = 20,
+):
+    """Streaming distribution-drift monitor: each micro-batch's
+    per-``group_col`` mean of ``value_col`` is compared against the
+    group's TRAILING mean (exact integer sums accumulated in the
+    ``state_path`` parquet ledger); a relative shift beyond
+    ``rel_threshold`` on a batch of at least ``min_batch_n`` rows emits
+    an alert row — the streaming front door of the batch drift family
+    (:func:`~...operators.profile.ks_drift` / ``source_kl`` /
+    ``source_chi2_drift`` audit a corpus at rest; this catches a feed
+    going wrong WHILE it lands: a scraper truncating, boilerplate
+    flooding, a source swap).
+
+    Exactness + replay safety: state is (group, n, value_sum) BIGINT
+    contributions — associative, order-independent — appended as
+    ``_batch_id``-keyed partitions with dynamic partition overwrite
+    (same recovery contract as :func:`neardup_gate_sink`: a replayed
+    batch rewrites its own partition, never double-counts); alerts are
+    written the same way. A group's first-ever batch has no baseline
+    and never alerts. At cluster scale the ledger is a few rows per
+    group per batch — compact it with `storage/compact.py` on a
+    schedule."""
+
+    def monitor(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cur = (
+            batch.filter(
+                F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+            )
+            .groupBy(F.col(group_col).alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(value_col).cast("long")).alias("vsum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        try:
+            state = spark.read.parquet(state_path).groupBy("grp").agg(
+                F.sum("n").alias("base_n"), F.sum("vsum").alias("base_vsum")
+            )
+        except Exception:
+            state = None
+
+        def write_batch_partition(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+
+        if state is not None:
+            batch_mean = F.col("vsum").cast("double") / F.col("n")
+            base_mean = F.col("base_vsum").cast("double") / F.col("base_n")
+            alerts = (
+                cur.join(state, "grp")
+                .filter(F.col("n") >= min_batch_n)
+                .withColumn("batch_mean", F.round(batch_mean, 6))
+                .withColumn("trailing_mean", F.round(base_mean, 6))
+                .filter(
+                    F.abs(batch_mean - base_mean)
+                    > rel_threshold * F.abs(base_mean)
+                )
+                .select(
+                    F.col("grp").alias(group_col),
+                    F.col("n").alias("batch_n"),
+                    "batch_mean",
+                    "trailing_mean",
+                )
+            )
+            write_batch_partition(alerts, alerts_path)
+        write_batch_partition(cur, state_path)
+
+    return (
+        stream.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -205,3 +205,67 @@ def test_neardup_gate_sink_replay_idempotent(spark, tmp_path):
     run_to_completion()
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == first_out
     assert sorted(map(tuple, spark.read.parquet(ledger).collect())) == first_led
+
+
+def test_drift_monitor_sink_alerts_on_mean_shift(spark, tmp_path):
+    """Batch 1 sets the baseline (no alert possible); batch 2 matches it
+    (silent); batch 3's mean shifts 2x (alert with exact means); a small
+    batch below min_batch_n never alerts."""
+    import time
+
+    from global_stock_data_warehouse_spark.streaming.pipeline import (
+        drift_monitor_sink,
+        read_bar_stream,
+    )
+
+    schema = "doc_id long, source string, n_chars long"
+    src, state, alerts, ckpt = (
+        str(tmp_path / p) for p in ("src", "state", "alerts", "ckpt")
+    )
+
+    def run():
+        stream = read_bar_stream(spark, src, schema, max_files_per_trigger=1)
+        q = drift_monitor_sink(
+            stream, state, alerts, ckpt, rel_threshold=0.25, min_batch_n=20
+        ).start()
+        q.awaitTermination(180)
+        q.stop()
+        for _ in range(100):
+            if not q.isActive:
+                break
+            time.sleep(0.1)
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    land([(i, "a", 100) for i in range(30)])
+    run()
+    assert spark.read.parquet(state).count() >= 1
+    import glob
+    import os
+
+    assert not glob.glob(os.path.join(alerts, "**", "*.parquet"), recursive=True)
+
+    land([(100 + i, "a", 100) for i in range(30)])  # same distribution
+    run()
+    assert not [r for r in _read_alerts(spark, alerts)]
+
+    land([(200 + i, "a", 200) for i in range(30)])  # 2x mean shift
+    run()
+    hits = _read_alerts(spark, alerts)
+    assert len(hits) == 1
+    assert hits[0].source == "a" and hits[0].batch_mean == 200.0
+    assert hits[0].trailing_mean == 100.0
+
+    land([(300 + i, "a", 900) for i in range(5)])  # under min_batch_n
+    run()
+    assert len(_read_alerts(spark, alerts)) == 1  # unchanged
+
+
+def _read_alerts(spark, path):
+    try:
+        return spark.read.parquet(path).collect()
+    except Exception:
+        return []
