@@ -52,6 +52,12 @@ def cohort_retention(
 
     Deterministic across engines: dates + integer arithmetic only.
     """
+    # NULL user/ts rows are excluded uniformly: a NULL user would be
+    # counted as one "user" by the groupBy while a NULL ts has no cohort
+    # date and previously surfaced as a period_offset=NULL matrix row
+    events = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     d = F.to_date(ts_col)
     firsts = events.groupBy(user_col).agg(F.min(d).alias("first_d"))
     # anchor 1970-01-05 is a Monday, so period_days=7 cohorts align to
@@ -93,6 +99,13 @@ def event_transitions(
     exact across engines.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak_cols)
+    # NULL states/users/timestamps are noise, not Markov states: a NULL
+    # event_type previously emitted a from_type=NULL matrix row
+    events = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    )
     pairs = (
         events.withColumn("to_type", F.lead(type_col).over(w))
         .filter(F.col("to_type").isNotNull())

@@ -352,3 +352,32 @@ def test_decayed_totals_excludes_null_ts_and_value(spark):
     assert len(out) == 1
     r = out[0]
     assert r.n_events == 1 and r.raw_total == 10.0 and r.decayed_total == 10.0
+
+
+def test_cohort_and_transitions_exclude_null_keys(spark):
+    """NULL user/ts/type rows are excluded uniformly: no NULL-offset
+    retention rows, no NULL Markov states, NULL user never counted."""
+    import datetime as dt
+
+    from global_stock_data_warehouse_spark.operators.behavior import (
+        cohort_retention,
+        event_transitions,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, t, 1, "view"),
+        (2, t + dt.timedelta(minutes=9), 1, "purchase"),
+        (3, t, None, "view"),
+        (4, None, 2, "view"),
+        (5, t, 2, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    ret = cohort_retention(ev).collect()
+    assert all(r.period_offset is not None for r in ret)
+    assert sum(r.n_users for r in ret if r.period_offset == 0) == 2  # users 1,2
+    tr = event_transitions(ev).collect()
+    assert all(r.from_type is not None and r.to_type is not None for r in tr)
+    assert {(r.from_type, r.to_type) for r in tr} == {("view", "purchase")}
