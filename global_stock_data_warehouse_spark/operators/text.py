@@ -28,8 +28,14 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(col: Column | str, lowercase: bool = True) -> Column:
-    """Whitespace tokenization to a string array; empty tokens dropped."""
+    """Whitespace tokenization to a string array; empty tokens dropped.
+    NULL text tokenizes as EMPTY text (zero tokens), never as a NULL
+    array: size(NULL)=-1 and explode-of-NULL asymmetries previously let
+    NULL-text docs crash the n-gram pair join and report n_tokens=-1 —
+    one coalesce at the root normalizes every downstream text op, and
+    matches the DuckDB oracles (unnest of NULL emits nothing)."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
     if lowercase:
         c = F.lower(c)
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
@@ -117,7 +123,10 @@ def fingerprint(col: Column | str) -> Column:
     lowercased text. Portable across engines (md5 is everywhere), which is
     what makes cross-system dedup joins possible."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+    # NULL text fingerprints as empty text (same contract as tokens()):
+    # a NULL md5 key would silently group ALL null docs under the NULL
+    # fp in joins/groupBys with engine-dependent NULL-equality semantics
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " "))
 
 
 def chunk_documents(

@@ -841,3 +841,31 @@ def test_term_class_chi2_null_class_uniformly_excluded(spark):
     a = sorted(map(tuple, term_class_chi2(base, top_k=10, min_df=1).collect()))
     b = sorted(map(tuple, term_class_chi2(noisy, top_k=10, min_df=1).collect()))
     assert a == b
+
+
+def test_null_text_behaves_as_empty_everywhere(spark):
+    """NULL text == empty text at the tokens()/fingerprint() root: no
+    -1 sizes, no crashes, no NULL fingerprint groups; the n-gram pair
+    join previously crashed outright on a NULL text row."""
+    from global_stock_data_warehouse_spark.operators.dedup import (
+        dedup_exact,
+        ngram_jaccard_pairs,
+    )
+    from global_stock_data_warehouse_spark.operators.text import (
+        chunk_documents,
+        text_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world foo bar"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    st = {r.doc_id: r for r in text_stats(docs).collect()}
+    assert st[2].n_tokens == 0 and st[3].n_tokens == 0
+    assert st[2].fingerprint == st[3].fingerprint, "NULL == empty contract"
+    assert all(r.n_chunk_tokens >= 0 for r in chunk_documents(docs).collect())
+    groups = {r.fp: r for r in dedup_exact(docs).collect()}
+    assert all(fp is not None for fp in groups)
+    # NULL and empty docs share one content group (keep = min id = 2)
+    assert any(r.n_dups == 2 and r.keep_id == 2 for r in groups.values())
+    assert ngram_jaccard_pairs(docs, threshold=0.1).count() == 0
