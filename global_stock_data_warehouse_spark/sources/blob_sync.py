@@ -45,23 +45,26 @@ def blob_manifest(
     checksum: bool = False,
 ) -> DataFrame:
     """Distributed manifest of every file under ``root``:
-    (rel_path, length, mtime[, md5]). Returns an empty frame if the
-    root does not exist yet (a first sync into a fresh destination)."""
-    try:
-        df = (
-            spark.read.format("binaryFile")
-            .option("recursiveFileLookup", "true")
-            .load(root)
-        )
-    except Exception:
+    (rel_path, length, mtime[, md5]). Returns an empty frame ONLY when
+    the root provably does not exist yet (a first sync into a fresh
+    destination) — probed explicitly via ``FileSystem.exists`` so a
+    transient listing/FS/auth error PROPAGATES instead of masquerading
+    as an empty side (with ``sink_blob_sync(delete=True)`` a silently
+    empty src manifest would plan the deletion of every dst file)."""
+    jp = spark._jvm.org.apache.hadoop.fs.Path(root)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp):
         schema = "rel_path string, length long, mtime timestamp"
         if checksum:
             schema += ", md5 string"
         return spark.createDataFrame([], schema)
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+    )
     # binaryFile emits FS-qualified paths (file:/..., s3a://...); qualify
     # the root the same way so the prefix strip is a plain substring
-    jp = spark._jvm.org.apache.hadoop.fs.Path(root)
-    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
     prefix = _norm_root(fs.makeQualified(jp).toString())
     rel = F.expr(f"substring(path, {len(prefix) + 1})")
     cols = [
@@ -71,7 +74,37 @@ def blob_manifest(
     ]
     if checksum:
         cols.append(F.md5("content").alias("md5"))
-    return df.select(*cols)
+    out = df.select(*cols)
+    # Spark's file-source planner silently drops zero-length files, so a
+    # binaryFile manifest alone would never copy an empty src file (and
+    # never delete an empty dst straggler). Recover them with an explicit
+    # recursive FS listing — same driver-side cost class as the file
+    # index the load above already built — and union them in (empty
+    # content => the constant empty-md5 in checksum mode).
+    from datetime import datetime, timezone
+
+    empties = []
+    it = fs.listFiles(jp, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getLen() == 0 and st.isFile():
+            p = st.getPath().toString()
+            empties.append(
+                (
+                    p[len(prefix):],
+                    0,
+                    datetime.fromtimestamp(
+                        st.getModificationTime() / 1000.0, tz=timezone.utc
+                    ),
+                )
+                + (("d41d8cd98f00b204e9800998ecf8427e",) if checksum else ())
+            )
+    if empties:
+        schema = "rel_path string, length long, mtime timestamp"
+        if checksum:
+            schema += ", md5 string"
+        out = out.unionByName(spark.createDataFrame(empties, schema))
+    return out
 
 
 def sync_plan(

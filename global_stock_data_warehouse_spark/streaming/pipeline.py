@@ -417,8 +417,13 @@ def drift_monitor_sink(
     ``_batch_id``-keyed partitions with dynamic partition overwrite
     (same recovery contract as :func:`neardup_gate_sink`: a replayed
     batch rewrites its own partition, never double-counts); alerts are
-    written the same way. A group's first-ever batch has no baseline
-    and never alerts. At cluster scale the ledger is a few rows per
+    written the same way. The baseline read filters
+    ``_batch_id < batch_id`` so an at-least-once replay (crash after
+    the state write, before the checkpoint commit) never compares the
+    batch against a trailing mean polluted by its own first attempt —
+    the recomputation is therefore deterministic and rewrites the
+    identical alert partition. A group's first-ever batch has no
+    baseline and never alerts. At cluster scale the ledger is a few rows per
     group per batch — compact it with `storage/compact.py` on a
     schedule."""
 
@@ -436,8 +441,19 @@ def drift_monitor_sink(
             .localCheckpoint(eager=True)
         )
         try:
-            state = spark.read.parquet(state_path).groupBy("grp").agg(
-                F.sum("n").alias("base_n"), F.sum("vsum").alias("base_vsum")
+            # _batch_id < batch_id: a replayed batch must not see the
+            # state partition its own failed first attempt wrote, or the
+            # trailing mean is self-polluted and the recomputed alert
+            # set diverges from the original (stale-alert hazard under
+            # dynamic overwrite when the recomputation comes up empty).
+            state = (
+                spark.read.parquet(state_path)
+                .filter(F.col("_batch_id") < F.lit(batch_id))
+                .groupBy("grp")
+                .agg(
+                    F.sum("n").alias("base_n"),
+                    F.sum("vsum").alias("base_vsum"),
+                )
             )
         except Exception:
             state = None

@@ -324,3 +324,42 @@ def test_blob_sync_incremental_roundtrip(spark, tmp_path):
     assert (dst / "stale.txt").exists()
     c5 = sink_blob_sync(spark, str(src), str(dst), delete=True)
     assert c5["delete"] == 1 and not (dst / "stale.txt").exists()
+
+
+def test_blob_manifest_missing_vs_error_and_zero_byte(spark, tmp_path):
+    """blob_manifest's empty-frame fallback is reserved for a provably
+    missing root; a genuine FS error must RAISE (a swallowed src-listing
+    error plus delete=True would plan the deletion of every dst file).
+    Zero-byte files sync and re-skip like any other file, in both
+    metadata and checksum mode."""
+    import pytest
+
+    from global_stock_data_warehouse_spark.sources.blob_sync import (
+        blob_manifest,
+        sink_blob_sync,
+    )
+
+    # (a) missing root -> empty manifest, schema intact
+    m = blob_manifest(spark, str(tmp_path / "never_created"))
+    assert m.count() == 0 and m.columns == ["rel_path", "length", "mtime"]
+
+    # (b) existing-but-empty dir is also a valid empty manifest
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert blob_manifest(spark, str(empty)).count() == 0
+
+    # (c) a broken FS (unknown scheme) raises instead of returning empty
+    with pytest.raises(Exception, match="(?i)filesystem|scheme"):
+        blob_manifest(spark, "notafs://bogus/root")
+
+    # (d) zero-byte file round-trip, metadata and checksum modes
+    src = tmp_path / "zsrc"
+    dst = tmp_path / "zdst"
+    src.mkdir()
+    (src / "empty.bin").write_bytes(b"")
+    (src / "full.bin").write_bytes(b"\x00\x01")
+    c1 = sink_blob_sync(spark, str(src), str(dst))
+    assert c1["copy_new"] == 2 and c1["failed"] == 0
+    assert (dst / "empty.bin").stat().st_size == 0
+    c2 = sink_blob_sync(spark, str(src), str(dst), checksum=True)
+    assert c2["skip"] == 2 and c2["copy_changed"] == 0

@@ -264,6 +264,71 @@ def test_drift_monitor_sink_alerts_on_mean_shift(spark, tmp_path):
     assert len(_read_alerts(spark, alerts)) == 1  # unchanged
 
 
+def test_drift_monitor_sink_replay_idempotent(spark, tmp_path):
+    """At-least-once replay of the last micro-batch (commit marker deleted
+    after the state partition landed) must reproduce the identical state
+    AND alert rows: the baseline read filters _batch_id < batch_id, so the
+    replayed batch never compares itself against a trailing mean polluted
+    by its own first attempt (which would shift trailing_mean and rewrite
+    the alert partition differently)."""
+    import os
+    import time
+
+    from global_stock_data_warehouse_spark.streaming.pipeline import (
+        drift_monitor_sink,
+        read_bar_stream,
+    )
+
+    schema = "doc_id long, source string, n_chars long"
+    src, state, alerts, ckpt = (
+        str(tmp_path / p) for p in ("src", "state", "alerts", "ckpt")
+    )
+
+    def run():
+        stream = read_bar_stream(spark, src, schema, max_files_per_trigger=1)
+        q = drift_monitor_sink(
+            stream, state, alerts, ckpt, rel_threshold=0.25, min_batch_n=20
+        ).start()
+        q.awaitTermination(180)
+        q.stop()
+        for _ in range(100):
+            if not q.isActive:
+                break
+            time.sleep(0.1)
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    land([(i, "a", 100) for i in range(30)])  # baseline: mean 100
+    land([(100 + i, "a", 200) for i in range(30)])  # 2x shift → alert
+    run()
+    first_alerts = sorted(map(tuple, _read_alerts(spark, alerts)))
+    first_state = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert len(first_alerts) == 1
+    hit = _read_alerts(spark, alerts)[0]
+    assert hit.trailing_mean == 100.0 and hit.batch_mean == 200.0
+
+    # crash after the state write, before the checkpoint commit: the
+    # restarted query re-runs the alerting micro-batch verbatim
+    commits = os.path.join(ckpt, "commits")
+    markers = [f for f in os.listdir(commits) if not f.startswith(".")]
+    last = sorted(markers)[-1]
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert sorted(map(tuple, _read_alerts(spark, alerts))) == first_alerts
+    assert (
+        sorted(map(tuple, spark.read.parquet(state).collect())) == first_state
+    )
+    # the trailing mean in the surviving alert row is still the clean one
+    hit = _read_alerts(spark, alerts)[0]
+    assert hit.trailing_mean == 100.0
+
+
 def _read_alerts(spark, path):
     try:
         return spark.read.parquet(path).collect()
