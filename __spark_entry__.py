@@ -2328,8 +2328,11 @@ def _sql_list(words: tuple[str, ...]) -> str:
 
 _TEXT_STATS_ORACLE = f"""
 WITH base AS (
+  -- coalesce(text,'') mirrors the operator's NULL-text root
+  -- normalization (r7): NULL text means 0 tokens / empty-fingerprint /
+  -- 'und', NOT NULL-propagated cells — only n_chars_actual stays NULL
   SELECT doc_id, text,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS toks,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), t -> t != '') AS toks,
          length(text) AS n_chars_actual
   FROM documents
 ), ratios AS (
@@ -2362,7 +2365,7 @@ SELECT doc_id, n_chars_actual, n_tokens,
             WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
             WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
             ELSE 'de' END AS lang_pred,
-       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+       md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint
 FROM ratios
 """
 
@@ -3889,6 +3892,10 @@ WITH anchored AS (
                                     (SELECT max(CAST(ts AS DATE)) FROM events))
                           / 7) AS INTEGER), 10) AS h
   FROM events
+  -- mirrors decayed_totals' up-front NULL exclusion: a NULL ts would
+  -- take the cap weight via least(NULL, 10) and a NULL value would
+  -- count in n_events without contributing to either sum
+  WHERE ts IS NOT NULL AND value IS NOT NULL
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -4010,7 +4017,11 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
     d["length_ks_drift"] = """
 WITH counts AS (
   SELECT source AS grp, n_chars AS v, CAST(count(*) AS BIGINT) AS n_gv
-  FROM documents GROUP BY 1, 2
+  FROM documents
+  -- mirrors ks_drift's uniform NULL exclusion (NULL group/value rows
+  -- are outside every ECDF by contract)
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2
 ), domain AS (
   SELECT v, sum(n_gv) AS n_v FROM counts GROUP BY v
 ), dom_cum AS (
@@ -4043,16 +4054,19 @@ WITH pres AS (
   SELECT DISTINCT doc_id, source AS cls,
          unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                             t -> t != '')) AS term
-  FROM documents
+  FROM documents WHERE source IS NOT NULL
 ), a AS (
   SELECT cls, term, CAST(count(*) AS BIGINT) AS a FROM pres GROUP BY 1, 2
 ), term_df AS (
   SELECT term, sum(a) AS t_df FROM a GROUP BY term
 ), cls_n AS (
+  -- mirrors term_class_chi2's NULL-class exclusion EVERYWHERE incl. N:
+  -- a NULL-source doc must sit outside every 2x2 cell, not inside N only
   SELECT source AS cls, CAST(count(*) AS BIGINT) AS c_n
-  FROM documents GROUP BY source
+  FROM documents WHERE source IS NOT NULL GROUP BY source
 ), n AS (
   SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+  WHERE source IS NOT NULL
 ), cells AS (
   SELECT a.cls, a.term, a.a,
          CAST(a.a AS DOUBLE) AS ad,
