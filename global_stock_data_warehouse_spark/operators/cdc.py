@@ -145,12 +145,50 @@ def _row_hash(cols: Sequence[str]):
     return F.xxhash64(*parts)
 
 
+def _measured_bytes(df: DataFrame, per_row_overhead: int = 16) -> int:
+    """Actual serialized-size estimate of a (small) frame: sum of
+    per-column byte widths — octet length for strings/binary, fixed
+    widths by type otherwise — plus a per-row object overhead. One
+    aggregate action; callers use it to gate a forced broadcast on
+    BYTES rather than rows (a 5M-row cap is 40 MB of bigints but can be
+    hundreds of MB of composite string keys)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        ByteType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        ShortType,
+        StringType,
+    )
+
+    widths = {
+        BooleanType: 1, ByteType: 1, ShortType: 2, IntegerType: 4,
+        FloatType: 4, DateType: 4, DoubleType: 8, DecimalType: 16,
+    }
+    per_row = F.lit(per_row_overhead)
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (StringType, BinaryType)):
+            per_row = per_row + F.coalesce(
+                F.octet_length(F.col(f.name)), F.lit(0)
+            ) + F.lit(4)
+        else:
+            per_row = per_row + F.lit(
+                widths.get(type(f.dataType), 8)  # long/timestamp/other: 8
+            )
+    row = df.agg(F.sum(per_row).alias("b")).collect()[0]
+    return int(row["b"] or 0)
+
+
 def snapshot_diff_hashed(
     old: DataFrame,
     new: DataFrame,
     key_cols: Sequence[str],
     compare_cols: Sequence[str] | None = None,
-    broadcast_changed_max: int = 5_000_000,
+    broadcast_changed_max: int = 32 << 20,
 ) -> DataFrame:
     """:func:`snapshot_diff` for WIDE tables — identical output, different
     physical plan. The plain diff full-outer-joins the snapshots, so the
@@ -163,10 +201,12 @@ def snapshot_diff_hashed(
     2. classifies insert/update/delete on the hash compare;
     3. fetches payloads ONLY for changed keys — and since churn is small
        relative to the table, the changed-key set is BROADCAST through
-       the two payload lookups (stats-dispatched at
-       ``broadcast_changed_max`` rows; past it, shuffled joins are the
-       honest fallback), so the wide snapshots are scanned map-side and
-       never shuffled at all.
+       the two payload lookups (dispatched on MEASURED key bytes vs
+       ``broadcast_changed_max``, default 32 MiB — a row-count cap would
+       mis-size wide composite/string keys, the same lesson as
+       ``embedding_neardup_lsh``'s ``carry_max_bytes``; past it, shuffled
+       joins are the honest fallback), so the wide snapshots are scanned
+       map-side and never shuffled at all.
 
     Trade: a hash collision between two DIFFERENT payloads of the same
     key (p ~ 2^-64 per changed key) would classify an update as
@@ -197,9 +237,14 @@ def snapshot_diff_hashed(
     # a left join cannot broadcast its LEFT side, so the broadcast rides
     # the SEMI joins instead: the wide snapshots are pruned to changed
     # rows map-side (broadcast semi = filter, zero snapshot shuffle),
-    # and the final assembly joins run on churn-sized frames.
+    # and the final assembly joins run on churn-sized frames. The
+    # dispatch measures actual key BYTES over the (checkpointed,
+    # churn-sized) changed set — one cheap action replacing the old
+    # row count, immune to wide composite / long-string keys.
     c_b = (
-        F.broadcast(ckeys) if changed.count() <= broadcast_changed_max else ckeys
+        F.broadcast(ckeys)
+        if _measured_bytes(ckeys) <= broadcast_changed_max
+        else ckeys
     )
     o_vals = old.select(*keys, *[F.col(x).alias(f"old_{x}") for x in cols]).join(
         c_b, keys, "left_semi"

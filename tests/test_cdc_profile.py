@@ -1,5 +1,7 @@
 """CDC snapshot diff classification + one-pass profiler."""
 
+from pyspark.sql import functions as F
+
 from global_stock_data_warehouse_spark.operators.cdc import snapshot_diff
 from global_stock_data_warehouse_spark.operators.profile import profile_table
 
@@ -243,6 +245,22 @@ def test_snapshot_diff_hashed_equals_exact(spark):
         )
     )
     assert fallback == exact
+
+
+def test_measured_bytes_scales_with_key_width(spark):
+    """The broadcast dispatch is BYTE-sized, not row-counted: the same
+    row count with a wide string key must measure ~100x bigger and fall
+    off the forced-broadcast path at the same cap."""
+    from global_stock_data_warehouse_spark.operators.cdc import _measured_bytes
+
+    narrow = spark.range(1000).select(F.col("id").alias("k"))
+    wide = narrow.select(
+        F.concat(F.lit("x" * 500), F.col("k").cast("string")).alias("k")
+    )
+    nb, wb = _measured_bytes(narrow), _measured_bytes(wide)
+    assert nb < 40_000  # ~24 B/row
+    assert wb > 500_000  # string payload dominates
+    assert _measured_bytes(narrow.limit(0)) == 0
 
 
 def test_maintain_agg_moves_groups_and_drops_empty(spark):
