@@ -3388,7 +3388,10 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("_mv")
     scored = tv.select(
         "doc_id", F.col("is_correct").cast("int").alias("_ok"), mv
-    )
+    ).localCheckpoint(eager=True)
+    # localCheckpoint: scored feeds BOTH the min/max range aggregate and
+    # the binning pass — without it the 12-shuffle token_vote_classify
+    # subtree executes twice (the r7 PLANS.md row showed 23 shuffles)
     rng = scored.agg(
         F.min("_mv").alias("_lo"), F.max("_mv").alias("_hi")
     )
@@ -3585,16 +3588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracled and bit-exact-mirrored via tools/check_correctness.py
     # (rule 3).
     #
-    # R8 ROTATION GUIDANCE: lead with the SIX oracled queries added
-    # AFTER this window froze (never driver-hashed): length_ks_drift,
-    # bigram_prob_score, dup_source_matrix, snapshot_diff_wide,
-    # agg_maintain, classifier_calibration — plus whatever changes in
-    # r8 (bloom_decontaminate is rows-only by rule 1 — xxhash64 bitmap;
-    # its evidence is the superset-of-exact pytest). Then refill from
-    # the never-windowed pool: top_revenue_supplier, supplier_part_counts,
-    # disjunctive_revenue, dominant_suppliers, hist_bins, dense_ids,
-    # unpivot_ohlc, longest_up_streak, salted_flag_totals, vwap_brand,
-    # market_breadth, repeat_purchase_rate, price_distribution,
+    # R9 ROTATION GUIDANCE: lead with whatever changes in r9, then any
+    # oracled queries added after THIS window froze, then refill from
+    # the never-windowed pool: price_distribution,
     # class_centroids, quantize_embeddings, centroid_outliers,
     # skew_report, and the mirror-only composites
     # (remove_duplicate_spans, basket_rules, source_overlap, trend_ols,
@@ -3642,18 +3638,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-point twins + the media path) > the seven r5 additions
         # that have never had a driver-grade hash row > never-windowed
         # pool fill (min_cost_supplier .. triangle_count)
-        # --- r7 rotated window slots (31-50) ---
-        # risk order per rule 2: changed this round (benford empty-input
-        # coalesce, llm_gold NULL-pred anti-join; dedup_last_writer also
-        # changed but holds anchor slot 6) > the four NEW r7 oracled
-        # queries > the eight r6-late oracled queries that have never had
-        # a driver hash row > never-windowed pool fill
+        # --- r8 rotated window slots (31-50) ---
+        # risk order per rule 2: the SIX oracled queries added after the
+        # r7 window froze (never driver-hashed; classifier_calibration
+        # also changed this round — localCheckpoint dedup of its subtree;
+        # snapshot_diff_wide's operator got the byte-based broadcast
+        # dispatch; length_ks_drift's oracle gained the NULL mirror) >
+        # queries whose ORACLES changed this round (decay_weighted,
+        # term_chi2 NULL-contract mirrors — they keep their r7 slots) >
+        # never-windowed pool fill. All 20 CHECK_EXACT=1 verified before
+        # promotion (20/20, this session).
+        "length_ks_drift": q_length_ks_drift,
+        "bigram_prob_score": q_bigram_prob_score,
+        "dup_source_matrix": q_dup_source_matrix,
+        "snapshot_diff_wide": q_snapshot_diff_wide,
+        "agg_maintain": q_agg_maintain,
+        "classifier_calibration": q_classifier_calibration,
+        "decay_weighted": q_decay_weighted,
+        "term_chi2": q_term_chi2,
+        "top_revenue_supplier": q_top_revenue_supplier,
+        "supplier_part_counts": q_supplier_part_counts,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "dominant_suppliers": q_dominant_suppliers,
+        "hist_bins": q_hist_bins,
+        "dense_ids": q_dense_ids,
+        "unpivot_ohlc": q_unpivot_ohlc,
+        "longest_up_streak": q_longest_up_streak,
+        "salted_flag_totals": q_salted_flag_totals,
+        "vwap_brand": q_vwap_brand,
+        "market_breadth": q_market_breadth,
+        "repeat_purchase_rate": q_repeat_purchase_rate,
+        # --- oracled but beyond the driver's 50-row check window; verified
+        # locally via tools/check_correctness.py ---
+        # rotated out r8 (all 18 hold green driver-hash rows from r7;
+        # none changed this round)
         "benford_audit": q_benford_audit,
         "llm_gold_pipeline": q_llm_gold_pipeline,
         "important_stock": q_important_stock,
         "link_prediction": q_link_prediction,
-        "decay_weighted": q_decay_weighted,
-        "term_chi2": q_term_chi2,
         "incremental_dedup": q_incremental_dedup,
         "dsir_select": q_dsir_select,
         "token_vote_classify": q_token_vote_classify,
@@ -3668,8 +3690,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_linestatus": q_priority_linestatus,
         "custdist": q_custdist,
         "promo_revenue_share": q_promo_revenue_share,
-        # --- oracled but beyond the driver's 50-row check window; verified
-        # locally via tools/check_correctness.py ---
         # rotated out r7 (unchanged code, all driver-hashed green in r6)
         "autocorrelation_fx": q_autocorrelation_fx,
         "rolling_beta_fx": q_rolling_beta_fx,
@@ -3749,19 +3769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "ngram_topk": q_ngram_topk,
         "rolling_beta": q_rolling_beta,
-        "top_revenue_supplier": q_top_revenue_supplier,
-        "supplier_part_counts": q_supplier_part_counts,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "dominant_suppliers": q_dominant_suppliers,
         "unigram_logprob": q_unigram_logprob,
-        "hist_bins": q_hist_bins,
-        "dense_ids": q_dense_ids,
-        "unpivot_ohlc": q_unpivot_ohlc,
-        "longest_up_streak": q_longest_up_streak,
-        "salted_flag_totals": q_salted_flag_totals,
-        "vwap_brand": q_vwap_brand,
-        "market_breadth": q_market_breadth,
-        "repeat_purchase_rate": q_repeat_purchase_rate,
         "price_distribution": q_price_distribution,
         "class_centroids": q_class_centroids,
         "quantize_embeddings": q_quantize_embeddings,
@@ -3771,13 +3779,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrelation": q_autocorrelation,
         "dsir_weights": q_dsir_weights,
         "nb_self_loglik": q_nb_self_loglik,
-        # added r7 AFTER the window froze — window candidates for r8
-        "length_ks_drift": q_length_ks_drift,
-        "bigram_prob_score": q_bigram_prob_score,
-        "dup_source_matrix": q_dup_source_matrix,
-        "snapshot_diff_wide": q_snapshot_diff_wide,
-        "agg_maintain": q_agg_maintain,
-        "classifier_calibration": q_classifier_calibration,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,

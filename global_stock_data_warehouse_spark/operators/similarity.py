@@ -359,7 +359,7 @@ def embedding_neardup_lsh(
     planes: int | None = None,
     tables: int | None = None,
     carry_vectors: bool | None = None,
-    carry_max_bytes: int = 4 << 20,
+    carry_max_bytes: int = 256 << 20,
     probe_bits: int | None = None,
 ) -> DataFrame:
     """APPROXIMATE near-dup pairs: LSH-bucketed candidate generation +
@@ -394,13 +394,20 @@ def embedding_neardup_lsh(
     candidate shuffle multiplied its width ~10x at the 100x harness point
     (measured 27 GB -> 1.2 GB). The dispatch estimate is the uniform-
     bucket lower bound ``tables * n^2 / 2^planes`` pairs x both vectors'
-    width vs ``carry_max_bytes``: a corpus-count threshold mis-dispatched
-    the LOW-planes regime — 2k vectors at planes=6 made 125k candidate
-    pairs and shuffled 47.3 MB of carried vectors at sf0.1 where the
-    narrow layout moves 1.1 MB for the same 256 output rows (r7,
-    measured; wall flat). Real bucket skew only ever INCREASES candidate
-    volume over the estimate, which errs toward the narrow layout — the
-    safe side.
+    width vs ``carry_max_bytes``. The 256 MiB default is MEASURED, not
+    assumed (tools/lsh_crossover.py -> LSH_CROSSOVER.json, r8): sweeping
+    n = 2k..32k at derived params, the carried layout wins wall while
+    expected candidate bytes stay under ~1-2 GB (8k vectors: 1.97 s /
+    242 MB carried vs 2.86 s / 23 MB narrow) and loses decisively past
+    it (32k: 14.0 s / 2.5 GB carried vs 9.3 s / 252 MB narrow) — the
+    two fetch joins are a ~0.5-1 s fixed cost that tiny candidate sets
+    should never pay (the r7 4 MiB cap sent the sf0.1 bench query,
+    136 MB expected, down the narrow path and regressed its wall
+    1.6 -> 3.4 s to save a 46 MB shuffle). 256 MiB sits ~4-8x below the
+    measured wall crossover because the estimate is a LOWER bound: real
+    bucket skew only ever INCREASES candidate volume over it, so the
+    margin errs toward the narrow layout — the safe side. The 100x
+    harness point (27 GB expected) stays narrow under any sane cap.
 
     MULTI-PROBE (``probe_bits``, Lv et al. VLDB'07 adapted to hyperplane
     signs): besides its own bucket, the probe side of the candidate join

@@ -391,6 +391,38 @@ def neardup_gate_sink(
     )
 
 
+def drift_alerts(
+    cur: DataFrame,
+    state: DataFrame,
+    rel_threshold: float,
+    min_batch_n: int,
+    group_col: str,
+) -> DataFrame:
+    """The drift monitor's per-batch alert computation as a pure plan:
+    ``cur`` is the batch's (grp, n, vsum) aggregate, ``state`` the
+    trailing (grp, base_n, base_vsum) baseline. Two single-pass
+    aggregates join on the (few-groups) key — linear in batch rows,
+    measured by the scale harness independently of the sink's
+    checkpoint/ledger plumbing (tools/scale_slope.py: drift_alerts)."""
+    batch_mean = F.col("vsum").cast("double") / F.col("n")
+    base_mean = F.col("base_vsum").cast("double") / F.col("base_n")
+    return (
+        cur.join(state, "grp")
+        .filter(F.col("n") >= min_batch_n)
+        .withColumn("batch_mean", F.round(batch_mean, 6))
+        .withColumn("trailing_mean", F.round(base_mean, 6))
+        .filter(
+            F.abs(batch_mean - base_mean) > rel_threshold * F.abs(base_mean)
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").alias("batch_n"),
+            "batch_mean",
+            "trailing_mean",
+        )
+    )
+
+
 def drift_monitor_sink(
     stream: DataFrame,
     state_path: str,
@@ -468,25 +500,12 @@ def drift_monitor_sink(
             )
 
         if state is not None:
-            batch_mean = F.col("vsum").cast("double") / F.col("n")
-            base_mean = F.col("base_vsum").cast("double") / F.col("base_n")
-            alerts = (
-                cur.join(state, "grp")
-                .filter(F.col("n") >= min_batch_n)
-                .withColumn("batch_mean", F.round(batch_mean, 6))
-                .withColumn("trailing_mean", F.round(base_mean, 6))
-                .filter(
-                    F.abs(batch_mean - base_mean)
-                    > rel_threshold * F.abs(base_mean)
-                )
-                .select(
-                    F.col("grp").alias(group_col),
-                    F.col("n").alias("batch_n"),
-                    "batch_mean",
-                    "trailing_mean",
-                )
+            write_batch_partition(
+                drift_alerts(
+                    cur, state, rel_threshold, min_batch_n, group_col
+                ),
+                alerts_path,
             )
-            write_batch_partition(alerts, alerts_path)
         write_batch_partition(cur, state_path)
 
     return (

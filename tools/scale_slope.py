@@ -604,6 +604,81 @@ def _ops():
         )
         return corpus.term_class_chi2(df, top_k=10, min_df=5)
 
+    # maintain_agg's claim is O(|changes|), base-table-size-independent:
+    # the changeset scales with s while the BASE AGGREGATE is held at its
+    # 1x group cardinality. The diff feeding it is materialized in
+    # `prepare` (untimed) so the measurement isolates the maintenance.
+    _maint_cache: dict = {}
+
+    def maint_prepare(spark, s):
+        from global_stock_data_warehouse_spark.operators import cdc
+
+        if s in _maint_cache:
+            return _maint_cache[s][1]
+        old, new = _wide_snapshots(spark, s)
+        grp = F.pmod("pk", F.lit(10_000)).alias("g")
+        base = (
+            old.groupBy(grp)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("v0").cast("long")).alias("v0"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changes = cdc.snapshot_diff(
+            old.withColumn("g", F.pmod("pk", F.lit(10_000))),
+            new.withColumn("g", F.pmod("pk", F.lit(10_000))),
+            ["pk"],
+        ).localCheckpoint(eager=True)
+        _maint_cache[s] = (base, changes)
+        return changes
+
+    def maint(spark, s):
+        from global_stock_data_warehouse_spark.operators import cdc
+
+        maint_prepare(spark, s)
+        base, changes = _maint_cache[s]
+        return cdc.maintain_agg(base, changes, ["g"], ["v0"], count_col="n_rows")
+
+    # drift_alerts: the drift monitor's per-batch plan (batch agg + state
+    # agg + few-groups join), measured outside the sink's checkpoint
+    # plumbing. Batch AND ledger scale with s; groups stay constant (20),
+    # matching a feed where batches grow but the source set doesn't.
+    def drift(spark, s):
+        from global_stock_data_warehouse_spark.streaming.pipeline import (
+            drift_alerts,
+        )
+
+        bars = fixture(spark, "bars", s)
+        batch = bars.select(
+            F.pmod(F.col("symbol"), F.lit(20)).cast("string").alias("source"),
+            (F.col("close") * 100).cast("long").alias("n_chars"),
+        )
+        cur = (
+            batch.filter(
+                F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+            )
+            .groupBy(F.col("source").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("n_chars").cast("long")).alias("vsum"),
+            )
+        )
+        # trailing ledger: 20 prior batches' worth of contributions
+        state = (
+            batch.withColumn(
+                "_batch_id", F.pmod(F.col("n_chars"), F.lit(20))
+            )
+            .groupBy(F.col("source").alias("grp"), "_batch_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("n_chars").cast("long")).alias("vsum"),
+            )
+            .groupBy("grp")
+            .agg(F.sum("n").alias("base_n"), F.sum("vsum").alias("base_vsum"))
+        )
+        return drift_alerts(cur, state, 0.25, 20, "source")
+
     # (runner, expected exponent, what the expectation comes from)
     return {
         "ngram_jaccard_neardup": (ngram_jaccard, 1.0, "PPJoin prefix blocks, constant df/token"),
@@ -643,6 +718,8 @@ def _ops():
         "term_chi2": (termchi2, 1.0, "one (class,term) shuffle; Heaps vocab keeps per-term df constant"),
         "snapshot_diff_plain": (sdiff_plain, 1.0, "full-outer join shuffles BOTH wide payloads — linear but wide (the comparison row for the hashed variant)"),
         "snapshot_diff_hashed": (sdiff_hashed, 1.0, "narrow (pk, hash) shuffle + broadcast-semi churn fetch: linear in ROWS, payload-width-independent"),
+        "maintain_agg": (maint, 1.0, "O(|changes|): one changeset groupBy + one join against the FIXED base aggregate (diff materialized untimed in prepare)", maint_prepare),
+        "drift_alerts": (drift, 1.0, "two single-pass aggs (batch + ledger) + a |groups|-row join; groups constant as batches grow", lambda spark, s: fixture(spark, "bars", s)),
     }
 
 
