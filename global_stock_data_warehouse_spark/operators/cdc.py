@@ -318,12 +318,28 @@ def maintain_agg(
             *[F.sum(f"_d_{c}").alias(f"_d_{c}") for c in sum_cols],
         )
     )
-    j = base_agg.join(delta, keys, "full_outer")
+    # NULL-SAFE key join: groupBy treats NULL as a real group, so the
+    # maintenance identity must too — a plain equi-join would strand a
+    # NULL-keyed base row and its NULL-keyed delta on opposite sides of
+    # the full outer, silently keeping the stale aggregate (and dropping
+    # the delta whenever its net count is zero).
+    import functools
+    import operator
+
+    b, d = base_agg.alias("_b"), delta.alias("_d")
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"_b.{k}").eqNullSafe(F.col(f"_d.{k}")) for k in keys],
+    )
+    j = b.join(d, cond, "full_outer")
     out = j.select(
-        *keys,
+        *[
+            F.coalesce(F.col(f"_b.{k}"), F.col(f"_d.{k}")).alias(k)
+            for k in keys
+        ],
         (F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))).alias(count_col),
         *[
-            (F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"_d_{c}"), F.lit(0))).alias(c)
+            (F.coalesce(F.col(f"_b.{c}"), F.lit(0)) + F.coalesce(F.col(f"_d._d_{c}"), F.lit(0))).alias(c)
             for c in sum_cols
         ],
     )

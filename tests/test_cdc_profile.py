@@ -263,6 +263,52 @@ def test_measured_bytes_scales_with_key_width(spark):
     assert _measured_bytes(narrow.limit(0)) == 0
 
 
+def test_maintain_agg_null_group_delete_only_and_empty(spark):
+    """Degenerate changesets must preserve maintain(agg(old), diff) ==
+    agg(new): a NULL group key (groupBy keeps NULL as a real group; a
+    plain equi-join stranded the stale base row on one side of the full
+    outer and silently kept its old sums — found by this test),
+    a delete-only changeset erasing a whole group, and the empty
+    changeset identity."""
+    from global_stock_data_warehouse_spark.operators.cdc import (
+        maintain_agg,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, None, 30), (4, "b", 40)],
+        "pk long, g string, v long",
+    )
+    base = old.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v")
+    )
+
+    def check(new):
+        got = sorted(
+            map(tuple, maintain_agg(
+                base, snapshot_diff(old, new, ["pk"]), ["g"], ["v"]
+            ).collect()),
+            key=repr,
+        )
+        exp = sorted(
+            map(tuple, new.groupBy("g").agg(
+                F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v")
+            ).collect()),
+            key=repr,
+        )
+        assert got == exp, f"{got} != {exp}"
+
+    # NULL group: update (pk2), delete (pk3), insert (pk5) all land there
+    check(spark.createDataFrame(
+        [(1, "a", 10), (2, None, 25), (4, "b", 40), (5, None, 50)],
+        "pk long, g string, v long",
+    ))
+    # delete-only changeset: group "b" and one NULL-group row vanish
+    check(old.filter(F.col("pk").isin(1, 2)))
+    # empty changeset: exact identity with the base aggregate
+    check(old)
+
+
 def test_maintain_agg_moves_groups_and_drops_empty(spark):
     """maintain(agg(old), diff(old,new)) == agg(new) including a row
     that MOVES between groups and a group whose count reaches zero."""

@@ -329,6 +329,60 @@ def test_drift_monitor_sink_replay_idempotent(spark, tmp_path):
     assert hit.trailing_mean == 100.0
 
 
+def test_drift_monitor_sink_degenerate_batches(spark, tmp_path):
+    """Edges around an empty baseline: a batch whose rows are ALL
+    NULL-group/NULL-value (cur empty -> no state contribution, no alert,
+    no crash), a zero-mean baseline group (|0 - 0| alerts nothing;
+    a real move off a zero baseline does alert), and the
+    baseline-unaffected batch after the degenerate one."""
+    import time
+
+    from global_stock_data_warehouse_spark.streaming.pipeline import (
+        drift_monitor_sink,
+        read_bar_stream,
+    )
+
+    schema = "doc_id long, source string, n_chars long"
+    src, state, alerts, ckpt = (
+        str(tmp_path / p) for p in ("src", "state", "alerts", "ckpt")
+    )
+
+    def run():
+        stream = read_bar_stream(spark, src, schema, max_files_per_trigger=1)
+        q = drift_monitor_sink(
+            stream, state, alerts, ckpt, rel_threshold=0.25, min_batch_n=20
+        ).start()
+        q.awaitTermination(180)
+        q.stop()
+        for _ in range(100):
+            if not q.isActive:
+                break
+            time.sleep(0.1)
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    land([(i, "z", 0) for i in range(30)])  # zero-mean baseline
+    land([(100 + i, None, None) for i in range(30)])  # fully degenerate
+    land([(200 + i, "z", 0) for i in range(30)])  # still zero: silent
+    run()
+    assert len(_read_alerts(spark, alerts)) == 0
+    # state carries only the two real contributions (batches 1 and 3)
+    from pyspark.sql import functions as F
+
+    st = spark.read.parquet(state)
+    assert st.filter(F.col("grp").isNull()).count() == 0
+    assert st.count() == 2
+
+    land([(300 + i, "z", 7) for i in range(30)])  # off-zero move: alert
+    run()
+    hits = _read_alerts(spark, alerts)
+    assert len(hits) == 1
+    assert hits[0].trailing_mean == 0.0 and hits[0].batch_mean == 7.0
+
+
 def _read_alerts(spark, path):
     try:
         return spark.read.parquet(path).collect()
