@@ -107,13 +107,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a bar stream: user_id=entity, ts=time, value=price."""
-    return _t(spark, sf_dir, "events").select(
-        F.col("user_id"),
-        F.col("event_id"),
-        F.col("ts"),
-        F.to_date("ts").alias("d"),
-        F.col("value"),
+    """events as a bar stream: user_id=entity, ts=time, value=price.
+
+    A bar without an entity, a time, or a price is not a bar: NULL
+    user_id/ts/value rows are excluded at this shared root (one uniform
+    contract — mirrored by the `WHERE user_id IS NOT NULL AND ts IS NOT
+    NULL AND value IS NOT NULL` clause in every bar-family oracle), the
+    same policy the r7 hardening set for cohort/Markov event queries.
+    Without it a NULL ts lands a NULL period bucket, a NULL value
+    poisons OHLC aggregates, and a NULL entity becomes a phantom
+    symbol."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.col("user_id"),
+            F.col("event_id"),
+            F.col("ts"),
+            F.to_date("ts").alias("d"),
+            F.col("value"),
+        )
     )
 
 
@@ -173,7 +190,8 @@ def _acf_fx_oracle(lags: tuple[int, ...] = (1, 2, 3, 5)) -> str:
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          CAST(floor(last(value ORDER BY ts, event_id) * 100 + 0.5) AS BIGINT) AS x
-  FROM events GROUP BY user_id, CAST(ts AS DATE)
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id, CAST(ts AS DATE)
 ), lagged AS (
   SELECT user_id, x,
          {lag_cols}
@@ -201,7 +219,7 @@ WITH bars AS (
          min(value) AS low,
          last(value ORDER BY ts, event_id) AS close,
          sum(value) AS sum_value
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 )
 SELECT user_id, period_end, open, high, low, close, sum_value,
        round(close / lag(close) OVER (PARTITION BY user_id ORDER BY period_end) - 1, 4)
@@ -573,7 +591,13 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_tumbling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming tumbling window: epoch-aligned 7-day
     buckets per user via F.window (same semantics as streaming/pipeline)."""
-    ev = _t(spark, sf_dir, "events")
+    # same uniform NULL exclusion as hopping_window_agg/decayed_totals,
+    # plus the entity key; mirrored in the oracle's WHERE
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
     return (
         ev.groupBy("user_id", F.window("ts", "7 days").alias("w"))
         .agg(
@@ -970,7 +994,16 @@ def _sessionized(spark: SparkSession, sf_dir: str, extra_cols: tuple = ()) -> Da
     tiebreak must stay in lockstep with the matching oracle SQL):
     events + a per-user running session_id."""
     cols = ["user_id", "event_id", "ts", *extra_cols]
-    ev = _t(spark, sf_dir, "events").select(*cols)
+    # a session needs an entity and a time: NULL user_id/ts rows are
+    # excluded at this shared root (mirrored by `WHERE user_id IS NOT
+    # NULL AND ts IS NOT NULL` in all three session oracles) — NULL ts
+    # would otherwise split sessions differently per engine (Spark
+    # sorts NULLS FIRST, DuckDB NULLS LAST)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(*cols)
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     is_new = F.when(gap_sec.isNull() | (gap_sec > 2 * 86400), 1).otherwise(0)
@@ -1450,7 +1483,14 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the warehouse exists to serve). Plan: two hash aggs share the scan,
     tiny index side broadcast back, then ONE window pass per entity —
     covar/var/corr all ride the same frame."""
-    ev = _t(spark, sf_dir, "events")
+    # same NULL-row exclusion contract as daily_close/_event_bars,
+    # mirrored by the oracle's WHERE (a NULL user would otherwise be a
+    # phantom entity in `daily` while still feeding the market index)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
     daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
         F.avg("value").alias("v")
     )
@@ -4153,6 +4193,7 @@ ORDER BY shard, seq_id
         "wmy_gold_pipeline": """
 WITH bars AS (
   SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, value FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
 ), gapped AS (
   -- gap counted only when the PREVIOUS bar is already past the cutoff:
   -- diffs within the date >= cutoff subset, boundary gap excluded
@@ -4254,7 +4295,7 @@ WITH g AS (
          date_diff('day',
                    lag(CAST(ts AS DATE)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)),
                    CAST(ts AS DATE)) AS gap_days
-  FROM events)
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL)
 SELECT user_id, max(gap_days) AS max_gap_days FROM g GROUP BY user_id
 """,
         "agg_boolean_any": """
@@ -4321,11 +4362,12 @@ WITH bars AS (
          CAST(ts AS DATE) + CAST((5 - isodow(CAST(ts AS DATE)) + 7) % 7 AS INTEGER)
            AS period_end,
          last(value ORDER BY ts, event_id) AS bar_close
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 )
 SELECT e.user_id, e.event_id, CAST(e.ts AS DATE) AS d, e.value,
        b.bar_close, b.period_end AS bar_period_end
-FROM events e
+FROM (SELECT * FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL) e
 ASOF LEFT JOIN bars b
   ON e.user_id = b.user_id AND CAST(e.ts AS DATE) >= b.period_end
 """,
@@ -4336,7 +4378,7 @@ SELECT user_id, event_id,
        round(sum(value) OVER (PARTITION BY user_id
                               ORDER BY date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
                               RANGE BETWEEN 13 PRECEDING AND CURRENT ROW), 4) AS sum_14day
-FROM events
+FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
 """,
         "cube_rollup": """
 SELECT coalesce(n_name, '(all)') AS nation,
@@ -4378,7 +4420,8 @@ SELECT user_id,
        time_bucket(INTERVAL '7 days', ts, TIMESTAMP '1970-01-01') AS window_start,
        count(*) AS n_events,
        round(sum(value), 4) AS sum_value
-FROM events GROUP BY 1, 2
+FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+GROUP BY 1, 2
 """,
         "shipping_priority": """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
@@ -4523,7 +4566,7 @@ GROUP BY GROUPING SETS ((user_id, rd), (user_id, rw), (user_id, rm))
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          last(value ORDER BY ts, event_id) AS close
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ), diffs AS (
   SELECT user_id, d, close,
          close - lag(close) OVER pk AS diff,
@@ -4564,7 +4607,7 @@ FROM win
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          last(value ORDER BY ts, event_id) AS close
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ), lagged AS (
   SELECT user_id, close,
          lag(close, 1) OVER w AS l1,
@@ -4587,7 +4630,7 @@ ORDER BY user_id
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          last(value ORDER BY ts, event_id) AS close
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ), dd AS (
   SELECT user_id, d, close,
          close / max(close) OVER (PARTITION BY user_id ORDER BY d
@@ -4608,7 +4651,7 @@ WITH flagged AS (
                              ts) > 2 * 86400
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), tagged AS (
   SELECT user_id, ts, value,
          CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -5184,7 +5227,10 @@ WHERE rn <= quota
 ORDER BY lang, rn
 """,
         "temperature_sample": """
-WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents
+           -- null group = no quota (operator contract) and must not
+           -- pollute the total weight either
+           WHERE lang IS NOT NULL GROUP BY lang),
 w AS (SELECT lang, n, sqrt(n) AS wt FROM c),
 -- ORDER BY inside the aggregate pins the float-summation order to the
 -- engine-independent sorted-key order the Spark side uses, so the
@@ -5319,10 +5365,12 @@ LIMIT 20
         "rolling_beta": """
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d, avg(value) AS v
-  FROM events GROUP BY user_id, CAST(ts AS DATE)
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id, CAST(ts AS DATE)
 ), idx AS (
   SELECT CAST(ts AS DATE) AS d, avg(value) AS m
-  FROM events GROUP BY CAST(ts AS DATE)
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY CAST(ts AS DATE)
 ), joined AS (
   SELECT daily.user_id, daily.d, daily.v, idx.m FROM daily JOIN idx USING (d)
 ), windowed AS (
@@ -5589,7 +5637,8 @@ SELECT * FROM image_out UNION ALL SELECT * FROM audio_out ORDER BY media_id
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          CAST(floor(last(value ORDER BY ts, event_id) * 100 + 0.5) AS BIGINT) AS x
-  FROM events GROUP BY user_id, CAST(ts AS DATE)
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id, CAST(ts AS DATE)
 ), idx AS (
   SELECT d, sum(CAST(x AS HUGEINT)) AS m FROM daily GROUP BY d
 ), s AS (
@@ -6166,7 +6215,7 @@ ORDER BY t.doc_id
 """,
         "cohort_retention": """
 WITH d AS (
-  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), firsts AS (
   SELECT user_id, min(d) AS first_d FROM d GROUP BY user_id
 )
@@ -6184,6 +6233,7 @@ WITH pairs AS (
          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS to_type
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
 ), m AS (
   SELECT from_type, to_type, count(*) AS n
   FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
@@ -6195,10 +6245,10 @@ FROM m
         "hopping_window": """
 WITH slots AS (
   SELECT time_bucket(INTERVAL '14 days', ts, TIMESTAMP '1970-01-01')
-           AS window_start, value FROM events
+           AS window_start, value FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
   UNION ALL
   SELECT time_bucket(INTERVAL '14 days', ts, TIMESTAMP '1970-01-08')
-           AS window_start, value FROM events
+           AS window_start, value FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
 )
 SELECT window_start,
        window_start + INTERVAL '14 days' AS window_end,
@@ -6277,7 +6327,7 @@ WITH flagged AS (
                              ts) > 2 * 86400
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), tagged AS (
   SELECT user_id, ts, event_id, event_type,
          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -6335,7 +6385,7 @@ UNION ALL SELECT user_id, period_end, 'close', close FROM bars
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          last(value ORDER BY ts, event_id) AS close
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ), f AS (
   SELECT user_id, d,
          CASE WHEN close > lag(close) OVER (PARTITION BY user_id ORDER BY d)
@@ -6412,7 +6462,7 @@ GROUP BY p_brand
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          last(value ORDER BY ts, event_id) AS close
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ), ch AS (
   SELECT d,
          CASE WHEN close > lag(close) OVER w THEN 1
@@ -6435,7 +6485,7 @@ WITH flagged AS (
                              ts) > 2 * 86400
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), tagged AS (
   SELECT user_id, ts,
          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -6467,7 +6517,7 @@ WITH s AS (
           OR event_type IS DISTINCT FROM
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id))
            AS is_start
-  FROM events
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), ep AS (
   SELECT user_id, ts, event_id, event_type FROM s WHERE is_start
 )
@@ -6542,7 +6592,7 @@ FROM tagged WHERE event_type = 'purchase'
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          last(value ORDER BY ts, event_id) AS close
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ), spans AS (
   SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY user_id
 ), spine AS (
@@ -6613,7 +6663,7 @@ LIMIT 25
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          last(value ORDER BY ts, event_id) AS close
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ), sums AS (
   SELECT user_id,
          CAST(count(*) AS BIGINT) AS n,
@@ -6642,7 +6692,7 @@ FROM sums
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          last(value ORDER BY ts, event_id) AS close
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ), spans AS (
   SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY user_id
 ), spine AS (

@@ -133,6 +133,13 @@ def hopping_window_agg(
     ``round(value*100)`` integer-valued doubles) so the result is
     independent of partial-sum order and bit-exact across engines.
     """
+    # NULL ts has no window (Spark's hopping generator silently emits
+    # zero rows for it while SQL time_bucket keeps a NULL bucket) and a
+    # NULL value would count in n_events without contributing to the
+    # sum — excluded uniformly, same policy as decayed_totals
+    events = events.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     win = F.window(F.col(ts_col), size, slide)
     return (
         events.select(win.alias("w"), F.col(value_col))

@@ -102,9 +102,17 @@ def scd2_history(
     ONE hash shuffle on ``key_cols``: the duplicate-collapse lag window,
     the episode-closing lead window, and the ordering all reuse the same
     partitioning. Null-safe value compare, so NULL is a legitimate
-    tracked value (NULL -> 'x' -> NULL yields three episodes).
+    tracked value (NULL -> 'x' -> NULL yields three episodes). A change
+    record with a NULL key or NULL timestamp, however, cannot be placed
+    on any timeline — those rows are excluded up front (engines also
+    order NULL timestamps oppositely, so keeping them would make the
+    episode boundaries engine-dependent).
     """
     keys = list(key_cols)
+    nn = F.col(ts_col).isNotNull()
+    for k in keys:
+        nn = nn & F.col(k).isNotNull()
+    events = events.filter(nn)
     w = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak_cols)
     prev_ts = F.lag(ts_col).over(w)
     prev_v = F.lag(value_col).over(w)

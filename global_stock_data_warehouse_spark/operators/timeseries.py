@@ -39,9 +39,22 @@ def daily_close(
 
     `max_by` with a struct tiebreak makes "last" deterministic (bare
     F.last is order-nondeterministic under parallel aggregation).
+
+    NULL key/time/value rows are excluded at this root — a tick without
+    an entity, a timestamp, or a price is not a tick (same uniform
+    policy as the `_event_bars` loader; every consumer's oracle carries
+    the matching `WHERE ... IS NOT NULL` clause). Without the filter a
+    NULL ts seeds a NULL day bucket and a NULL value silently vanishes
+    from max_by while still, in an engine whose last() keeps NULLs,
+    overwriting the day's close.
     """
     return (
-        bars.repartition(key_col)
+        bars.filter(
+            F.col(key_col).isNotNull()
+            & F.col(time_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .repartition(key_col)
         .groupBy(F.col(key_col), F.to_date(time_col).alias("d"))
         .agg(F.max_by(value_col, F.struct(*tiebreak_cols)).alias("close"))
     )
