@@ -1354,10 +1354,14 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd projection. The corpus text is salted with deterministic
     synthetic PII (same expression mirrored in the oracle) so the
     redaction paths actually fire."""
+    # coalesce: Spark's concat NULL-propagates (the whole salted text
+    # would vanish for a NULL-text doc) while DuckDB's concat skips
+    # NULL args — both sides salt coalesce(text, '') so the engines
+    # agree and the NULL-text doc still exercises the redaction
     salted = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" mail u"),
             F.col("doc_id").cast("string"),
             F.lit("@ex.com ip 10.0.0."),
@@ -1403,8 +1407,16 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     `min_by` over a struct with a deterministic (price, suppkey) tiebreak
     — no self-join, no window over the whole fact table."""
     li = _t(spark, sf_dir, "lineitem")
+    # fixed-point average: prices are exact 2dp quantities, so the cent
+    # sum is an exact integer double (order-independent) and
+    # floor(sum/n + 0.5) rounds deterministically — round(avg(), 2)
+    # sat on a half-cent boundary at sf0.001 and flipped its last digit
+    # between engines on summation-order ulps
+    cents = F.round(F.col("l_extendedprice") * 100, 0)
     per = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price")
+        (
+            F.floor(F.sum(cents) / F.count(F.lit(1)) + 0.5) / 100.0
+        ).alias("avg_price")
     )
     best = per.groupBy("l_partkey").agg(
         F.min_by(
@@ -4677,7 +4689,7 @@ FROM lineitem GROUP BY l_returnflag
         "chunk_documents": """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS t
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), t -> t != '') AS t
   FROM documents
 ), bounds AS (
   SELECT doc_id, t,
@@ -4692,7 +4704,7 @@ WITH toks AS (
 SELECT doc_id,
        CAST((s - 1) / 24 AS INTEGER) AS chunk_idx,
        len(list_slice(t, s, s + 31)) AS n_chunk_tokens,
-       array_to_string(list_slice(t, s, s + 31), ' ') AS chunk_text
+       coalesce(array_to_string(list_slice(t, s, s + 31), ' '), '') AS chunk_text
 FROM expanded
 """,
         "corpus_clean": f"""
@@ -4704,7 +4716,7 @@ SELECT doc_id, n_tokens, lang_pred, quality FROM (
 WHERE rn = 1
 """,
         "dedup_exact": """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp,
        min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents GROUP BY 1
 """,
@@ -4784,7 +4796,7 @@ FROM comp GROUP BY comp
 WITH RECURSIVE stats AS (
   WITH base AS (
     SELECT doc_id, text,
-           list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS toks,
+           list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), t -> t != '') AS toks,
            length(text) AS n_chars_actual
     FROM documents
   ), ratios AS (
@@ -4815,7 +4827,7 @@ WITH RECURSIVE stats AS (
               WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
               WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
               ELSE 'de' END AS lang_pred,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+         md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint
   FROM ratios
 ), clean AS (
   SELECT doc_id, n_tokens, lang_pred, quality FROM (
@@ -4824,7 +4836,7 @@ WITH RECURSIVE stats AS (
     FROM stats WHERE quality >= 0.5)
   WHERE rn = 1
 ), toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS t
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'), t -> t != '') AS t
   FROM documents
 ), grams5 AS (
   SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS gram
@@ -4885,13 +4897,13 @@ ORDER BY cl.doc_id
 """,
         "dedup_funnel": """
 WITH RECURSIVE fp AS (
-  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
+  SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS f,
          min(doc_id) AS keep_id, count(*) AS n_dups
   FROM documents GROUP BY 1
 ), surv AS (
   SELECT d.doc_id, d.text FROM documents d JOIN fp ON d.doc_id = fp.keep_id
 ), toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS t
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), t -> t != '') AS t
   FROM surv
 ), sh AS (
   SELECT doc_id,
@@ -5137,7 +5149,7 @@ ORDER BY doc_id
         "pii_scrub": f"""
 WITH salted AS (
   SELECT doc_id,
-         concat(text, ' mail u', CAST(doc_id AS VARCHAR), '@ex.com ip 10.0.0.',
+         concat(coalesce(text, ''), ' mail u', CAST(doc_id AS VARCHAR), '@ex.com ip 10.0.0.',
                 CAST(doc_id % 200 AS VARCHAR), ' tel 555-123-',
                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
   FROM documents
@@ -5194,7 +5206,7 @@ ORDER BY doc_id
         "pack_sequences": """
 WITH toks AS (
   SELECT source, doc_id,
-         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')) AS BIGINT) AS n_tokens
+         CAST(len(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'), t -> t != '')) AS BIGINT) AS n_tokens
   FROM documents
 ), c AS (
   SELECT source, doc_id, n_tokens,
@@ -5289,7 +5301,8 @@ ORDER BY yr
 """,
         "min_cost_supplier": """
 WITH per AS (
-  SELECT l_partkey, l_suppkey, round(avg(l_extendedprice), 2) AS avg_price
+  SELECT l_partkey, l_suppkey,
+         floor(sum(round(l_extendedprice * 100, 0)) / count(*) + 0.5) / 100.0 AS avg_price
   FROM lineitem GROUP BY l_partkey, l_suppkey
 )
 SELECT l_partkey,
@@ -5418,7 +5431,7 @@ LIMIT 100
         "incremental_dedup": """
 WITH fp AS (
   SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
   FROM documents
 ), store AS (
   SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0
@@ -5512,7 +5525,7 @@ LIMIT 100
         "remove_duplicate_spans": """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '') AS t
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'), t -> t != '') AS t
   FROM documents
 ), occ AS (
   SELECT doc_id, i AS pos,
@@ -6374,7 +6387,7 @@ WITH bars AS (
          max(value) AS high,
          min(value) AS low,
          last(value ORDER BY ts, event_id) AS close
-  FROM events GROUP BY 1, 2
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 )
 SELECT user_id, period_end, 'open' AS metric, open AS value FROM bars
 UNION ALL SELECT user_id, period_end, 'high', high FROM bars

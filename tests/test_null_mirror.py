@@ -1,19 +1,22 @@
 """NULL-injected oracle-mirror regression: the driver fixtures carry no
-NULLs in documents.source/n_chars or events.ts/value, so a Spark operator
-and its DuckDB oracle could encode DIFFERENT NULL contracts and still pass
-the gate (the r7 ADVICE flagged exactly this for decay_weighted,
-term_chi2, and length_ks_drift). This test rebuilds the tables WITH NULL
-rows in a tmp sf-dir and re-runs the spark query against the oracle SQL
-side-by-side, so any contract divergence surfaces here instead of on the
-first NULL-bearing production fixture."""
+NULLs in documents.source/n_chars/text or events.user_id/ts/value, so a
+Spark operator and its DuckDB oracle can encode DIFFERENT NULL contracts
+and still pass the gate. The r8 sweep (tools/null_sweep.py) found 28
+such divergences; this suite pins one representative query per fixed
+family so a regression surfaces here instead of on the first NULL-
+bearing production fixture. The full 155-query sweep remains a tool run
+(~4 min), not a per-commit test."""
 
 from __future__ import annotations
 
 import math
 import os
+import sys
 
 import duckdb
 import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"))
 
 
 def _norm(rows, cols):
@@ -37,10 +40,62 @@ def _norm(rows, cols):
     )
 
 
-def _compare(spark, con, name, sf_dir):
+@pytest.fixture(scope="module")
+def null_sf_dir(spark, tmp_path_factory):
+    """sf0.001 tables with NULLs injected into exactly the columns whose
+    exclusion/normalization contracts the operators document (same
+    injection as tools/null_sweep.py — one definition, imported)."""
+    from null_sweep import build_null_dir
+
+    out = tmp_path_factory.mktemp("null_sf")
+    build_null_dir(spark, str(out))
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        p = os.path.join(str(out), f"{t}.parquet")
+        glob = (
+            f"{p}/*.parquet"
+            if os.path.isdir(p) and not os.path.islink(p)
+            else p
+        )
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
+        )
+    return str(out), con
+
+
+# one per fixed family:
+#   text root normalization  -> text_stats, chunk_documents, dedup_exact,
+#                               pii_scrub (engine concat-NULL divergence)
+#   NULL agg-column exclusion-> decay_weighted, term_chi2, length_ks_drift
+#   bar family (_event_bars / daily_close) -> wmy_weekly, market_breadth
+#   session family           -> sessionize
+#   timeline family          -> scd2_history
+#   quota pollution          -> temperature_sample
+FAMILY_PINS = [
+    "text_stats",
+    "chunk_documents",
+    "dedup_exact",
+    "pii_scrub",
+    "decay_weighted",
+    "term_chi2",
+    "length_ks_drift",
+    "wmy_weekly_resample_returns",
+    "market_breadth",
+    "sessionize",
+    "scd2_history",
+    "temperature_sample",
+]
+
+
+@pytest.mark.parametrize("name", FAMILY_PINS)
+def test_null_mirror(spark, null_sf_dir, name):
     import __spark_entry__ as entrymod
 
-    sdf = entrymod.queries()[name](spark, str(sf_dir))
+    out, con = null_sf_dir
+    sdf = entrymod.queries()[name](spark, out)
     srows, scols = [tuple(r) for r in sdf.collect()], sdf.columns
     cur = con.execute(entrymod.oracle_sql()[name])
     dcols = [d[0] for d in cur.description]
@@ -51,65 +106,3 @@ def _compare(spark, con, name, sf_dir):
     assert len(sn) == len(dn), f"{name}: rows spark={len(sn)} duck={len(dn)}"
     diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
     assert not diffs, f"{name}: value diffs {diffs}"
-
-
-@pytest.fixture(scope="module")
-def null_sf_dir(spark, tmp_path_factory):
-    """sf0.001 documents + events with NULL rows injected into exactly the
-    columns whose exclusion contracts the operators document."""
-    import __spark_entry__ as entrymod
-
-    src = "/root/testdata/sf0.001"
-    out = tmp_path_factory.mktemp("null_sf")
-    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
-    null_docs = spark.createDataFrame(
-        [
-            (900001, "null source doc words here", "en", None, 25),
-            (900002, "null nchars doc", "en", "web", None),
-            (900003, None, "en", "web", 0),
-            (900004, "fully null meta", None, None, None),
-        ],
-        docs.schema,
-    )
-    docs.unionByName(null_docs).write.parquet(
-        str(out / "documents.parquet"), mode="overwrite"
-    )
-    ev = entrymod._t(spark, src, "events")
-    null_ev = spark.createDataFrame(
-        [
-            (900001, None, 1, "click", 50.0, "{}"),
-            (900002, __import__("datetime").datetime(2024, 1, 2), 1, "click", None, "{}"),
-            (900003, None, None, None, None, None),
-        ],
-        ev.schema,
-    )
-    ev.unionByName(null_ev).write.parquet(
-        str(out / "events.parquet"), mode="overwrite"
-    )
-    con = duckdb.connect()
-    for t in ("documents", "events"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out}/{t}.parquet/*.parquet')"
-        )
-    return out, con
-
-
-def test_decay_weighted_null_mirror(spark, null_sf_dir):
-    out, con = null_sf_dir
-    _compare(spark, con, "decay_weighted", out)
-
-
-def test_term_chi2_null_mirror(spark, null_sf_dir):
-    out, con = null_sf_dir
-    _compare(spark, con, "term_chi2", out)
-
-
-def test_length_ks_drift_null_mirror(spark, null_sf_dir):
-    out, con = null_sf_dir
-    _compare(spark, con, "length_ks_drift", out)
-
-
-def test_text_stats_null_mirror(spark, null_sf_dir):
-    # the r7 NULL-text root normalization, now exercised against its oracle
-    out, con = null_sf_dir
-    _compare(spark, con, "text_stats", out)
