@@ -4399,6 +4399,9 @@ SELECT coalesce(n_name, '(all)') AS nation,
        GROUPING(n_name, c_mktsegment) AS gid
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY CUBE (n_name, c_mktsegment)
+-- empty-input mirror: ANSI CUBE emits the () grand-total row (count 0)
+-- even over zero rows, Spark's cube() emits nothing — align on Spark
+HAVING count(*) > 0
 """,
         "set_ops": """
 WITH both_k AS (
