@@ -505,6 +505,71 @@ def q_asof_join_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness cap (tolerance_days=14): a match older
+    than two weeks is nulled out — the reference's freshness-gate intent
+    (main.py:101-112) as a join property. Same union + running-last plan
+    as q_asof_join_bars; the tolerance is a map-side post-filter, zero
+    extra shuffles."""
+    ev = _event_bars(spark, sf_dir).select("user_id", "event_id", "d", "value")
+    bars = _wmy_resample_returns(spark, sf_dir, "W").select(
+        "user_id", "period_end", F.col("close").alias("bar_close")
+    )
+    out = asof_join(
+        ev, bars, on="user_id", left_ts="d", right_ts="period_end",
+        tolerance_days=14,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "d",
+        "value",
+        F.col("r_bar_close").alias("bar_close"),
+        F.col("r_period_end").alias("bar_period_end"),
+    )
+
+
+def q_sessionize_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-phase (skew-bounded) sessionization fold, oracled against
+    the SAME SQL as q_sessionize: per-task rows are bounded by one
+    (user, 30-day bucket) slice, so a power-law user cannot serialize
+    the stage — and the output is provably identical to the one-window
+    form (shared oracle = the equivalence is driver-hash-checked, not
+    just pytest-asserted)."""
+    from global_stock_data_warehouse_spark.operators.timeseries import (
+        sessionize_two_phase,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    sess = sessionize_two_phase(ev, gap_sec=2 * 86400)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.sum(F.round(F.col("value") * 100, 0)) / 100.0).alias("sum_value"),
+    )
+
+
+def q_pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sampling (k=100 strides over the n_chars weight
+    line): the weighted-mixture selection op without the
+    engine-divergent -ln(u)/w exponential keys — pure BIGINT stride
+    arithmetic, so the SELECTED ROWS are bit-identical across engines.
+    Cumsum decomposes into per-stratum windows + broadcast offsets (no
+    global single-task running sum)."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        pps_systematic_sample,
+    )
+
+    return pps_systematic_sample(
+        _t(spark, sf_dir, "documents"), k=100, weight_col="n_chars"
+    )
+
+
 def q_win_rolling_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit window frames: 7-row rolling mean (ROWS BETWEEN) and
     14-day trailing sum (RANGE BETWEEN on days-since-epoch)."""
@@ -3831,6 +3896,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrelation": q_autocorrelation,
         "dsir_weights": q_dsir_weights,
         "nb_self_loglik": q_nb_self_loglik,
+        # added r8 AFTER the window froze — window candidates for r9
+        "asof_join_tolerance": q_asof_join_tolerance,
+        "sessionize_skewsafe": q_sessionize_skewsafe,
+        "pps_weighted_sample": q_pps_weighted_sample,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4145,6 +4214,61 @@ SELECT cls, rnk, term, df_in_class, chi2 FROM (
   FROM scored)
 WHERE rnk <= 10
 ORDER BY cls, rnk
+"""
+    d["asof_join_tolerance"] = """
+WITH bars AS (
+  SELECT user_id,
+         CAST(ts AS DATE) + CAST((5 - isodow(CAST(ts AS DATE)) + 7) % 7 AS INTEGER)
+           AS period_end,
+         last(value ORDER BY ts, event_id) AS bar_close
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), m AS (
+  SELECT e.user_id, e.event_id, CAST(e.ts AS DATE) AS d, e.value,
+         b.bar_close, b.period_end
+  FROM (SELECT * FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL) e
+  ASOF LEFT JOIN bars b
+    ON e.user_id = b.user_id AND CAST(e.ts AS DATE) >= b.period_end
+)
+SELECT user_id, event_id, d, value,
+       CASE WHEN d - period_end > 14 THEN NULL ELSE bar_close END AS bar_close,
+       CASE WHEN d - period_end > 14 THEN NULL ELSE period_end END
+         AS bar_period_end
+FROM m
+"""
+    # the two-phase skew-bounded fold must produce IDENTICAL sessions:
+    # same oracle, verbatim — equivalence is driver-hash-checked
+    d["sessionize_skewsafe"] = d["sessionize"]
+    d["pps_weighted_sample"] = """
+WITH src AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w, doc_id % 64 AS st
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+), cum AS (
+  SELECT doc_id, w, st,
+         sum(w) OVER (PARTITION BY st ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw_in
+  FROM src
+), offs AS (
+  SELECT st, sum(w) AS st_w FROM src GROUP BY st
+), offs2 AS (
+  SELECT st,
+         coalesce(sum(st_w) OVER (ORDER BY st
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS st_off,
+         sum(st_w) OVER () AS t
+  FROM offs
+), lined AS (
+  SELECT c.doc_id, c.w, c.cw_in + o.st_off AS cum_w, o.t
+  FROM cum c JOIN offs2 o USING (st)
+)
+SELECT doc_id, CAST(w AS BIGINT) AS weight,
+       CAST(cum_w - w AS BIGINT) AS line_start,
+       CAST(cum_w * 100 // t - (cum_w - w) * 100 // t AS BIGINT) AS n_picks
+FROM lined
+WHERE cum_w * 100 // t - (cum_w - w) * 100 // t > 0
+ORDER BY doc_id
 """
     return d
 

@@ -2009,3 +2009,84 @@ def bigram_prob_score(
         )
         .orderBy(id_col)
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_strata: int = 64,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay every
+    doc's weight on a line (in a fixed deterministic order), cut the
+    line into ``k`` equal strides, and take the doc under each cut — the
+    classic PPS design (Madow systematic sampling) used to weight a
+    training mixture by quality/length WITHOUT the engine-divergent
+    ``-ln(u)/w`` exponential keys (ln is libm territory; this is pure
+    integer arithmetic, so the SELECTED ROWS are bit-identical across
+    engines and the query sits in the no-tolerance hash window).
+
+    A doc is picked once per stride boundary its weight interval
+    ``[cum - w, cum)`` crosses: ``n_picks = floor(cum * k / T) -
+    floor((cum - w) * k / T)`` (a doc heavier than one stride is
+    legitimately picked multiple times — PPS with replacement-like
+    multiplicity). Zero/negative/NULL weights are excluded (no mass on
+    the line).
+
+    Scale: a GLOBAL running sum would funnel the corpus through one
+    task, so the line order is (stratum, id) with stratum =
+    ``pmod(id, n_strata)`` — any fixed order is a valid systematic
+    order. The cumsum decomposes into a per-stratum window (parallel,
+    one hash exchange) plus broadcast stratum offsets (``n_strata``
+    rows) — the same two-phase trick as ``packed_sequences``' offset
+    cumsum. Products stay in BIGINT: k * total_weight must fit 63 bits
+    (k=1e4 x 100 TB of weight ~ 1e18 — at the edge; use DECIMAL past
+    that)."""
+    w = F.col(weight_col).cast("long")
+    src = df.filter(
+        F.col(id_col).isNotNull() & w.isNotNull() & (w > 0)
+    ).select(F.col(id_col), w.alias("_w"))
+    src = src.withColumn("_st", F.pmod(F.col(id_col), F.lit(n_strata)))
+    win = (
+        Window.partitionBy("_st")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = src.withColumn("_cw_in", F.sum("_w").over(win))
+    totals = (
+        src.groupBy("_st")
+        .agg(F.sum("_w").alias("_st_w"))
+        .withColumn(
+            "_st_off",
+            F.coalesce(
+                F.sum("_st_w").over(
+                    Window.orderBy("_st").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_t", F.sum("_st_w").over(Window.partitionBy()))
+    )
+    lined = within.join(F.broadcast(totals.select("_st", "_st_off", "_t")), "_st")
+    cum = F.col("_cw_in") + F.col("_st_off")
+    # INTEGER division end to end (Spark DIV == DuckDB // on BIGINT): a
+    # float floor(x*k/T) can sit one ulp under an exact boundary and
+    # flip a pick between engines
+    lined = lined.withColumn("_hi", cum * F.lit(k)).withColumn(
+        "_lo", (cum - F.col("_w")) * F.lit(k)
+    )
+    picks = F.expr("_hi DIV _t - _lo DIV _t").cast("long")
+    return (
+        lined.withColumn("n_picks", picks)
+        .filter(F.col("n_picks") > 0)
+        .select(
+            F.col(id_col),
+            F.col("_w").alias("weight"),
+            (cum - F.col("_w")).alias("line_start"),
+            "n_picks",
+        )
+        .orderBy(id_col)
+    )

@@ -231,3 +231,34 @@ def test_llm_gold_null_eval_pred_rows_excluded_from_train(spark):
     assert all(i % 5 not in (0, 1) for i in ids), (
         "TRUE and NULL eval rows must both be excluded from train"
     )
+
+
+def test_pps_systematic_sample_invariants(spark):
+    """Systematic PPS invariants: total multiplicity is EXACTLY k, a doc
+    heavier than one stride is picked with proportional multiplicity, a
+    zero/NULL-weight doc never appears, and the selection is
+    deterministic (same input -> same rows)."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        pps_systematic_sample,
+    )
+
+    rows = [(i, 10) for i in range(100)] + [
+        (1000, 500),   # heavy: half the total mass of the light docs
+        (2000, 0),     # zero weight: excluded
+        (3000, None),  # NULL weight: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    k = 30
+    out = pps_systematic_sample(df, k=k).collect()
+    total_picks = sum(r.n_picks for r in out)
+    assert total_picks == k
+    ids = {r.doc_id for r in out}
+    assert 2000 not in ids and 3000 not in ids
+    heavy = next(r for r in out if r.doc_id == 1000)
+    # heavy doc holds 1/3 of the mass -> ~k/3 picks (stride rounding +-1)
+    assert abs(heavy.n_picks - k / 3) <= 1
+    again = pps_systematic_sample(df, k=k).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # every pick interval is inside the line: 0 <= line_start < total
+    total = sum(w for _, w in rows if w)
+    assert all(0 <= r.line_start < total for r in out)
