@@ -3705,8 +3705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracled and bit-exact-mirrored via tools/check_correctness.py
     # (rule 3).
     #
-    # R9 ROTATION GUIDANCE: lead with whatever changes in r9, then any
-    # oracled queries added after THIS window froze, then refill from
+    # R9 ROTATION GUIDANCE: lead with whatever changes in r9, then the
+    # THREE oracled queries added after this window froze (never
+    # driver-hashed): asof_join_tolerance, sessionize_skewsafe,
+    # pps_weighted_sample — then refill from
     # the never-windowed pool: price_distribution,
     # class_centroids, quantize_embeddings, centroid_outliers,
     # skew_report, and the mirror-only composites

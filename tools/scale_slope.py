@@ -719,6 +719,17 @@ def _ops():
         "snapshot_diff_plain": (sdiff_plain, 1.0, "full-outer join shuffles BOTH wide payloads — linear but wide (the comparison row for the hashed variant)"),
         "snapshot_diff_hashed": (sdiff_hashed, 1.0, "narrow (pk, hash) shuffle + broadcast-semi churn fetch: linear in ROWS, payload-width-independent"),
         "maintain_agg": (maint, 1.0, "O(|changes|): one changeset groupBy + one join against the FIXED base aggregate (diff materialized untimed in prepare)", maint_prepare),
+        "pps_weighted_sample": (
+            lambda spark, s: __import__(
+                "global_stock_data_warehouse_spark.operators.corpus",
+                fromlist=["pps_systematic_sample"],
+            ).pps_systematic_sample(
+                fixture(spark, "docs", s), k=100, weight_col="doc_id"
+            ),
+            1.0,
+            "per-stratum cumsum windows + 64-row broadcast offsets: one hash exchange, no global running sum",
+            lambda spark, s: fixture(spark, "docs", s),
+        ),
         "drift_alerts": (drift, 1.0, "two single-pass aggs (batch + ledger) + a |groups|-row join; groups constant as batches grow", lambda spark, s: fixture(spark, "bars", s)),
     }
 
