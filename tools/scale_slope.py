@@ -60,6 +60,7 @@ FIXTURE_ROOT = os.path.join(_REPO, ".scale_fixtures")
 # 1x sizes ~= the sf0.1 input volumes of the covering bench queries.
 BASE_DOCS = 5_000
 BASE_VECS = 2_000
+BASE_SBARS = 100_000
 BASE_PEOPLE = 15_000
 BASE_NODES = 5_000
 AVG_DEG = 3  # directed edges per node => 3n edges, 6n after symmetrize
@@ -174,6 +175,29 @@ def gen_cvecs(spark: SparkSession, n: int) -> DataFrame:
     return base.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
 
 
+def gen_sbars(spark: SparkSession, n: int) -> DataFrame:
+    """POWER-LAW event stream for the skew harness: HALF of all events
+    belong to user 0 (the hot key), the rest spread uniformly over
+    n/200 cold users. Timestamps span one year at second granularity
+    (hash-scattered), so gap>2d sessionization produces real session
+    structure on both the hot and cold keys."""
+    n_users = max(2, n // 200)
+    base = spark.range(n).select(
+        F.when(F.pmod("id", F.lit(2)) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_users)))
+        .alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200)  # 2024-01-01
+            + F.pmod(F.xxhash64(F.col("id") + 7), F.lit(365 * 86400))
+        ).alias("ts"),
+        (F.pmod(F.xxhash64(F.col("id") + 13), F.lit(10000)) / 100.0).alias(
+            "value"
+        ),
+    )
+    return base
+
+
 def gen_people(spark: SparkSession, n: int) -> DataFrame:
     """n structured records with a blocking key of constant expected block
     size 8 (key count scales with n) and 10% adjacent-id fuzzy-match pairs
@@ -270,6 +294,7 @@ def fixture(spark: SparkSession, kind: str, scale: int) -> DataFrame:
             "people": lambda: gen_people(spark, BASE_PEOPLE * scale),
             "edges": lambda: gen_edges(spark, BASE_NODES * scale),
             "bars": lambda: gen_bars(spark, BASE_BARS * scale),
+            "sbars": lambda: gen_sbars(spark, BASE_SBARS * scale),
             "cvecs": lambda: gen_cvecs(spark, BASE_VECS * scale),
             "wide": lambda: gen_wide(spark, BASE_WIDE * scale),
         }[kind]
@@ -679,6 +704,36 @@ def _ops():
         )
         return drift_alerts(cur, state, 0.25, 20, "source")
 
+    def _sess_agg(sess):
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+
+    def _sess_one_window(spark, s):
+        from pyspark.sql import Window
+
+        ev = fixture(spark, "sbars", s)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        is_new = F.when(gap.isNull() | (gap > 2 * 86400), 1).otherwise(0)
+        sess = ev.withColumn(
+            "session_id",
+            F.sum(is_new).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        return _sess_agg(sess)
+
+    def _sess_two_phase(spark, s):
+        from global_stock_data_warehouse_spark.operators.timeseries import (
+            sessionize_two_phase,
+        )
+
+        ev = fixture(spark, "sbars", s)
+        return _sess_agg(sessionize_two_phase(ev, gap_sec=2 * 86400))
+
     # (runner, expected exponent, what the expectation comes from)
     return {
         "ngram_jaccard_neardup": (ngram_jaccard, 1.0, "PPJoin prefix blocks, constant df/token"),
@@ -719,6 +774,18 @@ def _ops():
         "snapshot_diff_plain": (sdiff_plain, 1.0, "full-outer join shuffles BOTH wide payloads — linear but wide (the comparison row for the hashed variant)"),
         "snapshot_diff_hashed": (sdiff_hashed, 1.0, "narrow (pk, hash) shuffle + broadcast-semi churn fetch: linear in ROWS, payload-width-independent"),
         "maintain_agg": (maint, 1.0, "O(|changes|): one changeset groupBy + one join against the FIXED base aggregate (diff materialized untimed in prepare)", maint_prepare),
+        "sessionize_one_window": (
+            _sess_one_window,
+            1.0,
+            "single per-user window: the hot key serializes into ONE task — the skew COMPARISON row, expected to degrade",
+            lambda spark, s: fixture(spark, "sbars", s),
+        ),
+        "sessionize_two_phase": (
+            _sess_two_phase,
+            1.0,
+            "(user, 30d-bucket) heavy pass + per-user bucket-summary pass: per-task rows bounded by the hot key's events per bucket",
+            lambda spark, s: fixture(spark, "sbars", s),
+        ),
         "pps_weighted_sample": (
             lambda spark, s: __import__(
                 "global_stock_data_warehouse_spark.operators.corpus",
