@@ -554,6 +554,39 @@ def q_sessionize_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_alert_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift monitor's per-batch alert computation as a
+    batch query (event_id%5==0 plays the incoming micro-batch, the rest
+    the trailing state ledger): per-event_type mean-of-value shifts
+    beyond 25% on batches of >=20 rows alert with exact integer-sum
+    means. Gives `streaming.pipeline.drift_alerts` driver-hash evidence
+    beyond the availableNow pytest harness."""
+    from global_stock_data_warehouse_spark.streaming.pipeline import drift_alerts
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+
+    def agg(df, n, vs):
+        return df.groupBy(F.col("event_type").alias("grp")).agg(
+            F.count(F.lit(1)).alias(n),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(vs),
+        )
+
+    cur = agg(ev.filter(F.col("event_id") % 5 == 0), "n", "vsum")
+    state = (
+        agg(ev.filter(F.col("event_id") % 5 != 0), "base_n", "base_vsum")
+    )
+    # threshold 0.02: the fixture's uniform stream drifts only a little
+    # between the splits, so a realistic 0.25 would emit zero rows and
+    # prove nothing; 2% makes the report non-trivially populated
+    return drift_alerts(cur, state, 0.02, 20, "event_type").orderBy(
+        "event_type"
+    )
+
+
 def q_pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Systematic PPS sampling (k=100 strides over the n_chars weight
     line): the weighted-mixture selection op without the
@@ -3900,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_self_loglik": q_nb_self_loglik,
         # added r8 AFTER the window froze — window candidates for r9
         "asof_join_tolerance": q_asof_join_tolerance,
+        "drift_alert_report": q_drift_alert_report,
         "sessionize_skewsafe": q_sessionize_skewsafe,
         "pps_weighted_sample": q_pps_weighted_sample,
         # --- rows-only from here (approximate / hash-value-specific) ---
@@ -4241,6 +4275,32 @@ FROM m
     # the two-phase skew-bounded fold must produce IDENTICAL sessions:
     # same oracle, verbatim — equivalence is driver-hash-checked
     d["sessionize_skewsafe"] = d["sessionize"]
+    d["drift_alert_report"] = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND event_id IS NOT NULL
+), cur AS (
+  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS vsum
+  FROM ev WHERE event_id % 5 = 0 GROUP BY 1
+), st AS (
+  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS base_n,
+         CAST(sum(cents) AS BIGINT) AS base_vsum
+  FROM ev WHERE event_id % 5 != 0 GROUP BY 1
+)
+SELECT c.grp AS event_type, c.n AS batch_n,
+       round(CAST(c.vsum AS DOUBLE) / c.n, 6) AS batch_mean,
+       round(CAST(s.base_vsum AS DOUBLE) / s.base_n, 6) AS trailing_mean
+FROM cur c JOIN st s USING (grp)
+WHERE c.n >= 20
+  AND abs(CAST(c.vsum AS DOUBLE) / c.n
+          - CAST(s.base_vsum AS DOUBLE) / s.base_n)
+      > 0.02 * abs(CAST(s.base_vsum AS DOUBLE) / s.base_n)
+ORDER BY event_type
+"""
     d["pps_weighted_sample"] = """
 WITH src AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS w, doc_id % 64 AS st
