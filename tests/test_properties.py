@@ -8,6 +8,7 @@ examples: each property runs a handful of Spark jobs, not hundreds.
 from __future__ import annotations
 
 import datetime as dt
+import math
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -544,3 +545,40 @@ def test_ks_drift_matches_bruteforce_ecdf(rows):
         )
         assert abs(got[grp] - round(d, 6)) <= 1e-9
         assert 0.0 <= got[grp] <= 1.0
+
+
+pps_strategy = st.lists(
+    st.integers(min_value=0, max_value=500),  # weights incl. zeros
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(pps_strategy, st.integers(min_value=1, max_value=40))
+@SLOW
+def test_pps_systematic_madow_guarantee(weights, k):
+    """Madow systematic-sampling guarantee, property-tested: total
+    multiplicity is EXACTLY k, and every doc's pick count is within the
+    floor/ceil bracket of its proportional share w*k/T (the defining
+    property of systematic PPS — no doc can be over- or under-sampled
+    by a full stride)."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        pps_systematic_sample,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        list(enumerate(weights)), "doc_id long, n_chars long"
+    )
+    out = {r.doc_id: r.n_picks for r in pps_systematic_sample(df, k=k).collect()}
+    total = sum(w for w in weights if w and w > 0)
+    if total == 0:
+        assert out == {}
+        return
+    assert sum(out.values()) == k
+    for doc_id, w in enumerate(weights):
+        share = (w or 0) * k / total
+        picks = out.get(doc_id, 0)
+        assert math.floor(share) <= picks <= math.ceil(share), (
+            doc_id, w, k, total, picks, share,
+        )
