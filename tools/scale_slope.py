@@ -704,6 +704,27 @@ def _ops():
         )
         return drift_alerts(cur, state, 0.25, 20, "source")
 
+    def _asof_bars(spark, s):
+        from global_stock_data_warehouse_spark.operators.joins import asof_join
+
+        bars = fixture(spark, "bars", s)
+        # weekly close per symbol = the right (dimension-ish) side; the
+        # full bar stream asof-probes it
+        wk = bars.groupBy(
+            "symbol",
+            F.date_add(
+                F.col("date"),
+                ((5 - F.dayofweek("date") + 7) % 7).cast("int"),
+            ).alias("period_end"),
+        ).agg(F.max("close").alias("bar_close"))
+        return asof_join(
+            bars.select("symbol", "event_id", "date", "close"),
+            wk,
+            on="symbol",
+            left_ts="date",
+            right_ts="period_end",
+        )
+
     def _sess_agg(sess):
         return sess.groupBy("user_id", "session_id").agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -774,6 +795,12 @@ def _ops():
         "snapshot_diff_plain": (sdiff_plain, 1.0, "full-outer join shuffles BOTH wide payloads — linear but wide (the comparison row for the hashed variant)"),
         "snapshot_diff_hashed": (sdiff_hashed, 1.0, "narrow (pk, hash) shuffle + broadcast-semi churn fetch: linear in ROWS, payload-width-independent"),
         "maintain_agg": (maint, 1.0, "O(|changes|): one changeset groupBy + one join against the FIXED base aggregate (diff materialized untimed in prepare)", maint_prepare),
+        "asof_join_bars": (
+            _asof_bars,
+            1.0,
+            "union + running-last window: ONE symbol-keyed shuffle, O(n log n) per key, zero range-join pair explosion",
+            lambda spark, s: fixture(spark, "bars", s),
+        ),
         "sessionize_one_window": (
             _sess_one_window,
             1.0,
