@@ -4528,7 +4528,13 @@ SELECT o_orderkey,
 FROM orders
 """,
         "json_extract": """
-SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+-- json_valid guard: DuckDB's json functions THROW on malformed/empty
+-- JSON where Spark's get_json_object returns NULL — mirror the NULL
+-- TRY_CAST: a non-numeric extracted value ('[1,2]') must NULL like
+-- Spark's non-ANSI cast, not throw
+SELECT TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+       count(*) AS n
 FROM events GROUP BY 1
 """,
         "sort_limit_topk": """

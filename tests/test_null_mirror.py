@@ -106,3 +106,52 @@ def test_null_mirror(spark, null_sf_dir, name):
     assert len(sn) == len(dn), f"{name}: rows spark={len(sn)} duck={len(dn)}"
     diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
     assert not diffs, f"{name}: value diffs {diffs}"
+
+
+def test_json_extract_malformed_props_mirror(spark, tmp_path):
+    """Malformed/empty/non-object props must NULL identically on both
+    engines: DuckDB's json functions THROW on invalid JSON (and its
+    CAST throws on '[1,2]') where Spark's get_json_object + non-ANSI
+    cast return NULL — the oracle carries json_valid + TRY_CAST guards
+    for exactly this (found by the r8 malformed-props probe)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    ev = entrymod._t(spark, src, "events")
+    extra = spark.createDataFrame(
+        [
+            (900001 + i, "2024-02-01 00:00:00", 5, "click", 1.0, p)
+            for i, p in enumerate(
+                [None, "", "{not json", '{"k": }', "[1,2,3]",
+                 '{"deep": {"x": 1}}', "null", "42", '{"k": "77"}',
+                 '{"k": [1,2]}']
+            )
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = str(tmp_path / "ev")
+    ev.unionByName(extra).write.parquet(out + "/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{out}/events.parquet/*.parquet')"
+    )
+    _compare_inline(spark, con, "json_extract", out)
+
+
+def _compare_inline(spark, con, name, sf_dir):
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.queries()[name](spark, sf_dir)
+    srows, scols = [tuple(r) for r in sdf.collect()], sdf.columns
+    cur = con.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    sn, sc = _norm(srows, scols)
+    dn, dc = _norm(drows, dcols)
+    assert sc == dc and len(sn) == len(dn)
+    diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+    assert not diffs, f"{name}: {diffs}"
