@@ -4047,7 +4047,12 @@ WITH anchored AS (
   SELECT event_type,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
          least(CAST(floor(date_diff('day', CAST(ts AS DATE),
-                                    (SELECT max(CAST(ts AS DATE)) FROM events))
+                                    (SELECT max(CAST(ts AS DATE)) FROM events
+                                     -- anchor AFTER the same exclusion:
+                                     -- a NULL-value row holding the max
+                                     -- ts must not shift every h
+                                     WHERE ts IS NOT NULL
+                                       AND value IS NOT NULL))
                           / 7) AS INTEGER), 10) AS h
   FROM events
   -- mirrors decayed_totals' up-front NULL exclusion: a NULL ts would

@@ -89,6 +89,16 @@ def blob_manifest(
         st = it.next()
         if st.getLen() == 0 and st.isFile():
             p = st.getPath().toString()
+            # mirror Spark's file-source visibility rule: any path
+            # component starting with '_' or '.' is hidden (binaryFile
+            # never lists them, so recovering a zero-byte _SUCCESS here
+            # would make it exist on one side of the sync only — and
+            # delete=True would then remove the dst marker)
+            if any(
+                seg and seg[0] in "_."
+                for seg in p[len(prefix):].split("/")
+            ):
+                continue
             empties.append(
                 (
                     p[len(prefix):],

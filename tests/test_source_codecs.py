@@ -363,3 +363,16 @@ def test_blob_manifest_missing_vs_error_and_zero_byte(spark, tmp_path):
     assert (dst / "empty.bin").stat().st_size == 0
     c2 = sink_blob_sync(spark, str(src), str(dst), checksum=True)
     assert c2["skip"] == 2 and c2["copy_changed"] == 0
+
+    # (e) hidden zero-byte markers follow Spark's file-source visibility
+    # rule: invisible to the manifest on BOTH sides, so a dst-side
+    # _SUCCESS survives even delete=True and never syncs from src
+    (src / "_SUCCESS").write_bytes(b"")
+    (dst / "_SUCCESS").write_bytes(b"")
+    (dst / ".hidden").mkdir()
+    (dst / ".hidden" / "stale.bin").write_bytes(b"")
+    m = blob_manifest(spark, str(src))
+    assert sorted(r.rel_path for r in m.collect()) == ["empty.bin", "full.bin"]
+    c3 = sink_blob_sync(spark, str(src), str(dst), delete=True)
+    assert c3["delete"] == 0 and c3["copy_new"] == 0
+    assert (dst / "_SUCCESS").exists() and (dst / ".hidden" / "stale.bin").exists()

@@ -83,6 +83,9 @@ def build_null_dir(spark, out: str) -> None:
             (900002, datetime.datetime(2024, 1, 2), 1, "click", None, "{}"),
             (900003, None, None, None, None, None),
             (900004, datetime.datetime(2024, 1, 3), None, None, 5.0, None),
+            # NULL-value row holding the CORPUS-MAX timestamp: anchors
+            # (max-date subqueries) must exclude it like the operators do
+            (900005, datetime.datetime(2031, 12, 31), 2, "click", None, "{}"),
         ],
         ev.schema,
     )
