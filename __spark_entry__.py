@@ -4297,8 +4297,9 @@ WITH ev AS (
   FROM ev WHERE event_id % 5 != 0 GROUP BY 1
 )
 SELECT c.grp AS event_type, c.n AS batch_n,
-       round(CAST(c.vsum AS DOUBLE) / c.n, 6) AS batch_mean,
-       round(CAST(s.base_vsum AS DOUBLE) / s.base_n, 6) AS trailing_mean
+       floor(CAST(c.vsum AS DOUBLE) / c.n * 1e6 + 0.5) / 1e6 AS batch_mean,
+       floor(CAST(s.base_vsum AS DOUBLE) / s.base_n * 1e6 + 0.5) / 1e6
+         AS trailing_mean
 FROM cur c JOIN st s USING (grp)
 WHERE c.n >= 20
   AND abs(CAST(c.vsum AS DOUBLE) / c.n

@@ -141,12 +141,13 @@ def main() -> None:
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
-    # Heaviest-first ordering INSIDE each dict: the driver's capture
-    # truncates the tail of the stdout line, so alphabetical order let
-    # fast stragglers survive while the expensive queries — the ones a
-    # regression read actually needs — were cut off (VERDICT r7 item 5).
-    timings = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
-    shuffle_mb = dict(sorted(shuffle_mb.items(), key=lambda kv: -kv[1]))
+    # ASCENDING (heaviest LAST) ordering INSIDE each dict: the driver's
+    # artifact keeps only the LAST ~2 KB of the stdout line, so the
+    # surviving fragment must END with the expensive queries — the ones a
+    # regression read actually needs. r8's heaviest-first put the 5.3s
+    # queries in the truncated head (VERDICT r8 item 1 corrects r7 item 5).
+    timings = dict(sorted(timings.items(), key=lambda kv: kv[1]))
+    shuffle_mb = dict(sorted(shuffle_mb.items(), key=lambda kv: kv[1]))
     # Diagnostic (stderr only, never the stdout JSON contract): raw
     # per-sweep seconds, so a regressed median can be split into
     # "cold on sweep 1 only" vs "slow every sweep" without a re-run.

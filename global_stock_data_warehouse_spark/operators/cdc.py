@@ -161,6 +161,7 @@ def _measured_bytes(df: DataFrame, per_row_overhead: int = 16) -> int:
     BYTES rather than rows (a 5M-row cap is 40 MB of bigints but can be
     hundreds of MB of composite string keys)."""
     from pyspark.sql.types import (
+        ArrayType,
         BinaryType,
         BooleanType,
         ByteType,
@@ -169,8 +170,10 @@ def _measured_bytes(df: DataFrame, per_row_overhead: int = 16) -> int:
         DoubleType,
         FloatType,
         IntegerType,
+        MapType,
         ShortType,
         StringType,
+        StructType,
     )
 
     widths = {
@@ -183,6 +186,16 @@ def _measured_bytes(df: DataFrame, per_row_overhead: int = 16) -> int:
             per_row = per_row + F.coalesce(
                 F.octet_length(F.col(f.name)), F.lit(0)
             ) + F.lit(4)
+        elif isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            # Composite columns were previously mis-sized at the 8-byte
+            # scalar default, grossly under-measuring array/struct key
+            # sets and wrongly forcing them broadcast (ADVICE r8).
+            # to_json gives a measurable serialized width — an
+            # over-estimate vs Tungsten's binary layout, which is the
+            # safe direction for a broadcast gate.
+            per_row = per_row + F.coalesce(
+                F.octet_length(F.to_json(F.col(f.name))), F.lit(0)
+            ) + F.lit(8)
         else:
             per_row = per_row + F.lit(
                 widths.get(type(f.dataType), 8)  # long/timestamp/other: 8

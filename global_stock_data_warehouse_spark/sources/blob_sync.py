@@ -113,7 +113,22 @@ def blob_manifest(
         schema = "rel_path string, length long, mtime timestamp"
         if checksum:
             schema += ", md5 string"
-        out = out.unionByName(spark.createDataFrame(empties, schema))
+        recovered = spark.createDataFrame(empties, schema)
+        # Defensive anti-join: today's file-source planner drops
+        # zero-byte files, but if a Spark upgrade ever starts listing
+        # them, a plain union would duplicate rel_paths and fan out
+        # through sync_plan's full-outer join. Only zero-byte rows in
+        # `out` can collide with the recovered list, so the broadcast
+        # build side is bounded by the (tiny) empty-file count — never
+        # the full manifest.
+        recovered = recovered.join(
+            F.broadcast(
+                out.filter(F.col("length") == 0).select("rel_path")
+            ),
+            "rel_path",
+            "left_anti",
+        ).select(*[F.col(c) for c in recovered.columns])
+        out = out.unionByName(recovered)
     return out
 
 

@@ -406,11 +406,19 @@ def drift_alerts(
     checkpoint/ledger plumbing (tools/scale_slope.py: drift_alerts)."""
     batch_mean = F.col("vsum").cast("double") / F.col("n")
     base_mean = F.col("base_vsum").cast("double") / F.col("base_n")
+
+    def _fx6(col):
+        # floor(x*1e6 + 0.5): 6dp round-half-up-toward-+inf on BOTH
+        # engines (Spark round() is HALF_UP, DuckDB's double round is
+        # banker's — floor(x + 0.5) is the one formulation they share
+        # bit-for-bit; same idiom as timeseries._fx6 / decayed cents).
+        return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
     return (
         cur.join(state, "grp")
         .filter(F.col("n") >= min_batch_n)
-        .withColumn("batch_mean", F.round(batch_mean, 6))
-        .withColumn("trailing_mean", F.round(base_mean, 6))
+        .withColumn("batch_mean", _fx6(batch_mean))
+        .withColumn("trailing_mean", _fx6(base_mean))
         .filter(
             F.abs(batch_mean - base_mean) > rel_threshold * F.abs(base_mean)
         )
@@ -472,14 +480,32 @@ def drift_monitor_sink(
             )
             .localCheckpoint(eager=True)
         )
-        try:
+        # Probe state_path existence explicitly instead of a bare
+        # try/except around the read: a genuine FS/auth/corruption error
+        # must PROPAGATE, not masquerade as "no baseline yet" (the same
+        # silent-empty failure class the blob_manifest fix closed —
+        # here it would suppress every alert of the run).
+        jp = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jp):
+            # Explicit schema (cur's columns + the _batch_id partition
+            # key): an all-NULL batch leaves the ledger dir existing
+            # with zero data files, and schema INFERENCE would throw on
+            # it — with the schema supplied the read legally returns
+            # empty, while genuine IO errors still propagate.
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            ledger_schema = StructType(
+                list(cur.schema.fields)
+                + [StructField("_batch_id", LongType())]
+            )
             # _batch_id < batch_id: a replayed batch must not see the
             # state partition its own failed first attempt wrote, or the
             # trailing mean is self-polluted and the recomputed alert
             # set diverges from the original (stale-alert hazard under
             # dynamic overwrite when the recomputation comes up empty).
             state = (
-                spark.read.parquet(state_path)
+                spark.read.schema(ledger_schema).parquet(state_path)
                 .filter(F.col("_batch_id") < F.lit(batch_id))
                 .groupBy("grp")
                 .agg(
@@ -487,7 +513,7 @@ def drift_monitor_sink(
                     F.sum("vsum").alias("base_vsum"),
                 )
             )
-        except Exception:
+        else:
             state = None
 
         def write_batch_partition(df: DataFrame, path: str) -> None:

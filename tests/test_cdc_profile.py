@@ -263,6 +263,41 @@ def test_measured_bytes_scales_with_key_width(spark):
     assert _measured_bytes(narrow.limit(0)) == 0
 
 
+def test_measured_bytes_composite_columns_not_undersized(spark):
+    """ArrayType/StructType/MapType columns previously fell through to
+    the 8-byte scalar default, so a 100-element array key measured like
+    a bigint and wrongly stayed on the forced-broadcast path (ADVICE
+    r8). Composite columns must measure at least their serialized JSON
+    width — the safe over-estimate for a broadcast gate."""
+    from global_stock_data_warehouse_spark.operators.cdc import _measured_bytes
+
+    arr = spark.range(1000).select(
+        F.array_repeat(F.col("id"), 100).alias("k")
+    )
+    ab = _measured_bytes(arr)
+    # 100 bigints rendered as JSON: >> the old 8 B/row undercount
+    assert ab > 1000 * 100  # >=1 byte per element is a loose floor
+    struct = spark.range(1000).select(
+        F.struct(
+            F.col("id").alias("a"),
+            F.concat(F.lit("y" * 64), F.col("id").cast("string")).alias("b"),
+        ).alias("k")
+    )
+    sb = _measured_bytes(struct)
+    assert sb > 1000 * 64  # the embedded string must be visible
+    mp = spark.range(1000).select(
+        F.create_map(
+            F.lit("key"), F.concat(F.lit("z" * 64), F.col("id").cast("string"))
+        ).alias("k")
+    )
+    assert _measured_bytes(mp) > 1000 * 64
+    # NULL composite values must not break the sum
+    some_null = spark.range(10).select(
+        F.when(F.col("id") % 2 == 0, F.array_repeat(F.col("id"), 3)).alias("k")
+    )
+    assert _measured_bytes(some_null) > 0
+
+
 def test_maintain_agg_null_group_delete_only_and_empty(spark):
     """Degenerate changesets must preserve maintain(agg(old), diff) ==
     agg(new): a NULL group key (groupBy keeps NULL as a real group; a
