@@ -3738,21 +3738,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracled and bit-exact-mirrored via tools/check_correctness.py
     # (rule 3).
     #
-    # R9 ROTATION GUIDANCE: lead with whatever changes in r9, then the
-    # THREE oracled queries added after this window froze (never
-    # driver-hashed): asof_join_tolerance, sessionize_skewsafe,
-    # pps_weighted_sample — then refill from
-    # the never-windowed pool: price_distribution,
-    # class_centroids, quantize_embeddings, centroid_outliers,
-    # skew_report, and the mirror-only composites
-    # (remove_duplicate_spans, basket_rules, source_overlap, trend_ols,
-    # market_share, scd2_history, cdc_apply, max_concurrency,
-    # tfidf_topterms, bpe_merge_candidates, paragraph_dedup,
+    # ROUND-9 ROTATION (executed): slots 31-50 lead with
+    # drift_alert_report (rounding idiom + ledger-read changed this
+    # round), then the ten never-driver-hashed oracled queries VERDICT
+    # r8 item 1 named (asof_join_tolerance, sessionize_skewsafe,
+    # pps_weighted_sample, ngram_topk, price_distribution, skew_report,
+    # class_centroids, quantize_embeddings, centroid_outliers), then
+    # ten mirror-only composite pool fills (remove_duplicate_spans,
+    # basket_rules, source_overlap, trend_ols, market_share,
+    # scd2_history, cdc_apply, max_concurrency, tfidf_topterms,
+    # bpe_merge_candidates). Rotated OUT (all green r8 driver rows,
+    # code unchanged): length_ks_drift, bigram_prob_score,
+    # dup_source_matrix, snapshot_diff_wide, agg_maintain,
+    # classifier_calibration, decay_weighted, term_chi2,
+    # top_revenue_supplier, supplier_part_counts, disjunctive_revenue,
+    # dominant_suppliers, hist_bins, dense_ids, unpivot_ohlc,
+    # longest_up_streak, salted_flag_totals, vwap_brand,
+    # market_breadth, repeat_purchase_rate — all mirrored per rule 3.
+    #
+    # R10 ROTATION GUIDANCE: lead with whatever changes in r10, then
+    # refill from the never-windowed mirror-only pool: paragraph_dedup,
     # decontaminate, pii_scrub, bm25_score, pack_sequences,
-    # keyword_search, gap_fill_linear, rfm_segments, ...). EPS queries
-    # (rolling_beta, unigram_logprob, source_kl, autocorrelation,
-    # dsir_weights, nb_self_loglik) stay out per rule 4 — their _fx
-    # twins carry the driver-grade evidence.
+    # keyword_search, gap_fill_linear, rfm_segments, agg_pricing_summary,
+    # win_rolling_frame, cube_rollup, pivot_status, window_tumbling_7d,
+    # shipping_priority, regional_revenue, funnel_3step,
+    # small_qty_revenue, big_orders, range_join_shipments,
+    # multi_res_rollup, snapshot_diff, profile_table, tech_indicators,
+    # drawdown_cumret, sessionize, stats_moments, repetition_stats,
+    # sample_per_group. EPS queries (rolling_beta, unigram_logprob,
+    # source_kl, autocorrelation, dsir_weights, nb_self_loglik) stay
+    # out per rule 4 — their _fx twins carry the driver-grade evidence.
     return {
         "wmy_gold_pipeline": q_wmy_gold_pipeline,
         "wmy_weekly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "W"),
@@ -3784,22 +3799,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
-        # --- r6 rotated window slots (31-50) ---
-        # risk order: changed this round (benford rewrite, llm_gold
-        # tokenize-sharing) > brand-new r6 oracled queries (the four
-        # fixed-point twins + the media path) > the seven r5 additions
-        # that have never had a driver-grade hash row > never-windowed
-        # pool fill (min_cost_supplier .. triangle_count)
-        # --- r8 rotated window slots (31-50) ---
-        # risk order per rule 2: the SIX oracled queries added after the
-        # r7 window froze (never driver-hashed; classifier_calibration
-        # also changed this round — localCheckpoint dedup of its subtree;
-        # snapshot_diff_wide's operator got the byte-based broadcast
-        # dispatch; length_ks_drift's oracle gained the NULL mirror) >
-        # queries whose ORACLES changed this round (decay_weighted,
-        # term_chi2 NULL-contract mirrors — they keep their r7 slots) >
-        # never-windowed pool fill. All 20 CHECK_EXACT=1 verified before
-        # promotion (20/20, this session).
+        # --- r9 rotated window slots (31-50) ---
+        # risk order per rule 2: changed this round — drift_alert_report
+        # (drift_alerts rounding moved to the engine-shared
+        # floor(x*1e6+0.5)/1e6 idiom + explicit-schema ledger read, both
+        # sides of the oracle updated) > the TEN oracled queries that
+        # have NEVER held a driver-hash row (the four added after the r8
+        # window froze — asof_join_tolerance, sessionize_skewsafe,
+        # pps_weighted_sample — plus ngram_topk, price_distribution,
+        # skew_report, class_centroids, quantize_embeddings,
+        # centroid_outliers; exactly the set VERDICT r8 item 1 demanded)
+        # > never-windowed mirror-only composite pool fill
+        # (remove_duplicate_spans .. bpe_merge_candidates). All 20
+        # CHECK_EXACT=1 verified before promotion (this session).
+        "drift_alert_report": q_drift_alert_report,
+        "asof_join_tolerance": q_asof_join_tolerance,
+        "sessionize_skewsafe": q_sessionize_skewsafe,
+        "pps_weighted_sample": q_pps_weighted_sample,
+        "ngram_topk": q_ngram_topk,
+        "price_distribution": q_price_distribution,
+        "skew_report": q_skew_report,
+        "class_centroids": q_class_centroids,
+        "quantize_embeddings": q_quantize_embeddings,
+        "centroid_outliers": q_centroid_outliers,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
+        "basket_rules": q_basket_rules,
+        "source_overlap": q_source_overlap,
+        "trend_ols": q_trend_ols,
+        "market_share": q_market_share,
+        "scd2_history": q_scd2_history,
+        "cdc_apply": q_cdc_apply,
+        "max_concurrency": q_max_concurrency,
+        "tfidf_topterms": q_tfidf_topterms,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        # --- oracled but beyond the driver's 50-row check window; verified
+        # locally via tools/check_correctness.py ---
+        # rotated out r9 (all 20 hold green driver-hash rows from r8;
+        # none changed this round)
         "length_ks_drift": q_length_ks_drift,
         "bigram_prob_score": q_bigram_prob_score,
         "dup_source_matrix": q_dup_source_matrix,
@@ -3820,8 +3856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap_brand": q_vwap_brand,
         "market_breadth": q_market_breadth,
         "repeat_purchase_rate": q_repeat_purchase_rate,
-        # --- oracled but beyond the driver's 50-row check window; verified
-        # locally via tools/check_correctness.py ---
         # rotated out r8 (all 18 hold green driver-hash rows from r7;
         # none changed this round)
         "benford_audit": q_benford_audit,
@@ -3881,16 +3915,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": q_rolling_distinct_users,
         "quantile_summary": q_quantile_summary,
         "gap_fill": q_gap_fill,
-        "remove_duplicate_spans": q_remove_duplicate_spans,
-        "basket_rules": q_basket_rules,
-        "source_overlap": q_source_overlap,
-        "trend_ols": q_trend_ols,
-        "market_share": q_market_share,
-        "scd2_history": q_scd2_history,
-        "cdc_apply": q_cdc_apply,
-        "max_concurrency": q_max_concurrency,
-        "tfidf_topterms": q_tfidf_topterms,
-        "bpe_merge_candidates": q_bpe_merge_candidates,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -3919,23 +3943,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_moments": q_stats_moments,
         "repetition_stats": q_repetition_stats,
         "sample_per_group": q_sample_per_group,
-        "ngram_topk": q_ngram_topk,
         "rolling_beta": q_rolling_beta,
         "unigram_logprob": q_unigram_logprob,
-        "price_distribution": q_price_distribution,
-        "class_centroids": q_class_centroids,
-        "quantize_embeddings": q_quantize_embeddings,
-        "centroid_outliers": q_centroid_outliers,
-        "skew_report": q_skew_report,
         "source_kl": q_source_kl,
         "autocorrelation": q_autocorrelation,
         "dsir_weights": q_dsir_weights,
         "nb_self_loglik": q_nb_self_loglik,
-        # added r8 AFTER the window froze — window candidates for r9
-        "asof_join_tolerance": q_asof_join_tolerance,
-        "drift_alert_report": q_drift_alert_report,
-        "sessionize_skewsafe": q_sessionize_skewsafe,
-        "pps_weighted_sample": q_pps_weighted_sample,
         # --- rows-only from here (approximate / hash-value-specific) ---
         "approx_distinct": q_approx_distinct,
         "winnow_fingerprints": q_winnow_fingerprints,
