@@ -19,6 +19,23 @@ import json
 import statistics
 import sys
 
+# Deliberate, measured byte trades: a byte GROWTH on these queries up to
+# the recorded ceiling is a documented design choice, not a regression —
+# the gate prints it as EXPECTED and does not fail. Keep this list short
+# and each entry backed by an artifact.
+EXPECTED_TRADES = {
+    # r8: tools/lsh_crossover.py swept n=2k..32k and set a 256 MiB
+    # carried-layout cap (LSH_CROSSOVER.json); at sf0.1 the carried
+    # layout spends ~47 MB of shuffle to buy wall 3.44s -> 1.63s. Any
+    # old artifact predating r8 (narrow layout, ~1 MB) will show this
+    # move; it is the measured crossover, not drift.
+    "embedding_neardup_lsh": {
+        "max_mb": 60.0,
+        "reason": "r8 measured LSH carry crossover (LSH_CROSSOVER.json): "
+                  "+46MB shuffle bought wall 3.44->1.63s at sf0.1",
+    },
+}
+
 
 def main() -> int:
     if len(sys.argv) != 3:
@@ -42,7 +59,14 @@ def main() -> int:
           f"(uniform shift = machine drift, not a regression)")
     print(f"total shuffle MB: {sum(old['shuffle_mb'].values()):.0f} -> "
           f"{sum(new['shuffle_mb'].values()):.0f}")
+    expected = []
     for k, o, n in sorted(byte_movers, key=lambda t: t[1] - t[2]):
+        trade = EXPECTED_TRADES.get(k)
+        if n > o and trade and n <= trade["max_mb"]:
+            expected.append((k, o, n))
+            print(f"BYTES EXPECTED  {k}: {o:.2f} -> {n:.2f} MB "
+                  f"({trade['reason']})")
+            continue
         tag = "IMPROVED" if n < o else "REGRESSED"
         print(f"BYTES {tag:9s} {k}: {o:.2f} -> {n:.2f} MB")
     advisories = [
@@ -56,7 +80,9 @@ def main() -> int:
     for k, o, n in advisories:
         print(f"WALL advisory (no byte move — check order-coupling / "
               f"standalone first): {k}: {o:.2f}s -> {n:.2f}s")
-    regressed = [m for m in byte_movers if m[2] > m[1]]
+    regressed = [
+        m for m in byte_movers if m[2] > m[1] and m not in expected
+    ]
     return 1 if regressed else 0
 
 
