@@ -59,6 +59,43 @@ def test_asof_join_tolerance(spark, asof_frames):
     assert out[("A", "2024-03-01")] is None  # 49 days stale: nulled
 
 
+def test_asof_join_tolerance_exact_boundary(spark):
+    """VERDICT r8 item 4: the tolerance gate at EXACTLY the boundary —
+    datediff == tolerance_days is KEPT (the contract is `> tolerance`
+    nulls), tolerance+1 is nulled, and tolerance_days=0 keeps only
+    same-day matches. The classic off-by-one lives here."""
+    left = spark.createDataFrame(
+        [
+            ("A", "2024-01-15", 1.0),  # exactly 14 days after the bar
+            ("A", "2024-01-16", 2.0),  # 15 days: one past the boundary
+            ("A", "2024-01-01", 3.0),  # same day as the bar
+        ],
+        "k string, d string, v double",
+    ).withColumn("d", F.to_date("d"))
+    right = spark.createDataFrame(
+        [("A", "2024-01-01", 100.0)], "k string, bd string, px double"
+    ).withColumn("bd", F.to_date("bd"))
+
+    out = {
+        r.d.isoformat(): r.r_px
+        for r in asof_join(
+            left, right, on="k", left_ts="d", right_ts="bd", tolerance_days=14
+        ).collect()
+    }
+    assert out["2024-01-15"] == 100.0  # == boundary: kept
+    assert out["2024-01-16"] is None   # boundary + 1: nulled
+    assert out["2024-01-01"] == 100.0
+
+    zero = {
+        r.d.isoformat(): r.r_px
+        for r in asof_join(
+            left, right, on="k", left_ts="d", right_ts="bd", tolerance_days=0
+        ).collect()
+    }
+    assert zero["2024-01-01"] == 100.0  # same-day survives tolerance 0
+    assert zero["2024-01-15"] is None and zero["2024-01-16"] is None
+
+
 FETCH_SCHEMA = "date string, close double, symbol string, _fetch_error string"
 
 

@@ -383,6 +383,63 @@ def test_drift_monitor_sink_degenerate_batches(spark, tmp_path):
     assert hits[0].trailing_mean == 0.0 and hits[0].batch_mean == 7.0
 
 
+def test_drift_monitor_sink_all_null_first_batch(spark, tmp_path):
+    """VERDICT r8 item 4 edge: when the FIRST batch is fully degenerate
+    (all NULL group/value), the ledger dir is created with ZERO data
+    files — the r9 explicit-schema read must treat it as an empty
+    baseline (schema INFERENCE would throw; the old bare except masked
+    that as 'no baseline', hiding real IO errors). Batch 2 then lands
+    the first real contribution without alerting, and batch 3's shift
+    alerts against it."""
+    import time
+
+    from global_stock_data_warehouse_spark.streaming.pipeline import (
+        drift_monitor_sink,
+        read_bar_stream,
+    )
+
+    schema = "doc_id long, source string, n_chars long"
+    src, state, alerts, ckpt = (
+        str(tmp_path / p) for p in ("src", "state", "alerts", "ckpt")
+    )
+
+    def run():
+        stream = read_bar_stream(spark, src, schema, max_files_per_trigger=1)
+        q = drift_monitor_sink(
+            stream, state, alerts, ckpt, rel_threshold=0.25, min_batch_n=20
+        ).start()
+        q.awaitTermination(180)
+        q.stop()
+        for _ in range(100):
+            if not q.isActive:
+                break
+            time.sleep(0.1)
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    land([(i, None, None) for i in range(30)])  # batch 0: fully NULL
+    run()
+    assert len(_read_alerts(spark, alerts)) == 0
+
+    land([(100 + i, "a", 100) for i in range(30)])  # first real baseline
+    run()
+    assert len(_read_alerts(spark, alerts)) == 0
+    from pyspark.sql import functions as F
+
+    st = spark.read.parquet(state)
+    assert st.filter(F.col("grp").isNull()).count() == 0
+    assert st.count() == 1
+
+    land([(200 + i, "a", 200) for i in range(30)])  # 2x shift: alert
+    run()
+    hits = _read_alerts(spark, alerts)
+    assert len(hits) == 1
+    assert hits[0].batch_mean == 200.0 and hits[0].trailing_mean == 100.0
+
+
 def _read_alerts(spark, path):
     try:
         return spark.read.parquet(path).collect()

@@ -140,6 +140,70 @@ def test_sessionize_two_phase_matches_single_window(spark):
     assert "_bkt" in plan
 
 
+def test_sessionize_two_phase_gap_exactly_at_bucket_edge(spark):
+    """VERDICT r8 item 4: the phase boundary IS the bucket edge — events
+    placed so the cross-bucket gap lands EXACTLY on gap_sec (continues:
+    contract is `> gap` starts a new session) and exactly gap_sec+1
+    (new session), plus an event ON the bucket boundary instant itself
+    (epoch % bucket_sec == 0 goes to the later bucket via floor). All
+    must match the single-window reference bit-for-bit."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from global_stock_data_warehouse_spark.operators.timeseries import (
+        sessionize_two_phase,
+    )
+
+    gap_sec = 2 * 86400
+    bucket_sec = 30 * 86400
+    # bucket edge as an absolute instant (UTC epoch multiple of 30d)
+    edge = datetime.datetime.utcfromtimestamp(
+        (datetime.datetime(2024, 1, 1).timestamp() // bucket_sec + 1)
+        * bucket_sec
+    )
+    rows = [
+        # user 1: last event gap_sec BEFORE the edge, next event ON the
+        # edge -> boundary gap == gap_sec exactly -> CONTINUES
+        (1, 0, edge - datetime.timedelta(seconds=gap_sec)),
+        (1, 1, edge),
+        # user 2: gap_sec+1 across the edge -> NEW session
+        (2, 2, edge - datetime.timedelta(seconds=gap_sec + 1)),
+        (2, 3, edge),
+        # user 3: event exactly ON the edge then one second later (same
+        # bucket, trivially same session) and one gap_sec later within
+        # the next bucket (continues within-bucket)
+        (3, 4, edge),
+        (3, 5, edge + datetime.timedelta(seconds=1)),
+        (3, 6, edge + datetime.timedelta(seconds=1 + gap_sec)),
+        # user 4: straddles the edge with events 1s either side
+        (4, 7, edge - datetime.timedelta(seconds=1)),
+        (4, 8, edge + datetime.timedelta(seconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = sessionize_two_phase(df, gap_sec=gap_sec, bucket_sec=bucket_sec)
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ref = df.withColumn(
+        "session_id",
+        F.sum(F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    key = ["user_id", "event_id", "session_id"]
+    got_rows = sorted(map(tuple, got.select(*key).collect()))
+    assert got_rows == sorted(map(tuple, ref.select(*key).collect()))
+    by_user = {}
+    for u, e, s in got_rows:
+        by_user.setdefault(u, []).append(s)
+    assert by_user[1] == [1, 1]  # == gap: continues
+    assert by_user[2] == [1, 2]  # gap+1: splits
+    assert by_user[3] == [1, 1, 1]
+    assert by_user[4] == [1, 1]
+
+
 # ---------------------------------------------------------------------------
 # trend_ols / gap_fill_ffill
 # ---------------------------------------------------------------------------

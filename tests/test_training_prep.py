@@ -262,3 +262,46 @@ def test_pps_systematic_sample_invariants(spark):
     # every pick interval is inside the line: 0 <= line_start < total
     total = sum(w for _, w in rows if w)
     assert all(0 <= r.line_start < total for r in out)
+
+
+def test_pps_systematic_sample_boundary_edges(spark):
+    """VERDICT r8 item 4 edges: (a) ONE doc carrying more mass than the
+    rest of the line combined must absorb its full proportional
+    multiplicity (floor/ceil of w*k/T — near-all of k), with the total
+    still exactly k; (b) all-equal weights with k a multiple of n must
+    pick every doc exactly k/n times (the pure-uniform degenerate of
+    PPS); (c) k=1 picks exactly one doc once; (d) a single-doc corpus
+    takes all k picks."""
+    import math
+
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        pps_systematic_sample,
+    )
+
+    # (a) dominant doc: w=10_000 vs 99 docs of w=1 (T=10_099, k=100)
+    rows = [(i, 1) for i in range(99)] + [(999, 10_000)]
+    out = {
+        r.doc_id: r.n_picks
+        for r in pps_systematic_sample(
+            spark.createDataFrame(rows, "doc_id long, n_chars long"), k=100
+        ).collect()
+    }
+    assert sum(out.values()) == 100
+    share = 10_000 * 100 / 10_099
+    assert math.floor(share) <= out[999] <= math.ceil(share)  # 99 or 100
+
+    # (b) all-equal weights: 10 docs, k=100 -> exactly 10 picks each
+    eq = spark.createDataFrame(
+        [(i, 7) for i in range(10)], "doc_id long, n_chars long"
+    )
+    eq_out = {r.doc_id: r.n_picks for r in pps_systematic_sample(eq, k=100).collect()}
+    assert eq_out == {i: 10 for i in range(10)}
+
+    # (c) k=1: exactly one pick in total
+    one = pps_systematic_sample(eq, k=1).collect()
+    assert sum(r.n_picks for r in one) == 1 and len(one) == 1
+
+    # (d) single doc takes every stride
+    solo = spark.createDataFrame([(42, 3)], "doc_id long, n_chars long")
+    solo_out = pps_systematic_sample(solo, k=17).collect()
+    assert len(solo_out) == 1 and solo_out[0].n_picks == 17
