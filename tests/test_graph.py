@@ -74,6 +74,128 @@ def test_star_matches_hash_to_min_on_random_graphs(spark):
         assert a == c, f"trial {trial}: union-find diverged"
 
 
+def test_cc_dispatch_boundary_equivalence(spark, monkeypatch):
+    """VERDICT r8 item 7: the driver/distributed dispatch boundary.
+    With sym.count() == driver_max_edges the driver union-find runs;
+    at driver_max_edges - 1 the distributed hash-to-min runs — and both
+    produce IDENTICAL labels on the same irregular graph. The spy
+    asserts which path actually executed (plans alone can't tell:
+    both return LogicalRDD-backed frames)."""
+    import global_stock_data_warehouse_spark.operators.graph as g
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(40), rng.randrange(40)) for _ in range(60)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges(spark, pairs)
+    # symmetrized-distinct count is the dispatch statistic
+    sym_n = (
+        e.selectExpr("id_a s", "id_b d")
+        .union(e.selectExpr("id_b s", "id_a d"))
+        .distinct()
+        .count()
+    )
+
+    calls = []
+    real_uf = g._union_find_components
+
+    def spy(rows, spark_):
+        calls.append(len(rows))
+        return real_uf(rows, spark_)
+
+    monkeypatch.setattr(g, "_union_find_components", spy)
+
+    # == boundary: driver path (<= contract)
+    drv = {
+        r.id: r.comp
+        for r in g.connected_components(e, driver_max_edges=sym_n).collect()
+    }
+    assert calls == [sym_n]
+    # one under: distributed path, identical labels
+    dist = {
+        r.id: r.comp
+        for r in g.connected_components(
+            e, driver_max_edges=sym_n - 1
+        ).collect()
+    }
+    assert calls == [sym_n]  # spy NOT called again
+    assert drv == dist
+
+
+def test_cc_200k_edge_crossover_takes_distributed_path(spark, monkeypatch):
+    """The DEFAULT crossover, exercised for real: 100,001 disjoint-pair
+    undirected edges symmetrize to 200,002 directed edges — one over the
+    200,000 default — so the distributed hash-to-min must run (spy
+    asserts the driver union-find is never invoked) and its labels must
+    equal the driver path's on the identical graph."""
+    import global_stock_data_warehouse_spark.operators.graph as g
+
+    n_pairs = 100_001
+    e = spark.range(n_pairs).selectExpr(
+        "id * 2 as id_a", "id * 2 + 1 as id_b"
+    )
+
+    calls = []
+    real_uf = g._union_find_components
+
+    def spy(rows, spark_):
+        calls.append(len(rows))
+        return real_uf(rows, spark_)
+
+    monkeypatch.setattr(g, "_union_find_components", spy)
+
+    dist = g.connected_components(e)  # default driver_max_edges=200_000
+    dist_rows = {r.id: r.comp for r in dist.collect()}
+    assert calls == []  # distributed path taken at 200,002 > 200,000
+    assert len(dist_rows) == 2 * n_pairs
+    # every pair labels to its even (min) node
+    assert all(
+        dist_rows[2 * i] == 2 * i and dist_rows[2 * i + 1] == 2 * i
+        for i in range(0, n_pairs, 9973)
+    )
+    # equivalence at the crossover: raise the cap so the SAME graph
+    # routes to the driver union-find, labels must be identical
+    drv = {
+        r.id: r.comp
+        for r in g.connected_components(
+            e, driver_max_edges=300_000
+        ).collect()
+    }
+    assert calls and calls[0] == 200_002
+    assert drv == dist_rows
+
+
+def test_k_core_dispatch_boundary_equivalence(spark, monkeypatch):
+    """Same boundary contract for k_core: == cap runs the driver peeler,
+    cap-1 runs the distributed loop, results identical."""
+    import global_stock_data_warehouse_spark.operators.graph as g
+    from global_stock_data_warehouse_spark.operators.graph import k_core
+
+    rng = random.Random(13)
+    pairs = list({(rng.randrange(25), rng.randrange(25)) for _ in range(50)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges(spark, pairs)
+    und_n = g._canonical_undirected(e, "id_a", "id_b").count()
+
+    calls = []
+    real = g._k_core_driver
+
+    def spy(rows, k, spark_, t):
+        calls.append(len(rows))
+        return real(rows, k, spark_, t)
+
+    monkeypatch.setattr(g, "_k_core_driver", spy)
+
+    drv = sorted(
+        map(tuple, k_core(e, k=2, src="id_a", dst="id_b", driver_max_edges=und_n).collect())
+    )
+    assert calls == [und_n]
+    dist = sorted(
+        map(tuple, k_core(e, k=2, src="id_a", dst="id_b", driver_max_edges=und_n - 1).collect())
+    )
+    assert calls == [und_n]
+    assert drv == dist
+
+
 def test_dedup_groups_shape(spark):
     e = _edges(spark, [(5, 3), (3, 9), (100, 101)])
     got = {
