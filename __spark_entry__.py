@@ -603,6 +603,58 @@ def q_pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher rule battery (Rae et al. 2021 Table A1) as
+    per-doc booleans: word-count / mean-word-length bounds, symbol and
+    bullet/ellipsis ratios, alpha-word share, stopword presence —
+    separate flags (not a composite score) so mixture designers see
+    WHICH rule killed a doc. Map-only single scan, fixed-point ratios
+    rounded BEFORE the threshold compares so the booleans are
+    bit-identical across engines. min_words=20 (not the paper's 50) so
+    the fixture's ~25-word docs split non-trivially."""
+    from global_stock_data_warehouse_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    return gopher_quality_flags(docs, min_words=20).orderBy("doc_id")
+
+
+def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning under TARGET weights (the
+    Pile/Dolma mixture-table step): BIGINT-exact allocation
+    (budget*w DIV W), ceil epochs, fixed-point sampling rate; corpus
+    sources absent from the weight table report weight 0 / epochs 0
+    instead of vanishing. One source-keyed agg + broadcast weight
+    join."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        mixture_epoch_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_epoch_plan(
+        docs,
+        token_budget=1_000_000,
+        weights={"src0": 5, "src1": 3, "src2": 2, "src3": 1},
+    )
+
+
+def q_stratified_quota_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-quota stratified split (val 10%, test 5% per source, by
+    per-mille ceil brackets over the md5-ranked stratum): unlike the
+    hash-bucket split_assign, every stratum hits its quota EXACTLY —
+    the eval-set-builder contract. Deterministic (md5 order), one
+    stratum-keyed window."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        stratified_quota_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_quota_split(
+        docs, quotas={"val": 100, "test": 50}
+    ).orderBy("doc_id")
+
+
 def q_win_rolling_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit window frames: 7-row rolling mean (ROWS BETWEEN) and
     14-day trailing sum (RANGE BETWEEN on days-since-epoch)."""
@@ -3803,16 +3855,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # risk order per rule 2: changed this round — drift_alert_report
         # (drift_alerts rounding moved to the engine-shared
         # floor(x*1e6+0.5)/1e6 idiom + explicit-schema ledger read, both
-        # sides of the oracle updated) > the TEN oracled queries that
-        # have NEVER held a driver-hash row (the four added after the r8
-        # window froze — asof_join_tolerance, sessionize_skewsafe,
-        # pps_weighted_sample — plus ngram_topk, price_distribution,
-        # skew_report, class_centroids, quantize_embeddings,
-        # centroid_outliers; exactly the set VERDICT r8 item 1 demanded)
-        # > never-windowed mirror-only composite pool fill
-        # (remove_duplicate_spans .. bpe_merge_candidates). All 20
-        # CHECK_EXACT=1 verified before promotion (this session).
+        # sides of the oracle updated) > NEW this round —
+        # gopher_quality_flags (Rae et al. rule battery),
+        # mixture_epoch_plan (BIGINT target-weight planning),
+        # stratified_quota_split (exact-quota md5-ranked split) > the
+        # TEN oracled queries that had NEVER held a driver-hash row (the
+        # three added after the r8 window froze — asof_join_tolerance,
+        # sessionize_skewsafe, pps_weighted_sample — plus ngram_topk,
+        # price_distribution, skew_report, class_centroids,
+        # quantize_embeddings, centroid_outliers; exactly the set
+        # VERDICT r8 item 1 demanded) > never-windowed mirror-only
+        # composite pool fill (remove_duplicate_spans .. cdc_apply; the
+        # last three pool fills moved to the mirror to make room). All
+        # 20 CHECK_EXACT=1 verified before promotion (this session).
         "drift_alert_report": q_drift_alert_report,
+        "gopher_quality_flags": q_gopher_quality_flags,
+        "mixture_epoch_plan": q_mixture_epoch_plan,
+        "stratified_quota_split": q_stratified_quota_split,
         "asof_join_tolerance": q_asof_join_tolerance,
         "sessionize_skewsafe": q_sessionize_skewsafe,
         "pps_weighted_sample": q_pps_weighted_sample,
@@ -3829,11 +3888,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": q_market_share,
         "scd2_history": q_scd2_history,
         "cdc_apply": q_cdc_apply,
+        # --- oracled but beyond the driver's 50-row check window; verified
+        # locally via tools/check_correctness.py ---
+        # displaced from the r9 window by the three NEW r9 queries above
+        # (rule 2: new-this-round outranks pool fill); all three hold the
+        # bit-exact local mirror
         "max_concurrency": q_max_concurrency,
         "tfidf_topterms": q_tfidf_topterms,
         "bpe_merge_candidates": q_bpe_merge_candidates,
-        # --- oracled but beyond the driver's 50-row check window; verified
-        # locally via tools/check_correctness.py ---
         # rotated out r9 (all 20 hold green driver-hash rows from r8;
         # none changed this round)
         "length_ks_drift": q_length_ks_drift,
@@ -4349,6 +4411,120 @@ SELECT doc_id, CAST(w AS BIGINT) AS weight,
        CAST(cum_w * 100 // t - (cum_w - w) * 100 // t AS BIGINT) AS n_picks
 FROM lined
 WHERE cum_w * 100 // t - (cum_w - w) * 100 // t > 0
+ORDER BY doc_id
+"""
+    d["gopher_quality_flags"] = r"""
+WITH src AS (
+  SELECT doc_id, coalesce(text, '') AS text
+  FROM documents WHERE doc_id IS NOT NULL
+), w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+           AS words,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '')
+           AS lines
+  FROM src
+), m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS wchars,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    CAST(len(list_filter(words,
+         x -> lower(x) IN ('the','a','and','of','to'))) AS BIGINT)
+      AS n_stopwords,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+    len(lines) AS n_lines,
+    len(list_filter(lines, x -> starts_with(ltrim(x), '-')
+        OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), '•')))
+      AS n_bullet,
+    len(list_filter(lines, x -> ends_with(rtrim(x), '...')
+        OR ends_with(rtrim(x), '…'))) AS n_ell_lines
+  FROM w
+), r AS (
+  SELECT doc_id, n_words, n_stopwords,
+    CASE WHEN n_words > 0
+         THEN floor(wchars * 1.0 / n_words * 1e4 + 0.5) / 1e4
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_words > 0
+         THEN floor((n_hash + n_ell) * 1.0 / n_words * 1e6 + 0.5) / 1e6
+         ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN n_words > 0
+         THEN floor(n_alpha * 1.0 / n_words * 1e6 + 0.5) / 1e6
+         ELSE 0.0 END AS alpha_share,
+    CASE WHEN n_lines > 0
+         THEN floor(n_bullet * 1.0 / n_lines * 1e6 + 0.5) / 1e6
+         ELSE 0.0 END AS bullet_share,
+    CASE WHEN n_lines > 0
+         THEN floor(n_ell_lines * 1.0 / n_lines * 1e6 + 0.5) / 1e6
+         ELSE 0.0 END AS ellipsis_share
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_share,
+       n_stopwords, bullet_share, ellipsis_share,
+  (n_words >= 20 AND n_words <= 100000) AS flag_word_count,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS flag_mean_word_len,
+  (symbol_ratio <= 0.1) AS flag_symbol,
+  (bullet_share <= 0.9) AS flag_bullet,
+  (ellipsis_share <= 0.3) AS flag_ellipsis,
+  (alpha_share >= 0.8) AS flag_alpha,
+  (n_stopwords >= 2) AS flag_stopwords,
+  ((n_words >= 20 AND n_words <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND symbol_ratio <= 0.1 AND bullet_share <= 0.9
+   AND ellipsis_share <= 0.3 AND alpha_share >= 0.8
+   AND n_stopwords >= 2) AS passes_gopher
+FROM r
+ORDER BY doc_id
+"""
+    d["mixture_epoch_plan"] = r"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(list_filter(
+           string_split_regex(lower(trim(text)), '\s+'), t -> t != ''))), 0)
+           AS BIGINT) AS avail_tokens
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+), wt AS (
+  SELECT * FROM (VALUES ('src0', 5), ('src1', 3), ('src2', 2), ('src3', 1))
+    AS t(source, weight)
+), j AS (
+  SELECT p.source, p.n_docs, p.avail_tokens,
+         CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
+  FROM per p LEFT JOIN wt w USING (source)
+), tot AS (
+  SELECT j.*, CAST(sum(weight) OVER () AS BIGINT) AS wt_total FROM j
+), alloc AS (
+  SELECT source, n_docs, avail_tokens, weight,
+         CAST(CASE WHEN wt_total > 0
+              THEN (1000000 * weight) // wt_total ELSE 0 END AS BIGINT)
+           AS allocated_tokens
+  FROM tot
+)
+SELECT source, n_docs, avail_tokens, weight, allocated_tokens,
+  CAST(CASE WHEN avail_tokens > 0 AND allocated_tokens > 0
+       THEN (allocated_tokens + avail_tokens - 1) // avail_tokens
+       ELSE 0 END AS BIGINT) AS epochs,
+  CASE WHEN avail_tokens > 0
+       THEN floor(allocated_tokens * 1.0 / avail_tokens * 1e6 + 0.5) / 1e6
+       ELSE 0.0 END AS sample_rate
+FROM alloc
+ORDER BY source
+"""
+    d["stratified_quota_split"] = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT doc_id, source,
+  CASE WHEN rn > (n * 0 + 999) // 1000 AND rn <= (n * 50 + 999) // 1000
+         THEN 'test'
+       WHEN rn > (n * 50 + 999) // 1000 AND rn <= (n * 150 + 999) // 1000
+         THEN 'val'
+       ELSE 'train' END AS split
+FROM ranked
 ORDER BY doc_id
 """
     return d

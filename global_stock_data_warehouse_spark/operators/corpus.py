@@ -2090,3 +2090,155 @@ def pps_systematic_sample(
         )
         .orderBy(id_col)
     )
+
+
+def mixture_epoch_plan(
+    df: DataFrame,
+    token_budget: int,
+    weights: dict[str, int] | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture planning under TARGET weights — the
+    non-proportional companion of :func:`source_mix_report` (which
+    reports the epochs a *proportional* sample implies): given the
+    designer's relative integer weights per source (the Pile/Dolma-style
+    mixture table) and a total ``token_budget``, compute per source the
+    allocated tokens, the sampling rate vs what's available, and the
+    EPOCHS the allocation implies (>1 = that source repeats — the
+    oversampling signal mixture designers bound).
+
+    All arithmetic is BIGINT-exact (``allocated = budget * w DIV W``,
+    ``epochs = ceil(allocated / avail)`` as ``(a + n - 1) DIV n``), so
+    the plan is bit-identical across engines — no float shares anywhere
+    except the reported fixed-point rate. ``weights=None`` plans a
+    uniform mixture over the sources present. Sources in the corpus but
+    absent from ``weights`` get weight 0 (allocated 0, epochs 0) —
+    explicitly excluded rather than silently dropped, so the report
+    shows what the mixture leaves on the floor.
+
+    Scale: one (source)-keyed aggregation with map-side combine, a
+    broadcast join against the |weights|-row table, and a partition-less
+    window over the tiny per-source frame. NULL sources are excluded
+    (no mixture bucket to assign them to).
+    """
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    per = (
+        df.filter(F.col(source_col).isNotNull())
+        .select(F.col(source_col).alias("source"), tokens(text_col).alias("_t"))
+        .select("source", F.size("_t").alias("_n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").cast("long").alias("avail_tokens"),
+        )
+    )
+    if weights is None:
+        weighted = per.withColumn("weight", F.lit(1).cast("long"))
+    else:
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(k, int(v)) for k, v in sorted(weights.items())],
+            "source string, weight long",
+        )
+        weighted = per.join(F.broadcast(wdf), "source", "left").withColumn(
+            "weight", F.coalesce(F.col("weight"), F.lit(0).cast("long"))
+        )
+    w_total = F.sum("weight").over(Window.partitionBy())
+    planned = weighted.withColumn(
+        "allocated_tokens",
+        F.when(
+            w_total > 0,
+            F.expr(f"CAST({token_budget} AS BIGINT) * weight").cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    ).withColumn("_wt", w_total)
+    planned = planned.withColumn(
+        "allocated_tokens",
+        F.when(
+            F.col("_wt") > 0, F.expr("allocated_tokens DIV _wt")
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    epochs = F.when(
+        (F.col("avail_tokens") > 0) & (F.col("allocated_tokens") > 0),
+        F.expr("(allocated_tokens + avail_tokens - 1) DIV avail_tokens"),
+    ).otherwise(F.lit(0))
+    rate = F.when(
+        (F.col("avail_tokens") > 0),
+        F.floor(
+            F.col("allocated_tokens") * 1.0 / F.col("avail_tokens") * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6,
+    ).otherwise(F.lit(0.0))
+    return planned.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        "weight",
+        "allocated_tokens",
+        epochs.cast("long").alias("epochs"),
+        rate.alias("sample_rate"),
+    ).orderBy("source")
+
+
+def stratified_quota_split(
+    df: DataFrame,
+    quotas: dict[str, int] | None = None,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """EXACT-quota stratified split: within every stratum, assign the
+    named splits their exact ceil share of rows, remainder to 'train'.
+    :func:`with_split` hashes each id into a bucket — correct in
+    expectation but binomially noisy per stratum (a 100-doc source at
+    1% val can easily get 0 or 3 val docs); this variant guarantees
+    ``count(split s in stratum) == ceil-bracketed quota`` exactly, the
+    contract eval-set builders actually need.
+
+    Deterministic and engine-portable: rows are ranked within their
+    stratum by ``(md5(id), id)`` — a fixed pseudo-random order any
+    engine reproduces — and the first ``ceil(n * pm / 1000)`` ranks go
+    to each split in sorted-name order (per-mille integer thresholds:
+    ``(n * cum_pm + 999) DIV 1000``, BIGINT-exact, no float
+    boundaries). Re-runs and backfills assign every doc identically.
+
+    ``quotas`` maps split name -> per-mille (default val=10, test=10;
+    the remaining 980‰ is train). Scale: ONE hash shuffle on the
+    stratum key + a per-stratum sort — the same shape as any windowed
+    rank; no global ordering. NOTE: ranking is per-stratum sequential,
+    so a single mega-stratum serializes into one task — for power-law
+    strata feed a (stratum, shard) composite key and rebalance quotas,
+    or accept with_split's hash noise.
+
+    NULL ids are excluded (md5 of NULL has no defined order); a NULL
+    stratum is a REAL stratum (its own quota bracket), matching
+    groupBy semantics."""
+    quotas = {"val": 10, "test": 10} if quotas is None else dict(quotas)
+    if any(v < 0 for v in quotas.values()):
+        raise ValueError(f"quotas must be >= 0 per-mille, got {quotas}")
+    if sum(quotas.values()) > 1000:
+        raise ValueError(f"quotas exceed 1000 per-mille: {quotas}")
+    if "train" in quotas:
+        raise ValueError("'train' is the implicit remainder split")
+    key_md5 = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(strata_col).orderBy(key_md5, F.col(id_col))
+    ranked = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.col(strata_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(strata_col))
+        )
+    )
+    expr = None
+    cum = 0
+    for name, pm in sorted(quotas.items()):
+        lo_thresh = F.expr(f"(_n * {cum} + 999) DIV 1000")
+        cum += pm
+        hi_thresh = F.expr(f"(_n * {cum} + 999) DIV 1000")
+        cond = (F.col("_rn") > lo_thresh) & (F.col("_rn") <= hi_thresh)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise("train") if expr is not None else F.lit("train")
+    return ranked.select(id_col, strata_col, expr.alias(out_col))

@@ -270,3 +270,141 @@ def repetition_stats(
         F.round(F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("distinct_share"),
         F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top_gram_share"),
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_share: float = 0.9,
+    max_ellipsis_share: float = 0.3,
+    min_alpha_share: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The published Gopher quality-rule battery (Rae et al. 2021,
+    "Scaling Language Models", Table A1) as explicit per-document
+    booleans — the standard pretraining-corpus filter, kept as separate
+    flags (not a composite score like :func:`quality_score`) so mixture
+    designers can read WHICH rule killed a document and tune thresholds
+    per source:
+
+    - word count within ``[min_words, max_words]``
+    - mean word length within ``[min_mean_word_len, max_mean_word_len]``
+    - symbol-to-word ratio (``#`` and ``...`` occurrences per word)
+      at most ``max_symbol_ratio``
+    - share of non-empty lines starting with a bullet (``- * •``)
+      at most ``max_bullet_share``
+    - share of non-empty lines ending with an ellipsis (``... …``)
+      at most ``max_ellipsis_share``
+    - share of words containing at least one alphabetic character
+      at least ``min_alpha_share``
+    - at least ``min_stopwords`` stopword hits (``LANG_MARKERS['en']``)
+
+    ``passes_gopher`` is the conjunction. All ratios are fixed-point
+    rounded (``floor(x*1e6+0.5)/1e6``, the engine-shared idiom) BEFORE
+    the threshold comparisons so the booleans are bit-identical across
+    engines. NULL text is treated as empty (zero words, all ratios 0.0,
+    ``passes_gopher`` false via the word-count rule) — same contract as
+    :func:`fingerprint`.
+
+    Pure column expressions over a single scan — no UDF, no shuffle,
+    whole-stage-codegen'd; at 100 TB this is a map-only pass.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(txt), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    sum_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_set = LANG_MARKERS["en"]
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(*stop_set)))
+    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
+    n_ellipsis_sym = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("...")))
+    ) / F.lit(3)
+    lines = F.filter(
+        F.split(txt, "\n"), lambda ln: F.trim(ln) != F.lit("")
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.ltrim(ln).startswith("-")
+            | F.ltrim(ln).startswith("*")
+            | F.ltrim(ln).startswith("•"),
+        )
+    )
+    n_ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).endswith("...")
+            | F.rtrim(ln).endswith("…"),
+        )
+    )
+
+    def _fx(col, scale=1e6):
+        # floor(x*scale + 0.5): the HALF_UP-on-both-engines idiom
+        return F.floor(col * scale + F.lit(0.5)) / scale
+
+    safe_words = F.greatest(n_words, F.lit(1))
+    mean_word_len = F.when(
+        n_words > 0, _fx(sum_word_chars * 1.0 / safe_words, 1e4)
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        n_words > 0,
+        _fx((n_hash + n_ellipsis_sym) * 1.0 / safe_words),
+    ).otherwise(F.lit(0.0))
+    alpha_share = F.when(
+        n_words > 0, _fx(n_alpha * 1.0 / safe_words)
+    ).otherwise(F.lit(0.0))
+    safe_lines = F.greatest(n_lines, F.lit(1))
+    bullet_share = F.when(
+        n_lines > 0, _fx(n_bullet * 1.0 / safe_lines)
+    ).otherwise(F.lit(0.0))
+    ellipsis_share = F.when(
+        n_lines > 0, _fx(n_ell_lines * 1.0 / safe_lines)
+    ).otherwise(F.lit(0.0))
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_share.alias("alpha_share"),
+        n_stop.cast("long").alias("n_stopwords"),
+        bullet_share.alias("bullet_share"),
+        ellipsis_share.alias("ellipsis_share"),
+    )
+    flags = out.select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "flag_word_count"
+        ),
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("flag_mean_word_len"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("flag_symbol"),
+        (F.col("bullet_share") <= max_bullet_share).alias("flag_bullet"),
+        (F.col("ellipsis_share") <= max_ellipsis_share).alias("flag_ellipsis"),
+        (F.col("alpha_share") >= min_alpha_share).alias("flag_alpha"),
+        (F.col("n_stopwords") >= min_stopwords).alias("flag_stopwords"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("flag_word_count")
+            & F.col("flag_mean_word_len")
+            & F.col("flag_symbol")
+            & F.col("flag_bullet")
+            & F.col("flag_ellipsis")
+            & F.col("flag_alpha")
+            & F.col("flag_stopwords")
+        ).alias("passes_gopher"),
+    )

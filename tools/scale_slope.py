@@ -755,6 +755,40 @@ def _ops():
         ev = fixture(spark, "sbars", s)
         return _sess_agg(sessionize_two_phase(ev, gap_sec=2 * 86400))
 
+    def _with_source(df):
+        # 64 constant sources as scale grows — the group-bounded shape
+        # the mixture/quota claims are about
+        return df.withColumn(
+            "source", F.pmod(F.col("doc_id"), F.lit(64)).cast("string")
+        )
+
+    def _gopher(spark, s):
+        from global_stock_data_warehouse_spark.operators.text import (
+            gopher_quality_flags,
+        )
+
+        return gopher_quality_flags(fixture(spark, "docs", s))
+
+    def _mixplan(spark, s):
+        from global_stock_data_warehouse_spark.operators.corpus import (
+            mixture_epoch_plan,
+        )
+
+        docs = _with_source(fixture(spark, "docs", s))
+        return mixture_epoch_plan(
+            docs, token_budget=10**9, weights={str(i): i + 1 for i in range(64)}
+        )
+
+    def _quota_split(spark, s):
+        from global_stock_data_warehouse_spark.operators.corpus import (
+            stratified_quota_split,
+        )
+
+        return stratified_quota_split(
+            _with_source(fixture(spark, "docs", s)),
+            quotas={"val": 10, "test": 10},
+        )
+
     # (runner, expected exponent, what the expectation comes from)
     return {
         "ngram_jaccard_neardup": (ngram_jaccard, 1.0, "PPJoin prefix blocks, constant df/token"),
@@ -825,6 +859,24 @@ def _ops():
             lambda spark, s: fixture(spark, "docs", s),
         ),
         "drift_alerts": (drift, 1.0, "two single-pass aggs (batch + ledger) + a |groups|-row join; groups constant as batches grow", lambda spark, s: fixture(spark, "bars", s)),
+        "gopher_quality_flags": (
+            _gopher,
+            1.0,
+            "map-only single scan, pure column expressions, ZERO shuffle at any scale",
+            lambda spark, s: fixture(spark, "docs", s),
+        ),
+        "mixture_epoch_plan": (
+            _mixplan,
+            1.0,
+            "one source-keyed agg with map-side combine (64 sources constant) + broadcast weight join: shuffle rows ~ tasks x sources, group-bounded",
+            lambda spark, s: fixture(spark, "docs", s),
+        ),
+        "stratified_quota_split": (
+            _quota_split,
+            1.0,
+            "one stratum-keyed window (64 strata): rank + count over n/64-row partitions, O(n log n) per stratum",
+            lambda spark, s: fixture(spark, "docs", s),
+        ),
     }
 
 
