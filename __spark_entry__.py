@@ -1084,6 +1084,76 @@ def q_drawdown_cumret(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drawdown_stats(daily_close(ev))
 
 
+def q_split_adjusted_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corporate-action battery: infer k:1 splits from close-ratio
+    integer proximity, recover each bar's backward adjustment factor as
+    an EXACT integer (log-sum window + round; product << 2^53), emit
+    the adjusted series. The reference stores raw vendor closes and
+    leaves adjustment to every reader (`downloader_wmy.py:54-58`) —
+    this is that missing post-ingest step. One hash exchange serves
+    the daily groupBy, the lag window, and the desc factor window."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        split_adjusted_prices,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return split_adjusted_prices(daily_close(ev)).select(
+        "user_id", "d", "close", "split_ratio", "adj_factor", "adj_close"
+    )
+
+
+def q_range_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 20-day high/low channel summary per entity: new-high /
+    new-low counts and the latest close's position inside its channel.
+    min/max frames + one IEEE division — every cell engine-exact."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        range_position_summary,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return range_position_summary(daily_close(ev), window=20)
+
+
+def q_overnight_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overnight-gap vs intraday-move return decomposition, per entity:
+    each day's two legs are 1e-8 fixed-point bigints before the mean,
+    so the per-entity averages are exact integer-sum / count — the
+    microstructure read the raw OHLC table exists to answer."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        overnight_intraday_split,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return overnight_intraday_split(ev)
+
+
+def q_liquidity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day trailing average daily dollar volume (cents-exact),
+    snapshotted at each entity's latest bar and decile-ranked across
+    the universe; decile 1 = the liquid/tradeable set. The cross-entity
+    ntile sort runs over one row per entity — bounded by the universe,
+    not the bar count."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        liquidity_screen,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return liquidity_screen(ev, window=20, n_tiles=10)
+
+
+def q_stale_price_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stale-quote audit: runs of consecutive days whose tick-grid-
+    quantized close never moves (halted listing / dead vendor feed).
+    Running-sum-over-change-flags run detection; integer equality
+    throughout — engine-exact."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        stale_price_runs,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return stale_price_runs(daily_close(ev), grid=2.0, min_run=2)
+
+
 def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-step funnel (view -> click -> purchase): each stage is the
     min event time strictly AFTER the previous stage, per user; one row of
@@ -3896,6 +3966,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_concurrency": q_max_concurrency,
         "tfidf_topterms": q_tfidf_topterms,
         "bpe_merge_candidates": q_bpe_merge_candidates,
+        # --- NEW r9: corporate-action / price-quality battery
+        # (operators/pricing.py); all CHECK_EXACT=1 verified before
+        # registration ---
+        "split_adjusted_prices": q_split_adjusted_prices,
+        "range_position": q_range_position,
+        "overnight_intraday": q_overnight_intraday,
+        "liquidity_screen": q_liquidity_screen,
+        "stale_price_runs": q_stale_price_runs,
         # rotated out r9 (all 20 hold green driver-hash rows from r8;
         # none changed this round)
         "length_ks_drift": q_length_ks_drift,
@@ -5044,6 +5122,141 @@ SELECT user_id,
        round(min(drawdown), 6) AS max_drawdown,
        round(last(close ORDER BY d) / first(close ORDER BY d) - 1.0, 6) AS cum_return
 FROM dd GROUP BY user_id
+""",
+        "split_adjusted_prices": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), r AS (
+  SELECT user_id, d, close,
+         lag(close) OVER (PARTITION BY user_id ORDER BY d) AS prev
+  FROM daily
+), s AS (
+  SELECT user_id, d, close,
+         CASE WHEN prev IS NOT NULL AND close > 0
+                   AND floor(prev / close + 0.5) BETWEEN 2 AND 10
+                   AND abs(prev / close - floor(prev / close + 0.5))
+                       <= 0.02 * floor(prev / close + 0.5)
+              THEN CAST(floor(prev / close + 0.5) AS BIGINT)
+              ELSE CAST(1 AS BIGINT) END AS split_ratio
+  FROM r
+), f AS (
+  SELECT user_id, d, close, split_ratio,
+         CAST(floor(exp(coalesce(
+             sum(ln(CAST(split_ratio AS DOUBLE))) OVER (
+               PARTITION BY user_id ORDER BY d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0e0)) + 0.5)
+           AS BIGINT) AS adj_factor
+  FROM s
+)
+SELECT user_id, d, close, split_ratio, adj_factor,
+       floor(close / adj_factor * 1e6 + 0.5) / 1e6 AS adj_close
+FROM f
+""",
+        "range_position": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), w AS (
+  SELECT user_id, d, close,
+         max(close) OVER fr AS hi, min(close) OVER fr AS lo
+  FROM daily
+  WINDOW fr AS (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), e AS (
+  SELECT user_id, d,
+         CASE WHEN hi > lo
+              THEN floor((close - lo) / (hi - lo) * 1e6 + 0.5) / 1e6
+              ELSE 0.5e0 END AS pos,
+         CASE WHEN close >= hi THEN 1 ELSE 0 END AS nh,
+         CASE WHEN close <= lo THEN 1 ELSE 0 END AS nl
+  FROM w
+)
+SELECT user_id, count(*) AS n_days,
+       CAST(sum(nh) AS BIGINT) AS n_new_highs,
+       CAST(sum(nl) AS BIGINT) AS n_new_lows,
+       last(pos ORDER BY d) AS last_pos
+FROM e GROUP BY user_id
+""",
+        "overnight_intraday": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         first(value ORDER BY ts, event_id) AS op,
+         last(value ORDER BY ts, event_id) AS cl
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), legs AS (
+  SELECT user_id,
+         CASE WHEN op > 0
+              THEN CAST(floor((cl / op - 1.0) * 1e8 + 0.5) AS BIGINT) END AS intra,
+         CASE WHEN lag(cl) OVER w > 0
+              THEN CAST(floor((op / lag(cl) OVER w - 1.0) * 1e8 + 0.5) AS BIGINT)
+              END AS ovn
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY d)
+)
+SELECT user_id,
+       count(intra) AS n_intraday,
+       count(ovn) AS n_overnight,
+       floor(CAST(sum(intra) AS DOUBLE) / count(intra) / 1e8 * 1e6 + 0.5) / 1e6
+         AS mean_intraday,
+       floor(CAST(sum(ovn) AS DOUBLE) / count(ovn) / 1e8 * 1e6 + 0.5) / 1e6
+         AS mean_overnight
+FROM legs GROUP BY user_id
+""",
+        "liquidity_screen": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         sum(CAST(round(value * 100) AS BIGINT)) AS dvol_c
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), tr AS (
+  SELECT user_id, d,
+         CAST(sum(dvol_c) OVER fr AS DOUBLE) / count(*) OVER fr AS adv_c
+  FROM daily
+  WINDOW fr AS (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), latest AS (
+  SELECT user_id, max(d) AS as_of, last(adv_c ORDER BY d) AS adv_c
+  FROM tr GROUP BY user_id
+)
+SELECT user_id, as_of,
+       floor(adv_c / 100.0 * 1e4 + 0.5) / 1e4 AS adv,
+       ntile(10) OVER rk AS adv_decile,
+       CASE WHEN ntile(10) OVER rk = 1 THEN 1 ELSE 0 END AS is_liquid
+FROM latest
+WINDOW rk AS (ORDER BY adv_c DESC, user_id)
+""",
+        "stale_price_runs": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), q AS (
+  SELECT user_id, d,
+         CAST(floor(close / 2.0 + 0.5) AS BIGINT) AS qv
+  FROM daily
+), ch AS (
+  SELECT user_id, d,
+         CASE WHEN lag(qv) OVER w IS NULL OR qv <> lag(qv) OVER w
+              THEN 1 ELSE 0 END AS changed
+  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY d)
+), runs AS (
+  SELECT user_id,
+         sum(changed) OVER (PARTITION BY user_id ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM ch
+), per_run AS (
+  SELECT user_id, run_id, count(*) AS run_len FROM runs GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN run_len >= 2 THEN run_len - 1 ELSE 0 END) AS BIGINT)
+         AS n_stale_days,
+       CAST(sum(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stale_runs,
+       max(run_len) AS max_run_len
+FROM per_run GROUP BY user_id
 """,
         "sessionize": """
 WITH flagged AS (

@@ -1,0 +1,277 @@
+"""Corporate-action / price-quality operators: split-adjusted prices,
+trailing range position, overnight-vs-intraday return decomposition,
+liquidity (ADV) screening, stale-price run detection.
+
+The reference warehouse stores RAW vendor closes and recomputes period
+returns from them (`downloader_wmy.py:54-58`); every real consumer of
+that table immediately needs the adjusted series (splits poison raw
+returns), a liquidity screen (thin names poison factor studies), and a
+staleness audit (halted/stale ticks poison everything). This module is
+that post-ingest battery, built on the same `daily_close` bar root as
+the indicator battery in `timeseries.py`.
+
+Scale design (same contract as `timeseries.py`):
+
+- ONE hash exchange per query: every operator partitions by the entity
+  key once; all windows and final aggregates reuse that clustering.
+- Bounded or running frames only — O(1)/O(frame) state per row, no
+  per-entity collect.
+- Cross-engine exactness: split factors are exact small integers
+  (recovered via round(exp(sum ln)) — the product is integer-valued and
+  far below 2^53, so the float error of the log-sum cannot move the
+  rounded result); money sums ride fixed-point bigints; final floats
+  are rounded with the engine-shared floor(x*scale + 0.5)/scale idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _fx(col, scale: float = 1e6):
+    """floor(x*scale + 0.5)/scale — half-up rounding that both Spark and
+    DuckDB evaluate identically (F.round is HALF_UP here, banker's
+    there; floor sidesteps the divergence)."""
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def infer_split_ratios(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "close",
+    min_ratio: int = 2,
+    max_ratio: int = 10,
+    tol: float = 0.02,
+) -> DataFrame:
+    """Flag forward-split days from the raw close series: a day whose
+    previous close is within ``tol`` (relative) of an integer multiple
+    k in [min_ratio, max_ratio] of today's close is inferred as a k:1
+    split. Adds an integer ``split_ratio`` column (1 = no split).
+
+    The strict integer-proximity test keeps false positives (ordinary
+    crashes) out and bounds the cumulative factor: real splits are
+    2:1..10:1, and a product of a handful of small integers stays far
+    below 2^53 — the property `split_adjusted_prices` relies on to
+    recover the factor exactly from a log-sum.
+    """
+    w = Window.partitionBy(key_col).orderBy("d")
+    prev = F.lag(value_col).over(w)
+    r = prev / F.col(value_col)
+    k = F.floor(r + F.lit(0.5))
+    is_split = (
+        prev.isNotNull()
+        & (F.col(value_col) > 0)
+        & k.between(min_ratio, max_ratio)
+        & (F.abs(r - k) <= F.lit(tol) * k)
+    )
+    return daily.withColumn(
+        "split_ratio", F.when(is_split, k.cast("bigint")).otherwise(F.lit(1).cast("bigint"))
+    )
+
+
+def split_adjusted_prices(
+    daily: DataFrame, key_col: str = "user_id", value_col: str = "close"
+) -> DataFrame:
+    """Backward split adjustment: every close BEFORE a k:1 split is
+    divided by the product of all future split ratios, yielding the
+    continuous adjusted series (what every charting/return pipeline
+    consumes; the reference's raw `Close` column leaves this to the
+    reader, `downloader_wmy.py:54-58`).
+
+    adj_factor(t) = prod(split_ratio(s) for s > t), computed as a
+    DESC-ordered running log-sum over rows strictly before the current
+    frame row (i.e. strictly-future days), exponentiated and rounded
+    back to the exact integer — valid because the true product is an
+    integer << 2^53 while the log-sum's float error is ~1e-13 relative.
+    One window over the same (key, d) clustering as the split
+    inference: no extra exchange.
+    """
+    with_ratio = infer_split_ratios(daily, key_col=key_col, value_col=value_col)
+    w_future = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    log_sum = F.sum(F.log(F.col("split_ratio").cast("double"))).over(w_future)
+    factor = F.floor(F.exp(F.coalesce(log_sum, F.lit(0.0))) + F.lit(0.5)).cast("bigint")
+    return (
+        with_ratio.withColumn("adj_factor", factor)
+        .withColumn("adj_close", _fx(F.col(value_col) / F.col("adj_factor")))
+    )
+
+
+def range_position_summary(
+    daily: DataFrame,
+    window: int = 20,
+    key_col: str = "user_id",
+    value_col: str = "close",
+) -> DataFrame:
+    """Trailing N-day high/low channel: per entity, how many closes set
+    a new trailing high / new trailing low, and where the latest close
+    sits inside its channel (0 = at the low, 1 = at the high; pinned to
+    0.5 when the channel is degenerate hi == lo — each entity's first
+    bar always is, its frame being just itself, and a NULL here would
+    drag engine-divergent NULL-skip semantics of last/max_by into the
+    hash).
+
+    min/max window aggregates are order-independent (exact on both
+    engines), the position is one IEEE division of two exact inputs —
+    bit-identical cross-engine — so the whole summary is hash-safe.
+    """
+    frame = (
+        Window.partitionBy(key_col).orderBy("d").rowsBetween(-(window - 1), 0)
+    )
+    hi = F.max(value_col).over(frame)
+    lo = F.min(value_col).over(frame)
+    pos = F.when(hi > lo, _fx((F.col(value_col) - lo) / (hi - lo))).otherwise(
+        F.lit(0.5)
+    )
+    enriched = (
+        daily.withColumn("_hi", hi)
+        .withColumn("_lo", lo)
+        .withColumn("_pos", pos)
+        .withColumn("_new_high", (F.col(value_col) >= F.col("_hi")).cast("int"))
+        .withColumn("_new_low", (F.col(value_col) <= F.col("_lo")).cast("int"))
+    )
+    return enriched.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_new_high").alias("n_new_highs"),
+        F.sum("_new_low").alias("n_new_lows"),
+        F.max_by("_pos", "d").alias("last_pos"),
+    )
+
+
+def overnight_intraday_split(
+    bars: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Decompose each entity's daily return into the overnight gap
+    (open / previous close - 1) and the intraday move (close / open
+    - 1) and report per-entity means — the classic microstructure
+    question "does the return accrue while the market is open?".
+
+    Each day's return legs are rounded to 1e-8 fixed-point bigints
+    BEFORE the per-entity sum, making the mean an exact
+    integer-sum / count — order-independent, hash-safe. One groupBy +
+    one window + one final agg, all on HashPartitioning(key): a single
+    exchange end-to-end.
+    """
+    daily = (
+        bars.filter(
+            F.col(key_col).isNotNull()
+            & F.col(time_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .repartition(key_col)
+        .groupBy(F.col(key_col), F.to_date(time_col).alias("d"))
+        .agg(
+            F.min_by(value_col, F.struct(*tiebreak_cols)).alias("open"),
+            F.max_by(value_col, F.struct(*tiebreak_cols)).alias("close"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy("d")
+    prev_close = F.lag("close").over(w)
+    intraday_fx = F.when(
+        F.col("open") > 0,
+        F.floor((F.col("close") / F.col("open") - 1.0) * 1e8 + F.lit(0.5)).cast("bigint"),
+    )
+    overnight_fx = F.when(
+        prev_close > 0,
+        F.floor((F.col("open") / prev_close - 1.0) * 1e8 + F.lit(0.5)).cast("bigint"),
+    )
+    legs = daily.withColumn("_intra", intraday_fx).withColumn("_over", overnight_fx)
+    return legs.groupBy(key_col).agg(
+        F.count("_intra").alias("n_intraday"),
+        F.count("_over").alias("n_overnight"),
+        _fx(F.sum("_intra") / F.count("_intra") / 1e8).alias("mean_intraday"),
+        _fx(F.sum("_over") / F.count("_over") / 1e8).alias("mean_overnight"),
+    )
+
+
+def liquidity_screen(
+    bars: DataFrame,
+    window: int = 20,
+    n_tiles: int = 10,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Average-daily-volume screen: trailing N-day mean of each
+    entity's daily dollar volume (cents-exact bigint sums), evaluated
+    at the entity's latest day, then decile-ranked across the universe.
+    flag = 1 marks the top tile — the "liquid enough to trade" set.
+
+    The cross-entity ntile window runs over ONE ROW PER ENTITY (the
+    latest-day snapshot), so the single-partition sort is bounded by
+    the universe size (thousands), not the bar count — the same
+    bounded-by-contract shape as the 64-row stratum windows in
+    `corpus.py`. Ties are broken (adv, key) so the tile assignment is
+    deterministic on both engines.
+    """
+    daily = (
+        bars.filter(
+            F.col(key_col).isNotNull()
+            & F.col(time_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .repartition(key_col)
+        .groupBy(F.col(key_col), F.to_date(time_col).alias("d"))
+        .agg(F.sum(F.round(F.col(value_col) * 100, 0).cast("bigint")).alias("dvol_c"))
+    )
+    frame = Window.partitionBy(key_col).orderBy("d").rowsBetween(-(window - 1), 0)
+    trailing = daily.withColumn(
+        "_adv_c", F.sum("dvol_c").over(frame) / F.count(F.lit(1)).over(frame)
+    )
+    latest = trailing.groupBy(key_col).agg(
+        F.max("d").alias("as_of"),
+        F.max_by("_adv_c", "d").alias("_adv_c"),
+    )
+    rank_w = Window.orderBy(F.col("_adv_c").desc(), F.col(key_col))
+    return (
+        latest.withColumn("adv_decile", F.ntile(n_tiles).over(rank_w))
+        .withColumn("adv", _fx(F.col("_adv_c") / 100.0, 1e4))
+        .withColumn("is_liquid", (F.col("adv_decile") == 1).cast("int"))
+        .select(key_col, "as_of", "adv", "adv_decile", "is_liquid")
+    )
+
+
+def stale_price_runs(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "close",
+    grid: float = 1.0,
+    min_run: int = 2,
+) -> DataFrame:
+    """Stale-quote audit: quantize closes to a tick grid, then find
+    maximal runs of consecutive days whose quantized close never moves
+    — the signature of a halted listing or a dead vendor feed. Per
+    entity: stale-day count, number of qualifying runs (length >=
+    min_run counting the anchor day), and the longest run.
+
+    Run detection is the running-sum-over-change-flags pattern
+    (`q_sessionize`): one window to mark changes, a groupBy on the
+    derived run id, a per-entity rollup — all on one hash exchange.
+    Quantized comparison is integer equality: engine-exact.
+    """
+    w = Window.partitionBy(key_col).orderBy("d")
+    q = F.floor(F.col(value_col) / F.lit(grid) + F.lit(0.5)).cast("bigint")
+    d = daily.withColumn("_q", q)
+    changed = (
+        F.lag("_q").over(w).isNull() | (F.col("_q") != F.lag("_q").over(w))
+    ).cast("bigint")
+    runs = d.withColumn(
+        "_run",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_run = runs.groupBy(key_col, "_run").agg(F.count(F.lit(1)).alias("run_len"))
+    return per_run.groupBy(key_col).agg(
+        F.sum(F.when(F.col("run_len") >= 2, F.col("run_len") - 1).otherwise(0)).alias(
+            "n_stale_days"
+        ),
+        F.sum((F.col("run_len") >= min_run).cast("int")).alias("n_stale_runs"),
+        F.max("run_len").alias("max_run_len"),
+    )

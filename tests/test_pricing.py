@@ -1,0 +1,173 @@
+"""Corporate-action / price-quality battery: hand-computed checks for
+split inference + backward adjustment, range position, overnight vs
+intraday decomposition, liquidity deciles, and stale-run detection."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from global_stock_data_warehouse_spark.operators.pricing import (
+    infer_split_ratios,
+    liquidity_screen,
+    overnight_intraday_split,
+    range_position_summary,
+    split_adjusted_prices,
+    stale_price_runs,
+)
+from global_stock_data_warehouse_spark.operators.timeseries import daily_close
+
+
+def _bars(spark, vals, user=1):
+    rows = [
+        (user, i, dt.datetime(2024, 1, 1 + i, 12, 0), float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+
+
+def _daily(spark, vals, user=1):
+    return daily_close(_bars(spark, vals, user=user))
+
+
+# --- split inference + adjustment ------------------------------------------
+
+
+def test_split_detected_only_near_integer_ratio(spark):
+    # 100 -> 50 is a clean 2:1; 100 -> 57 (ratio 1.75) and 100 -> 47
+    # (ratio 2.13, off by >2%) are ordinary moves, not splits.
+    d = _daily(spark, [100.0, 50.0, 57.0, 47.0])
+    ratios = [r.split_ratio for r in infer_split_ratios(d).orderBy("d").collect()]
+    assert ratios == [1, 2, 1, 1]
+
+
+def test_split_ratio_bounds_respected(spark):
+    # 100 -> 5 is 20:1 — outside [2, 10]; treated as a crash, not a split.
+    d = _daily(spark, [100.0, 5.0])
+    ratios = [r.split_ratio for r in infer_split_ratios(d).orderBy("d").collect()]
+    assert ratios == [1, 1]
+
+
+def test_backward_adjustment_factor_and_price(spark):
+    # Two splits: 2:1 on day 2 (120 -> 60) and 3:1 on day 4 (66 -> 22).
+    # Days before BOTH splits carry factor 6, between them factor 3,
+    # after the last factor 1 — and the adjusted series is continuous.
+    d = _daily(spark, [120.0, 60.0, 66.0, 22.0, 23.0])
+    out = split_adjusted_prices(d).orderBy("d").collect()
+    assert [r.split_ratio for r in out] == [1, 2, 1, 3, 1]
+    assert [r.adj_factor for r in out] == [6, 3, 3, 1, 1]
+    assert [r.adj_close for r in out] == [20.0, 20.0, 22.0, 22.0, 23.0]
+
+
+def test_no_splits_factor_is_one(spark):
+    d = _daily(spark, [10.0, 11.0, 12.0])
+    out = split_adjusted_prices(d).orderBy("d").collect()
+    assert all(r.adj_factor == 1 for r in out)
+    assert [r.adj_close for r in out] == [10.0, 11.0, 12.0]
+
+
+# --- range position ---------------------------------------------------------
+
+
+def test_range_position_counts_and_last_pos(spark):
+    # closes 10, 20, 15, 5, 20: new highs at d0 (degenerate), d1, d4;
+    # new lows at d0, d3. Last close 20 == trailing high -> pos 1.0.
+    d = _daily(spark, [10.0, 20.0, 15.0, 5.0, 20.0])
+    r = range_position_summary(d, window=20).collect()[0]
+    assert r.n_days == 5
+    assert r.n_new_highs == 3
+    assert r.n_new_lows == 2
+    assert r.last_pos == 1.0
+
+
+def test_range_position_degenerate_channel_pins_half(spark):
+    # single bar: frame = itself, hi == lo -> pos pinned at 0.5
+    d = _daily(spark, [42.0])
+    r = range_position_summary(d, window=20).collect()[0]
+    assert r.last_pos == 0.5
+
+
+# --- overnight / intraday --------------------------------------------------
+
+
+def test_overnight_intraday_decomposition(spark):
+    # day1: open 100 close 110 (intraday +10%); day2: open 121 (overnight
+    # +10% over close 110), close 121 (intraday 0%).
+    rows = [
+        (1, 0, dt.datetime(2024, 1, 1, 9), 100.0),
+        (1, 1, dt.datetime(2024, 1, 1, 16), 110.0),
+        (1, 2, dt.datetime(2024, 1, 2, 9), 121.0),
+        (1, 3, dt.datetime(2024, 1, 2, 16), 121.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    r = overnight_intraday_split(df).collect()[0]
+    assert r.n_intraday == 2
+    assert r.n_overnight == 1
+    assert r.mean_intraday == 0.05  # (10% + 0%) / 2
+    assert r.mean_overnight == 0.1
+
+
+# --- liquidity screen -------------------------------------------------------
+
+
+def test_liquidity_screen_deciles_and_flag(spark):
+    # 10 entities with dollar volume 1000, 900, ..., 100 on one day each:
+    # deciles 1..10 in that order, only the heaviest flagged liquid.
+    rows = [
+        (u, u, dt.datetime(2024, 1, 1, 12), float(1000 - 100 * u))
+        for u in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {r.user_id: r for r in liquidity_screen(df, window=20, n_tiles=10).collect()}
+    assert [out[u].adv_decile for u in range(10)] == list(range(1, 11))
+    assert [out[u].is_liquid for u in range(10)] == [1] + [0] * 9
+    assert out[0].adv == 1000.0
+
+
+def test_liquidity_screen_trailing_mean_at_latest_day(spark):
+    # one entity, daily volumes 100 then 300: ADV at the latest day = 200
+    rows = [
+        (1, 0, dt.datetime(2024, 1, 1, 12), 100.0),
+        (1, 1, dt.datetime(2024, 1, 2, 12), 300.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    r = liquidity_screen(df, window=20, n_tiles=10).collect()[0]
+    assert r.adv == 200.0
+    assert r.as_of == dt.date(2024, 1, 2)
+
+
+# --- stale runs -------------------------------------------------------------
+
+
+def test_stale_runs_detected_on_quantized_grid(spark):
+    # grid 1.0: closes 10.0, 10.2, 10.4, 12.0, 12.0, 15.0 quantize to
+    # 10,10,10,12,12,15 -> runs [3, 2, 1]: 3 stale days total, 2 runs,
+    # max run 3.
+    d = _daily(spark, [10.0, 10.2, 10.4, 12.0, 12.0, 15.0])
+    r = stale_price_runs(d, grid=1.0, min_run=2).collect()[0]
+    assert r.n_stale_days == 3
+    assert r.n_stale_runs == 2
+    assert r.max_run_len == 3
+
+
+def test_stale_runs_none_when_always_moving(spark):
+    d = _daily(spark, [10.0, 20.0, 30.0])
+    r = stale_price_runs(d, grid=1.0, min_run=2).collect()[0]
+    assert r.n_stale_days == 0
+    assert r.n_stale_runs == 0
+    assert r.max_run_len == 1
+
+
+def test_stale_runs_fully_halted_series(spark):
+    d = _daily(spark, [10.0, 10.0, 10.0, 10.0])
+    r = stale_price_runs(d, grid=1.0, min_run=2).collect()[0]
+    assert r.n_stale_days == 3
+    assert r.n_stale_runs == 1
+    assert r.max_run_len == 4
