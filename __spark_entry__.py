@@ -3816,6 +3816,53 @@ def q_term_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_class_chi2(_t(spark, sf_dir, "documents"), top_k=10, min_df=5)
 
 
+def q_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate exposure (RefinedWeb line-frequency audit):
+    segments occurring in >=3 distinct docs are boilerplate; report each
+    doc's segment counts and boilerplate char ratio. Splits on ' the '
+    like q_paragraph_dedup (the synthetic corpus has no newlines)."""
+    from global_stock_data_warehouse_spark.operators.curation import (
+        line_boilerplate_stats,
+    )
+
+    return line_boilerplate_stats(
+        _t(spark, sf_dir, "documents"), sep=" the ", min_docs=3
+    )
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality percentile gate: keep the top 60% of each
+    source by a chars+stopwords fluency score; all-integer rank/count
+    gating with a deterministic (score desc, doc_id) tiebreak."""
+    from global_stock_data_warehouse_spark.operators.curation import (
+        quality_percentile_gate,
+    )
+
+    return quality_percentile_gate(
+        _t(spark, sf_dir, "documents"), keep_frac=0.6
+    )
+
+
+def q_novelty_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-novelty decay over arrival order: 10 equal id-range
+    buckets, exact first-occurrence marking, per-bucket dup rate and
+    cumulative distinct count — the crawl-saturation curve."""
+    from global_stock_data_warehouse_spark.operators.curation import (
+        novelty_timeline,
+    )
+
+    return novelty_timeline(_t(spark, sf_dir, "documents"), n_buckets=10)
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS over the top 200 terms: one-row corpus
+    health diagnostic (natural language ~ -1). Top-k is a
+    TakeOrderedAndProject; regression runs on <= 200 rows."""
+    from global_stock_data_warehouse_spark.operators.curation import zipf_slope
+
+    return zipf_slope(_t(spark, sf_dir, "documents"), top_n=200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks the first 50 entries against the
     # DuckDB oracle; entries beyond 50 get a weaker rows-only record.
@@ -3974,6 +4021,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overnight_intraday": q_overnight_intraday,
         "liquidity_screen": q_liquidity_screen,
         "stale_price_runs": q_stale_price_runs,
+        # --- NEW r9: corpus-curation analytics (operators/curation.py) ---
+        "line_boilerplate": q_line_boilerplate,
+        "quality_gate": q_quality_gate,
+        "novelty_timeline": q_novelty_timeline,
+        "zipf_slope": q_zipf_slope,
         # rotated out r9 (all 20 hold green driver-hash rows from r8;
         # none changed this round)
         "length_ks_drift": q_length_ks_drift,
@@ -5257,6 +5309,100 @@ SELECT user_id,
          AS n_stale_runs,
        max(run_len) AS max_run_len
 FROM per_run GROUP BY user_id
+""",
+        "line_boilerplate": """
+WITH segs AS (
+  SELECT doc_id, trim(s) AS seg
+  FROM documents, unnest(string_split(coalesce(text, ''), ' the ')) AS t(s)
+  WHERE doc_id IS NOT NULL AND trim(s) <> ''
+), freq AS (
+  SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg
+)
+SELECT doc_id,
+       count(*) AS n_segs,
+       CAST(sum(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST(sum(length(seg)) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN nd >= 3 THEN length(seg) ELSE 0 END) AS BIGINT)
+         AS boiler_chars,
+       floor(CAST(sum(CASE WHEN nd >= 3 THEN length(seg) ELSE 0 END) AS DOUBLE)
+             / sum(length(seg)) * 1e6 + 0.5) / 1e6 AS boiler_ratio
+FROM segs JOIN freq USING (seg)
+GROUP BY doc_id
+""",
+        "quality_gate": """
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(length(coalesce(text, '')) AS BIGINT)
+           + 10 * CAST(len(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '\\s+'),
+               x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT)
+           AS score
+  FROM documents WHERE doc_id IS NOT NULL
+), ranked AS (
+  SELECT source, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scored
+), gated AS (
+  SELECT source, score,
+         CASE WHEN rn <= ceil(0.6 * n) THEN 1 ELSE 0 END AS kept
+  FROM ranked
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       min(CASE WHEN kept = 1 THEN score END) AS min_kept_score,
+       floor(CAST(sum(CASE WHEN kept = 1 THEN score END) AS DOUBLE)
+             / sum(kept) * 1e6 + 0.5) / 1e6 AS mean_kept_score
+FROM gated GROUP BY source
+""",
+        "novelty_timeline": """
+WITH docs AS (
+  SELECT doc_id, md5(text) AS h
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), bounds AS (
+  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM docs
+), marked AS (
+  SELECT least(CAST(10 AS BIGINT),
+               ((doc_id - lo) * 10) // (hi - lo + 1) + 1) AS bucket,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM docs, bounds
+), per_bucket AS (
+  SELECT bucket, count(*) AS n_docs,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM marked GROUP BY bucket
+)
+SELECT bucket, n_docs, n_new,
+       floor(CAST(n_docs - n_new AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6
+         AS dup_rate,
+       CAST(sum(n_new) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_distinct
+FROM per_bucket
+""",
+        "zipf_slope": """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(coalesce(text, '')), '\\s+')) AS term
+  FROM documents
+), counts AS (
+  SELECT term, count(*) AS cnt FROM toks WHERE term <> ''
+  GROUP BY term ORDER BY cnt DESC, term LIMIT 200
+), ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term) AS DOUBLE)) AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y
+  FROM counts
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+         AS slope,
+       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1e6
+             + 0.5) / 1e6 AS intercept
+FROM s
 """,
         "sessionize": """
 WITH flagged AS (

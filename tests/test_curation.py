@@ -1,0 +1,129 @@
+"""Corpus-curation analytics: hand-computed checks for boilerplate
+frequency stats, per-source quality gating, novelty timeline, and the
+Zipf slope regression."""
+
+import math
+
+import pytest
+
+from global_stock_data_warehouse_spark.operators.curation import (
+    line_boilerplate_stats,
+    novelty_timeline,
+    quality_percentile_gate,
+    zipf_slope,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+# --- line boilerplate -------------------------------------------------------
+
+
+def test_boilerplate_threshold_counts(spark):
+    # "foot" appears in 3 docs -> boilerplate at min_docs=3; "body1..3"
+    # are unique.
+    df = _docs(
+        spark,
+        [
+            (1, "body1\nfoot", "a"),
+            (2, "body2\nfoot", "a"),
+            (3, "body3\nfoot", "a"),
+        ],
+    )
+    out = {r.doc_id: r for r in line_boilerplate_stats(df, sep="\n", min_docs=3).collect()}
+    assert all(out[d].n_segs == 2 and out[d].n_boiler == 1 for d in (1, 2, 3))
+    # body5 + foot4 = 9 chars, 4 of them boilerplate
+    assert out[1].total_chars == 9
+    assert out[1].boiler_chars == 4
+    assert out[1].boiler_ratio == pytest.approx(4 / 9, abs=1e-6)
+
+
+def test_boilerplate_distinct_doc_counting(spark):
+    # a segment repeated twice INSIDE one doc counts that doc once:
+    # "x" occurs in 2 distinct docs < min_docs=3 -> not boilerplate
+    df = _docs(spark, [(1, "x\nx", "a"), (2, "x", "a")])
+    out = {r.doc_id: r for r in line_boilerplate_stats(df, sep="\n", min_docs=3).collect()}
+    assert out[1].n_boiler == 0 and out[2].n_boiler == 0
+
+
+def test_boilerplate_empty_segments_dropped(spark):
+    df = _docs(spark, [(1, "a\n\n\nb", "s")])
+    r = line_boilerplate_stats(df, sep="\n", min_docs=2).collect()[0]
+    assert r.n_segs == 2  # blanks between separators vanish
+
+
+# --- quality gate -----------------------------------------------------------
+
+
+def test_quality_gate_keeps_top_frac_per_source(spark):
+    # source "a": 4 docs scored by length 40 > 30 > 20 > 10; keep_frac
+    # 0.5 -> ceil(0.5*4)=2 kept (40, 30).
+    df = _docs(
+        spark,
+        [(i, "z" * (10 * (4 - i)), "a") for i in range(4)]
+        + [(10, "hello", "b")],
+    )
+    out = {r.source: r for r in quality_percentile_gate(df, keep_frac=0.5).collect()}
+    assert out["a"].n_docs == 4
+    assert out["a"].n_kept == 2
+    assert out["a"].min_kept_score == 30
+    assert out["a"].mean_kept_score == 35.0
+    # a 1-doc source keeps its doc (ceil)
+    assert out["b"].n_kept == 1
+
+
+def test_quality_gate_stopword_bonus(spark):
+    # "the the the" = 11 chars + 3 stopwords * 10 = 41
+    df = _docs(spark, [(1, "the the the", "s")])
+    r = quality_percentile_gate(df, keep_frac=1.0).collect()[0]
+    assert r.min_kept_score == 41
+
+
+# --- novelty timeline -------------------------------------------------------
+
+
+def test_novelty_first_occurrence_and_buckets(spark):
+    # ids 0..9 -> 10 buckets of one doc each; texts repeat in pairs so
+    # every even id is novel, every odd id is a duplicate.
+    rows = [(i, f"t{i // 2}", "s") for i in range(10)]
+    out = {r.bucket: r for r in novelty_timeline(_docs(spark, rows), n_buckets=10).collect()}
+    assert len(out) == 10
+    assert [out[b].n_new for b in range(1, 11)] == [1, 0] * 5
+    assert out[10].cum_distinct == 5
+    assert out[2].dup_rate == 1.0
+    assert out[1].dup_rate == 0.0
+
+
+def test_novelty_single_bucket_totals(spark):
+    rows = [(i, "same", "s") for i in range(4)]
+    out = novelty_timeline(_docs(spark, rows), n_buckets=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 4 and r.n_new == 1 and r.cum_distinct == 1
+    assert r.dup_rate == 0.75
+
+
+# --- zipf slope -------------------------------------------------------------
+
+
+def test_zipf_slope_exact_power_law(spark):
+    # counts 64, 32, 16, 8 at ranks 1..4: ln(cnt) = ln(64) - ln(2)*ln-
+    # linear? cnt = 64 * r^(-s) only for specific s; instead use counts
+    # c_r = 100 / r exactly -> slope must be exactly -1 in OLS on logs.
+    words = []
+    vocab = ["w%d" % i for i in range(4)]
+    for r, w in enumerate(vocab, start=1):
+        words += [w] * (120 // r)  # 120, 60, 40, 30 = 120 / r
+    df = _docs(spark, [(1, " ".join(words), "s")])
+    out = zipf_slope(df, top_n=10).collect()[0]
+    assert out.n_terms == 4
+    assert out.slope == pytest.approx(-1.0, abs=1e-6)
+    assert out.intercept == pytest.approx(math.log(120.0), abs=1e-6)
+
+
+def test_zipf_top_n_truncates(spark):
+    df = _docs(spark, [(1, "a a a b b c", "s")])
+    out = zipf_slope(df, top_n=2).collect()[0]
+    assert out.n_terms == 2
