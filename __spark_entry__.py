@@ -1154,6 +1154,31 @@ def q_stale_price_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stale_price_runs(daily_close(ev), grid=2.0, min_run=2)
 
 
+def q_index_daily_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-weighted market index daily return + breadth counts: weights
+    and returns become fixed-point bigints BEFORE the cross-sectional
+    sum, so the weighted mean is exact-integer arithmetic until one
+    final division. Group-bounded output (one row per date)."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        index_daily_return,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return index_daily_return(daily_close(ev))
+
+
+def q_factor_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily momentum rank IC: tie-broken Spearman between today's and
+    tomorrow's cross-sectional return ranks — all-integer arithmetic
+    until one final division (no float sums anywhere)."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        factor_rank_ic,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return factor_rank_ic(daily_close(ev), min_members=3)
+
+
 def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-step funnel (view -> click -> purchase): each stage is the
     min event time strictly AFTER the previous stage, per user; one row of
@@ -3912,11 +3937,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round), then the ten never-driver-hashed oracled queries VERDICT
     # r8 item 1 named (asof_join_tolerance, sessionize_skewsafe,
     # pps_weighted_sample, ngram_topk, price_distribution, skew_report,
-    # class_centroids, quantize_embeddings, centroid_outliers), then
-    # ten mirror-only composite pool fills (remove_duplicate_spans,
-    # basket_rules, source_overlap, trend_ols, market_share,
-    # scd2_history, cdc_apply, max_concurrency, tfidf_topterms,
-    # bpe_merge_candidates). Rotated OUT (all green r8 driver rows,
+    # class_centroids, quantize_embeddings, centroid_outliers), then —
+    # per rule 2, new-this-round outranks pool fill — the r9 additions:
+    # gopher_quality_flags, mixture_epoch_plan, stratified_quota_split
+    # (early r9) and seven of the nine late-r9 battery queries
+    # (split_adjusted_prices, overnight_intraday, liquidity_screen,
+    # line_boilerplate, quality_gate, novelty_timeline, zipf_slope);
+    # range_position and stale_price_runs hold the bit-exact mirror.
+    # Rotated OUT (all green r8 driver rows,
     # code unchanged): length_ks_drift, bigram_prob_score,
     # dup_source_matrix, snapshot_diff_wide, agg_maintain,
     # classifier_calibration, decay_weighted, term_chi2,
@@ -3998,13 +4026,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_centroids": q_class_centroids,
         "quantize_embeddings": q_quantize_embeddings,
         "centroid_outliers": q_centroid_outliers,
-        "remove_duplicate_spans": q_remove_duplicate_spans,
-        "basket_rules": q_basket_rules,
-        "source_overlap": q_source_overlap,
-        "trend_ols": q_trend_ols,
-        "market_share": q_market_share,
-        "scd2_history": q_scd2_history,
-        "cdc_apply": q_cdc_apply,
+        # the final seven window slots: NEW-this-round queries (rule 2:
+        # new outranks pool fill) — the corporate-action/price-quality
+        # battery (operators/pricing.py) and the corpus-curation battery
+        # (operators/curation.py); the seven mirror-only pool fills they
+        # displace (remove_duplicate_spans, basket_rules, source_overlap,
+        # trend_ols, market_share, scd2_history, cdc_apply) return to the
+        # mirror. range_position and stale_price_runs (also new) hold the
+        # bit-exact mirror, window space being exhausted.
+        "split_adjusted_prices": q_split_adjusted_prices,
+        "overnight_intraday": q_overnight_intraday,
+        "liquidity_screen": q_liquidity_screen,
+        "line_boilerplate": q_line_boilerplate,
+        "quality_gate": q_quality_gate,
+        "novelty_timeline": q_novelty_timeline,
+        "zipf_slope": q_zipf_slope,
         # --- oracled but beyond the driver's 50-row check window; verified
         # locally via tools/check_correctness.py ---
         # displaced from the r9 window by the three NEW r9 queries above
@@ -4013,19 +4049,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_concurrency": q_max_concurrency,
         "tfidf_topterms": q_tfidf_topterms,
         "bpe_merge_candidates": q_bpe_merge_candidates,
-        # --- NEW r9: corporate-action / price-quality battery
-        # (operators/pricing.py); all CHECK_EXACT=1 verified before
-        # registration ---
-        "split_adjusted_prices": q_split_adjusted_prices,
+        # NEW r9, mirror-verified (window space exhausted; CHECK_EXACT=1
+        # at sf0.001 AND sf0.01 before registration)
         "range_position": q_range_position,
-        "overnight_intraday": q_overnight_intraday,
-        "liquidity_screen": q_liquidity_screen,
         "stale_price_runs": q_stale_price_runs,
-        # --- NEW r9: corpus-curation analytics (operators/curation.py) ---
-        "line_boilerplate": q_line_boilerplate,
-        "quality_gate": q_quality_gate,
-        "novelty_timeline": q_novelty_timeline,
-        "zipf_slope": q_zipf_slope,
+        "index_daily_return": q_index_daily_return,
+        "factor_rank_ic": q_factor_rank_ic,
+        # displaced from the r9 window by the seven new r9 queries above
+        # (rule 2); all hold the bit-exact local mirror
+        "remove_duplicate_spans": q_remove_duplicate_spans,
+        "basket_rules": q_basket_rules,
+        "source_overlap": q_source_overlap,
+        "trend_ols": q_trend_ols,
+        "market_share": q_market_share,
+        "scd2_history": q_scd2_history,
+        "cdc_apply": q_cdc_apply,
         # rotated out r9 (all 20 hold green driver-hash rows from r8;
         # none changed this round)
         "length_ks_drift": q_length_ks_drift,
@@ -5310,6 +5348,65 @@ SELECT user_id,
        max(run_len) AS max_run_len
 FROM per_run GROUP BY user_id
 """,
+        "index_daily_return": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), legs AS (
+  SELECT user_id, d,
+         CASE WHEN lag(close) OVER w > 0
+              THEN CAST(floor((close / lag(close) OVER w - 1.0) * 1e6 + 0.5)
+                        AS BIGINT) END AS ret_fx,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(floor(first_value(close) OVER (
+                         PARTITION BY user_id ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) + 0.5) AS BIGINT)) AS w_d
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY d)
+)
+SELECT d,
+       count(*) AS n_members,
+       CAST(sum(CASE WHEN ret_fx > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_advancers,
+       CAST(sum(CASE WHEN ret_fx < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_decliners,
+       floor(CAST(sum(w_d * ret_fx) AS DOUBLE) / sum(w_d) / 1e6 * 1e6 + 0.5)
+         / 1e6 AS index_return
+FROM legs WHERE ret_fx IS NOT NULL GROUP BY d
+""",
+        "factor_rank_ic": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), rets AS (
+  SELECT user_id, d,
+         CASE WHEN lag(close) OVER w > 0
+              THEN close / lag(close) OVER w - 1.0 END AS ret
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY d)
+), paired AS (
+  SELECT user_id, d, ret,
+         lead(ret) OVER (PARTITION BY user_id ORDER BY d) AS fwd
+  FROM rets
+), ranked AS (
+  SELECT d,
+         row_number() OVER (PARTITION BY d ORDER BY ret, user_id)
+           - row_number() OVER (PARTITION BY d ORDER BY fwd, user_id) AS dd
+  FROM paired WHERE ret IS NOT NULL AND fwd IS NOT NULL
+), agg AS (
+  SELECT d, count(*) AS n_members,
+         CAST(sum(dd * dd) AS BIGINT) AS sd2
+  FROM ranked GROUP BY d
+)
+SELECT d, n_members,
+       floor((1.0 - 6.0 * sd2 / (CAST(n_members AS BIGINT)
+              * (CAST(n_members AS BIGINT) * n_members - 1))) * 1e6 + 0.5)
+         / 1e6 AS rank_ic
+FROM agg WHERE n_members >= 3
+""",
         "line_boilerplate": """
 WITH segs AS (
   SELECT doc_id, trim(s) AS seg
@@ -5398,10 +5495,12 @@ WITH toks AS (
   FROM ranked
 )
 SELECT CAST(n AS BIGINT) AS n_terms,
-       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
-         AS slope,
-       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1e6
-             + 0.5) / 1e6 AS intercept
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5)
+                 / 1e6 END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                       / n * 1e6 + 0.5) / 1e6 END AS intercept
 FROM s
 """,
         "sessionize": """

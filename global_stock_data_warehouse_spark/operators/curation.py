@@ -231,8 +231,13 @@ def zipf_slope(
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # degenerate guard: with 0 or 1 distinct terms the OLS denominator is
+    # 0 and 0/0 is NaN — which Spark's floor (returns BIGINT) and
+    # DuckDB's floor (returns DOUBLE) then disagree on. NULL both sides.
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den > 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
     )
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
     return s.select(

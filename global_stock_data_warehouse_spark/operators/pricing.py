@@ -239,6 +239,113 @@ def liquidity_screen(
     )
 
 
+def index_daily_return(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "close",
+) -> DataFrame:
+    """Cap-weighted market index, one row per date: member count,
+    advancer/decliner counts, and the weighted mean period return
+    (weight = the entity's first observed close — the float-cap proxy
+    available without a shares table; documented, deterministic).
+
+    Exactness: each entity's period return is rounded to a 1e-6
+    fixed-point bigint and its weight to WHOLE DOLLARS (floored at 1 so
+    a penny stock still participates) BEFORE the cross-sectional sum,
+    so the weighted mean is exact-integer arithmetic until one final
+    division. Product bound: |ret_fx| <= ~5e10 (a 5e4x move on this
+    price domain) x weight <= ~5e4 = 2.5e15 per member — thousands of
+    members away from int64, the reason the weight is dollars and not
+    cents (cents would overflow at ~150 members on the same domain).
+
+    One hash exchange on the entity key serves the lag window and the
+    first-close window; the per-date rollup is the only other shuffle
+    (group-bounded: one row per date).
+    """
+    w = Window.partitionBy(key_col).orderBy("d")
+    w_all = Window.partitionBy(key_col)
+    prev = F.lag(value_col).over(w)
+    ret_fx = F.when(
+        prev > 0,
+        F.floor((F.col(value_col) / prev - 1.0) * 1e6 + F.lit(0.5)).cast("bigint"),
+    )
+    weight_d = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor(F.min_by(value_col, "d").over(w_all) + F.lit(0.5)).cast("bigint"),
+    )
+    legs = (
+        daily.withColumn("_ret_fx", ret_fx)
+        .withColumn("_w_d", weight_d)
+        .filter(F.col("_ret_fx").isNotNull())
+    )
+    return (
+        legs.groupBy(F.col("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum((F.col("_ret_fx") > 0).cast("int")).alias("n_advancers"),
+            F.sum((F.col("_ret_fx") < 0).cast("int")).alias("n_decliners"),
+            _fx(
+                F.sum(F.col("_w_d") * F.col("_ret_fx"))
+                / F.sum("_w_d")
+                / F.lit(1e6)
+            ).alias("index_return"),
+        )
+    )
+
+
+def factor_rank_ic(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "close",
+    min_members: int = 3,
+) -> DataFrame:
+    """Daily rank information coefficient of a momentum factor: the
+    Spearman correlation (tie-broken variant) between today's
+    cross-sectional return ranks and TOMORROW's — the one-number answer
+    to "does today's winner win again tomorrow?".
+
+    spearman = 1 - 6 * sum(d_i^2) / (n * (n^2 - 1)) with d_i the rank
+    difference — ALL integer arithmetic until one final division, so
+    the IC is engine-exact with no float-sum ordering anywhere. Ranks
+    are row_number with an (value, key) tiebreak (tie-broken Spearman,
+    not average-rank Spearman — documented, and identical on both
+    engines). Dates with fewer than ``min_members`` joint observations
+    are dropped (the denominator needs n >= 2; tiny cross-sections are
+    noise).
+
+    Shuffles: one on the entity key (lag + lead windows), one on the
+    date (two rank windows + final rollup share it).
+    """
+    w = Window.partitionBy(key_col).orderBy("d")
+    prev = F.lag(value_col).over(w)
+    ret = F.when(prev > 0, F.col(value_col) / prev - 1.0)
+    with_ret = daily.withColumn("_ret", ret)
+    fwd = F.lead("_ret").over(w)
+    both = (
+        with_ret.withColumn("_fwd", fwd)
+        .filter(F.col("_ret").isNotNull() & F.col("_fwd").isNotNull())
+    )
+    rank_now = F.row_number().over(
+        Window.partitionBy("d").orderBy(F.col("_ret"), F.col(key_col))
+    )
+    rank_fwd = F.row_number().over(
+        Window.partitionBy("d").orderBy(F.col("_fwd"), F.col(key_col))
+    )
+    ranked = both.withColumn(
+        "_dd", (rank_now - rank_fwd).cast("bigint")
+    )
+    agg = ranked.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("_dd") * F.col("_dd")).alias("_sd2"),
+    )
+    n = F.col("n_members").cast("bigint")
+    ic = 1.0 - 6.0 * F.col("_sd2") / (n * (n * n - 1))
+    return (
+        agg.filter(F.col("n_members") >= min_members)
+        .select("d", "n_members", _fx(ic).alias("rank_ic"))
+    )
+
+
 def stale_price_runs(
     daily: DataFrame,
     key_col: str = "user_id",

@@ -127,3 +127,12 @@ def test_zipf_top_n_truncates(spark):
     df = _docs(spark, [(1, "a a a b b c", "s")])
     out = zipf_slope(df, top_n=2).collect()[0]
     assert out.n_terms == 2
+
+
+def test_zipf_degenerate_single_term_is_null(spark):
+    # one distinct term: OLS denominator 0 -> slope/intercept NULL (not
+    # NaN — Spark floor(BIGINT) and DuckDB floor(DOUBLE) disagree on NaN)
+    df = _docs(spark, [(1, "a a a", "s")])
+    r = zipf_slope(df, top_n=10).collect()[0]
+    assert r.n_terms == 1
+    assert r.slope is None and r.intercept is None

@@ -171,3 +171,124 @@ def test_stale_runs_fully_halted_series(spark):
     assert r.n_stale_days == 3
     assert r.n_stale_runs == 1
     assert r.max_run_len == 4
+
+
+# --- index daily return ------------------------------------------------------
+
+
+def test_index_return_weighted_mean_exact(spark):
+    import datetime as dt
+
+    # two entities, one return day each: A first close 100 (weight 100),
+    # +10%; B first close 300 (weight 300), -10%. Weighted mean =
+    # (100*0.1 + 300*-0.1)/400 = -0.05.
+    rows = [
+        (1, 0, dt.datetime(2024, 1, 1, 12), 100.0),
+        (1, 1, dt.datetime(2024, 1, 2, 12), 110.0),
+        (2, 2, dt.datetime(2024, 1, 1, 12), 300.0),
+        (2, 3, dt.datetime(2024, 1, 2, 12), 270.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        index_daily_return,
+    )
+    from global_stock_data_warehouse_spark.operators.timeseries import daily_close
+
+    out = index_daily_return(daily_close(df)).collect()
+    assert len(out) == 1  # day 1 has no previous close
+    r = out[0]
+    assert r.n_members == 2
+    assert r.n_advancers == 1 and r.n_decliners == 1
+    assert r.index_return == -0.05
+
+
+def test_index_return_penny_stock_floor_weight(spark):
+    import datetime as dt
+
+    # a 0.2-dollar stock floors to weight 1 instead of 0 (would divide
+    # by zero in a single-member cross-section)
+    rows = [
+        (1, 0, dt.datetime(2024, 1, 1, 12), 0.2),
+        (1, 1, dt.datetime(2024, 1, 2, 12), 0.3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        index_daily_return,
+    )
+    from global_stock_data_warehouse_spark.operators.timeseries import daily_close
+
+    r = index_daily_return(daily_close(df)).collect()[0]
+    assert r.index_return == 0.5
+
+
+# --- factor rank IC ----------------------------------------------------------
+
+
+def test_rank_ic_perfect_persistence(spark):
+    # three entities whose return ORDER is identical today and tomorrow
+    # -> tie-broken Spearman exactly 1.
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    # entity u: closes 100, 100*(1+u*0.01), that*(1+u*0.01) -> ret order
+    # by u on both days
+    for u in range(1, 4):
+        c = 100.0
+        for day in range(3):
+            rows.append((u, eid, dt.datetime(2024, 1, 1 + day, 12), c))
+            eid += 1
+            c = c * (1 + u * 0.01)
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    from global_stock_data_warehouse_spark.operators.pricing import factor_rank_ic
+    from global_stock_data_warehouse_spark.operators.timeseries import daily_close
+
+    out = factor_rank_ic(daily_close(df), min_members=3).collect()
+    assert len(out) == 1
+    assert out[0].n_members == 3
+    assert out[0].rank_ic == 1.0
+
+
+def test_rank_ic_perfect_reversal(spark):
+    # return order today is exactly reversed tomorrow -> Spearman -1
+    import datetime as dt
+
+    seqs = {1: [100.0, 101.0, 104.0], 2: [100.0, 102.0, 103.0], 3: [100.0, 103.0, 103.1]}
+    rows = []
+    eid = 0
+    for u, closes in seqs.items():
+        for day, c in enumerate(closes):
+            rows.append((u, eid, dt.datetime(2024, 1, 1 + day, 12), c))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    from global_stock_data_warehouse_spark.operators.pricing import factor_rank_ic
+    from global_stock_data_warehouse_spark.operators.timeseries import daily_close
+
+    out = factor_rank_ic(daily_close(df), min_members=3).collect()
+    assert len(out) == 1
+    assert out[0].rank_ic == -1.0
+
+
+def test_rank_ic_min_members_drops_small_dates(spark):
+    import datetime as dt
+
+    rows = [
+        (1, 0, dt.datetime(2024, 1, 1, 12), 100.0),
+        (1, 1, dt.datetime(2024, 1, 2, 12), 110.0),
+        (1, 2, dt.datetime(2024, 1, 3, 12), 120.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    from global_stock_data_warehouse_spark.operators.pricing import factor_rank_ic
+    from global_stock_data_warehouse_spark.operators.timeseries import daily_close
+
+    assert factor_rank_ic(daily_close(df), min_members=3).count() == 0
