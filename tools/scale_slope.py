@@ -769,6 +769,59 @@ def _ops():
 
         return gopher_quality_flags(fixture(spark, "docs", s))
 
+    def _line_boiler(spark, s):
+        from global_stock_data_warehouse_spark.operators.curation import (
+            line_boilerplate_stats,
+        )
+
+        # sep=" " makes every token a segment: the worst-case segment
+        # volume (40x the doc count) with Heaps vocab keeping per-segment
+        # df constant
+        return line_boilerplate_stats(fixture(spark, "docs", s), sep=" ", min_docs=3)
+
+    def _novelty(spark, s):
+        from global_stock_data_warehouse_spark.operators.curation import (
+            novelty_timeline,
+        )
+
+        return novelty_timeline(fixture(spark, "docs", s), n_buckets=10)
+
+    def _zipf(spark, s):
+        from global_stock_data_warehouse_spark.operators.curation import zipf_slope
+
+        return zipf_slope(fixture(spark, "docs", s), top_n=200)
+
+    def _pricing_daily(spark, s):
+        from global_stock_data_warehouse_spark.operators.timeseries import (
+            daily_close,
+        )
+
+        bars = fixture(spark, "bars", s)
+        return daily_close(
+            bars,
+            time_col="ts",
+            key_col="symbol",
+            value_col="close",
+            tiebreak_cols=("ts", "event_id"),
+        )
+
+    def _split_adj(spark, s):
+        from global_stock_data_warehouse_spark.operators.pricing import (
+            split_adjusted_prices,
+        )
+
+        return split_adjusted_prices(_pricing_daily(spark, s), key_col="symbol")
+
+    def _rank_ic(spark, s):
+        from global_stock_data_warehouse_spark.operators.pricing import (
+            factor_rank_ic,
+        )
+
+        # the bars fixture grows the SYMBOL UNIVERSE at fixed history
+        # depth, so the per-date cross-sectional rank window is exactly
+        # the dimension that scales — the honest stress for this op
+        return factor_rank_ic(_pricing_daily(spark, s), key_col="symbol")
+
     def _mixplan(spark, s):
         from global_stock_data_warehouse_spark.operators.corpus import (
             mixture_epoch_plan,
@@ -876,6 +929,36 @@ def _ops():
             1.0,
             "one stratum-keyed window (64 strata): rank + count over n/64-row partitions, O(n log n) per stratum",
             lambda spark, s: fixture(spark, "docs", s),
+        ),
+        "line_boilerplate": (
+            _line_boiler,
+            1.0,
+            "segment-fingerprint groupBy + join reuse one hash clustering; Heaps vocab keeps per-segment df constant (NEW r9)",
+            lambda spark, s: fixture(spark, "docs", s),
+        ),
+        "novelty_timeline": (
+            _novelty,
+            1.0,
+            "md5 first-occurrence window + 10-row bucket rollup; bucket edges from a broadcast min/max (NEW r9)",
+            lambda spark, s: fixture(spark, "docs", s),
+        ),
+        "zipf_slope": (
+            _zipf,
+            1.0,
+            "one term-count exchange + TakeOrderedAndProject(200); regression on <=200 rows (NEW r9)",
+            lambda spark, s: fixture(spark, "docs", s),
+        ),
+        "split_adjusted_prices": (
+            _split_adj,
+            1.0,
+            "one symbol-keyed exchange serves daily groupBy + lag + desc factor windows (NEW r9)",
+            lambda spark, s: fixture(spark, "bars", s),
+        ),
+        "factor_rank_ic": (
+            _rank_ic,
+            1.0,
+            "symbol-keyed lag/lead + date-keyed rank windows: per-date partitions grow with the universe, O(n log n) per date (NEW r9)",
+            lambda spark, s: fixture(spark, "bars", s),
         ),
     }
 
