@@ -473,6 +473,73 @@ def minhash_signatures(
     return hashed.mapInPandas(sig, schema=schema)
 
 
+def plan_lsh_bands(
+    threshold: float,
+    num_hashes: int = 32,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+    steps: int = 500,
+) -> dict:
+    """Choose the (bands, rows) banding for a target Jaccard
+    ``threshold``: minimize the weighted false-positive +
+    false-negative probability integrals of the banded-LSH S-curve
+
+        P(candidate | s) = 1 - (1 - s^rows)^bands
+
+    (Mining of Massive Datasets §3.4.3 — the standard planning recipe).
+    fp = integral_0^t P(s) ds (pairs BELOW the threshold that still
+    collide), fn = integral_t^1 (1 - P(s)) ds (pairs above it that
+    don't); trapezoid rule over ``steps`` points. Returns
+    ``{bands, rows, fp, fn, s_curve_midpoint}`` where the midpoint
+    (1/bands)^(1/rows) is where the S-curve crosses ~50%.
+
+    Driver-side pure arithmetic over at most num_hashes divisor pairs x
+    steps points — planning cost is microseconds; run it ONCE before a
+    corpus-scale :func:`minhash_neardup` instead of hand-picking bands
+    (a banding tuned for 0.5 silently misses 0.8-threshold dups, and
+    vice versa floods the verifier with sub-threshold candidates).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+
+        def p_collide(s: float) -> float:
+            return 1.0 - (1.0 - s**rows) ** bands
+
+        dx = threshold / steps
+        fp = sum(
+            (p_collide(i * dx) + p_collide((i + 1) * dx)) / 2.0 * dx
+            for i in range(steps)
+        )
+        dx = (1.0 - threshold) / steps
+        fn = sum(
+            (
+                (1.0 - p_collide(threshold + i * dx))
+                + (1.0 - p_collide(threshold + (i + 1) * dx))
+            )
+            / 2.0
+            * dx
+            for i in range(steps)
+        )
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best["_err"]:
+            best = {
+                "bands": bands,
+                "rows": rows,
+                "fp": fp,
+                "fn": fn,
+                "s_curve_midpoint": (1.0 / bands) ** (1.0 / rows),
+                "_err": err,
+            }
+    out = dict(best)
+    del out["_err"]
+    return out
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -528,12 +595,17 @@ def minhash_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = 8,
     ngram: int = 2,
     threshold: float = 0.5,
     verify: str = "estimate",
 ) -> DataFrame:
     """Banded-LSH near-dup pairs with pluggable verification.
+
+    ``bands=None`` plans the banding from the threshold via
+    :func:`plan_lsh_bands` (S-curve FP+FN minimization) instead of the
+    hand-picked default — the right call whenever the threshold is not
+    the 0.5 the default banding was tuned for.
 
     ``verify='estimate'`` (default, single-pass): signatures ride along the
     band join as packed arrays; candidate pairs are scored by the MinHash
@@ -548,6 +620,8 @@ def minhash_neardup(
     extra shuffles). Output column is ``jaccard`` either way; with
     'estimate' it is the k-sample estimate, not the exact value.
     """
+    if bands is None:
+        bands = plan_lsh_bands(threshold, num_hashes)["bands"]
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     if verify == "exact":

@@ -539,3 +539,92 @@ def drift_monitor_sink(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def breadth_sink(
+    ohlc_stream: DataFrame,
+    breadth_path: str,
+    checkpoint: str,
+):
+    """Streaming market-breadth ledger over the windowed-OHLC stream:
+    the streaming twin of the batch ``pricing.index_daily_return``.
+
+    Each micro-batch's finalized OHLC windows become per-window
+    CONTRIBUTION rows — member/advancer/decliner counts plus the
+    fixed-point weighted-return numerator and the weight denominator
+    (``sum(w_d * ret_fx)`` / ``sum(w_d)`` as exact BIGINTs; weight =
+    whole-dollar open floored at 1, return = 1e-6 fixed-point
+    close/open - 1, the same exactness contract as the batch operator).
+    Contributions, not finished means, so the ledger is ASSOCIATIVE:
+    :func:`read_breadth` folds any partition subset with plain sums and
+    the division happens exactly once at read time.
+
+    Replay safety: rows land as ``_batch_id``-keyed partitions with
+    dynamic partition overwrite — the same recovery contract as
+    :func:`neardup_gate_sink` / :func:`drift_monitor_sink` (an
+    at-least-once replay rewrites its own partition, never
+    double-counts a window).
+    """
+
+    def compute(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ret_fx = F.when(
+            F.col("open") > 0,
+            F.floor((F.col("close") / F.col("open") - 1.0) * 1e6 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+        w_d = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.col("open") + F.lit(0.5)).cast("bigint"),
+        )
+        legs = (
+            batch.withColumn("_ret_fx", ret_fx)
+            .withColumn("_w_d", w_d)
+            .filter(F.col("_ret_fx").isNotNull())
+        )
+        (
+            legs.groupBy("window_start", "window_end")
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.sum((F.col("_ret_fx") > 0).cast("int")).alias("n_advancers"),
+                F.sum((F.col("_ret_fx") < 0).cast("int")).alias("n_decliners"),
+                F.sum(F.col("_w_d") * F.col("_ret_fx")).alias("wret_sum_fx"),
+                F.sum("_w_d").alias("w_sum"),
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(breadth_path)
+        )
+
+    return (
+        ohlc_stream.writeStream.foreachBatch(compute)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def read_breadth(spark, breadth_path: str) -> DataFrame:
+    """Fold the breadth ledger to one row per window: plain BIGINT sums
+    over the per-batch contributions (associative — replayed or
+    compacted partitions fold identically), ONE division for the
+    weighted mean return, the engine-shared floor rounding."""
+    raw = spark.read.parquet(breadth_path)
+    return (
+        raw.groupBy("window_start", "window_end")
+        .agg(
+            F.sum("n_members").alias("n_members"),
+            F.sum("n_advancers").alias("n_advancers"),
+            F.sum("n_decliners").alias("n_decliners"),
+            F.sum("wret_sum_fx").alias("_num"),
+            F.sum("w_sum").alias("_den"),
+        )
+        .withColumn(
+            "index_return",
+            F.floor(F.col("_num") / F.col("_den") / 1e6 * 1e6 + F.lit(0.5)) / 1e6,
+        )
+        .drop("_num", "_den")
+    )

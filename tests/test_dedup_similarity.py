@@ -895,3 +895,78 @@ def test_r5_operators_empty_input_edges(spark):
     out = semantic_decontaminate(empty_train, ev)
     assert out.count() == 0
     assert out.columns == ["vec_id", "nearest_eval_id", "max_cosine", "contaminated"]
+
+
+# --- LSH banding planner (r9) ------------------------------------------------
+
+
+def test_plan_lsh_bands_midpoint_tracks_threshold():
+    from global_stock_data_warehouse_spark.operators.dedup import plan_lsh_bands
+
+    lo = plan_lsh_bands(0.3, num_hashes=128)
+    hi = plan_lsh_bands(0.8, num_hashes=128)
+    # a higher target threshold must push the S-curve midpoint up
+    assert hi["s_curve_midpoint"] > lo["s_curve_midpoint"]
+    # and the planned midpoints should bracket their thresholds loosely
+    assert abs(lo["s_curve_midpoint"] - 0.3) < 0.15
+    assert abs(hi["s_curve_midpoint"] - 0.8) < 0.15
+    for p in (lo, hi):
+        assert p["bands"] * p["rows"] == 128
+        assert 0.0 <= p["fp"] <= 1.0 and 0.0 <= p["fn"] <= 1.0
+
+
+def test_plan_lsh_bands_weights_shift_the_tradeoff():
+    from global_stock_data_warehouse_spark.operators.dedup import plan_lsh_bands
+
+    # punishing false negatives must not yield MORE fn than the balanced plan
+    bal = plan_lsh_bands(0.5, num_hashes=64, fp_weight=0.5, fn_weight=0.5)
+    fn_averse = plan_lsh_bands(0.5, num_hashes=64, fp_weight=0.05, fn_weight=0.95)
+    assert fn_averse["fn"] <= bal["fn"]
+
+
+def test_plan_lsh_bands_beats_neighbor_bandings():
+    from global_stock_data_warehouse_spark.operators.dedup import plan_lsh_bands
+
+    best = plan_lsh_bands(0.6, num_hashes=32)
+    # recompute the objective for every legal banding; the planner's
+    # choice must be the argmin
+    scores = {}
+    for bands in [b for b in range(1, 33) if 32 % b == 0]:
+        probe = plan_lsh_bands(0.6, num_hashes=32)
+        # evaluate integrals directly through the planner by restricting:
+        # (cheap re-derivation: the planner already searched all bandings;
+        # assert its own fp/fn are consistent and minimal via a manual scan)
+        rows = 32 // bands
+        steps = 500
+        t = 0.6
+
+        def p(s):
+            return 1.0 - (1.0 - s**rows) ** bands
+
+        dx = t / steps
+        fp = sum((p(i * dx) + p((i + 1) * dx)) / 2 * dx for i in range(steps))
+        dx = (1 - t) / steps
+        fn = sum(
+            ((1 - p(t + i * dx)) + (1 - p(t + (i + 1) * dx))) / 2 * dx
+            for i in range(steps)
+        )
+        scores[bands] = 0.5 * fp + 0.5 * fn
+    assert min(scores, key=scores.get) == best["bands"]
+
+
+def test_minhash_neardup_auto_banding(spark):
+    from global_stock_data_warehouse_spark.operators.dedup import minhash_neardup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated text about stock markets"),
+        ],
+        "doc_id long, text string",
+    )
+    # bands=None -> planner picks the banding for the threshold
+    pairs = minhash_neardup(docs, num_hashes=32, bands=None, threshold=0.4).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in ids
+    assert all(3 not in p for p in ids)
