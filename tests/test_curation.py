@@ -136,3 +136,31 @@ def test_zipf_degenerate_single_term_is_null(spark):
     r = zipf_slope(df, top_n=10).collect()[0]
     assert r.n_terms == 1
     assert r.slope is None and r.intercept is None
+
+
+# --- boundary edges (r9 discipline) ------------------------------------------
+
+
+def test_novelty_bucket_edges_are_integer_exact(spark):
+    # ids 0..99, 10 buckets: id 9 -> bucket 1, id 10 -> bucket 2 (the
+    # integer-DIV edge), id 99 -> bucket 10
+    rows = [(i, f"t{i}", "s") for i in range(100)]
+    from pyspark.sql import functions as F
+
+    nt = novelty_timeline(_docs(spark, rows), n_buckets=10)
+    per = {r.bucket: r.n_docs for r in nt.collect()}
+    assert per == {b: 10 for b in range(1, 11)}
+
+
+def test_quality_gate_ceil_boundary_exact_fraction(spark):
+    # 5 docs at keep_frac=0.4: ceil(2.0) = 2 exactly (not 3)
+    df = _docs(spark, [(i, "z" * (10 + i), "a") for i in range(5)])
+    r = quality_percentile_gate(df, keep_frac=0.4).collect()[0]
+    assert r.n_kept == 2
+
+
+def test_boilerplate_min_docs_exact_threshold(spark):
+    # segment in exactly min_docs distinct docs IS boilerplate (>=)
+    df = _docs(spark, [(1, "x", "s"), (2, "x", "s"), (3, "y", "s")])
+    out = {r.doc_id: r.n_boiler for r in line_boilerplate_stats(df, sep="\n", min_docs=2).collect()}
+    assert out[1] == 1 and out[2] == 1 and out[3] == 0

@@ -292,3 +292,74 @@ def test_rank_ic_min_members_drops_small_dates(spark):
     from global_stock_data_warehouse_spark.operators.timeseries import daily_close
 
     assert factor_rank_ic(daily_close(df), min_members=3).count() == 0
+
+
+# --- boundary edges (r9 discipline: test the exact constants) ----------------
+
+
+def test_split_tolerance_just_inside_boundary_kept(spark):
+    # |r - k| <= 0.02*k: a ratio of 2.0399 (inside the 2% band) is a
+    # split. (The EXACT boundary 2.04 is not float-representable after
+    # the prev/close round-trip — it lands a half-ulp outside and is
+    # correctly rejected; the inclusive <= only matters for exact
+    # decimals, which doubles here never are.)
+    prev, k = 100.0, 2
+    cl = prev / (k * 1.01995)
+    d = _daily(spark, [prev, cl])
+    ratios = [r.split_ratio for r in infer_split_ratios(d).orderBy("d").collect()]
+    assert ratios == [1, 2]
+
+
+def test_split_tolerance_just_past_boundary_rejected(spark):
+    prev, k = 100.0, 2
+    cl = prev / (k * 1.021)  # ratio 2.042: just past the 2% tolerance
+    d = _daily(spark, [prev, cl])
+    ratios = [r.split_ratio for r in infer_split_ratios(d).orderBy("d").collect()]
+    assert ratios == [1, 1]
+
+
+def test_liquidity_tied_adv_breaks_by_key(spark):
+    # two entities with IDENTICAL ADV: the (adv desc, key) tiebreak puts
+    # the smaller key in the earlier tile deterministically
+    rows = [
+        (7, 0, dt.datetime(2024, 1, 1, 12), 100.0),
+        (3, 1, dt.datetime(2024, 1, 1, 12), 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {r.user_id: r.adv_decile for r in liquidity_screen(df, n_tiles=2).collect()}
+    assert out == {3: 1, 7: 2}
+
+
+def test_overnight_single_day_has_no_overnight_leg(spark):
+    rows = [
+        (1, 0, dt.datetime(2024, 1, 1, 9), 100.0),
+        (1, 1, dt.datetime(2024, 1, 1, 16), 110.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    r = overnight_intraday_split(df).collect()[0]
+    assert r.n_overnight == 0
+    assert r.mean_overnight is None
+    assert r.mean_intraday == 0.1
+
+
+def test_rank_ic_exactly_min_members_kept(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import factor_rank_ic
+
+    # 3 entities x 3 days -> one IC date with n_members == 3 == min_members
+    rows = []
+    eid = 0
+    for u in range(1, 4):
+        c = 100.0
+        for day in range(3):
+            rows.append((u, eid, dt.datetime(2024, 1, 1 + day, 12), c))
+            eid += 1
+            c *= 1 + u * 0.01
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = factor_rank_ic(daily_close(df), min_members=3).collect()
+    assert len(out) == 1 and out[0].n_members == 3
