@@ -582,3 +582,134 @@ def test_pps_systematic_madow_guarantee(weights, k):
         assert math.floor(share) <= picks <= math.ceil(share), (
             doc_id, w, k, total, picks, share,
         )
+
+
+# --- r9: split adjustment recovers injected splits exactly -------------------
+
+split_series_strategy = st.tuples(
+    st.lists(
+        st.floats(min_value=50.0, max_value=200.0, allow_nan=False),
+        min_size=3,
+        max_size=12,
+    ),
+    st.lists(st.sampled_from([2, 3, 4, 5]), min_size=0, max_size=3),
+)
+
+
+@given(split_series_strategy)
+@SLOW
+def test_split_adjustment_recovers_injected_splits(data):
+    """Inject exact k:1 splits into a smooth series; the operator must
+    recover every injected ratio and the exact cumulative factor, and
+    the adjusted series must be free of split-band jumps."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        split_adjusted_prices,
+    )
+
+    base_vals, ratios = data
+    spark = _get_spark()
+    # smooth the series so no ACCIDENTAL ratio lands in the split band:
+    # clamp day-over-day moves to < 1.5x by construction
+    vals = [base_vals[0]]
+    for v in base_vals[1:]:
+        prev = vals[-1]
+        vals.append(min(max(v, prev / 1.5), prev * 1.5))
+    # inject splits at deterministic interior positions; a split is only
+    # DETECTABLE when the underlying price is continuous across it, so
+    # pin the split day's raw value to the previous day's (ratio == k)
+    split_positions = {1 + 2 * j: ratios[j] for j in range(len(ratios)) if 1 + 2 * j < len(vals)}
+    for i in split_positions:
+        vals[i] = vals[i - 1]
+    factor = 1
+    out_vals = []
+    split_at = {}
+    for i, v in enumerate(vals):
+        if i in split_positions:
+            k = split_positions[i]
+            factor *= k
+            split_at[i] = k
+        out_vals.append(v / factor)
+    rows = [
+        (1, i, dt.datetime(2024, 1, 1 + i, 12), float(v))
+        for i, v in enumerate(out_vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    from global_stock_data_warehouse_spark.operators.timeseries import daily_close
+
+    got = split_adjusted_prices(daily_close(df)).orderBy("d").collect()
+    for i, r in enumerate(got):
+        want_ratio = split_at.get(i, 1)
+        assert r.split_ratio == want_ratio, (i, out_vals)
+    # cumulative factor at the first row == product of all injected ratios
+    total = 1
+    for k in split_at.values():
+        total *= k
+    assert got[0].adj_factor == total
+    # backward adjustment maps every bar onto the LATEST price scale:
+    # adj(i) = underlying(i) / total_factor — i.e. the adjusted series
+    # is the smooth underlying series, uniformly rescaled (continuous
+    # across every split)
+    for i, r in enumerate(got):
+        want = vals[i] / total
+        assert abs(r.adj_close - want) < 1e-4 * max(1.0, want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # entity
+            st.integers(min_value=0, max_value=5),  # day
+            st.floats(min_value=1.0, max_value=500.0, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@SLOW
+def test_index_return_matches_pandas_oracle(rows):
+    """index_daily_return == a pandas recomputation of the same
+    fixed-point weighted mean on arbitrary small bar sets."""
+    import pandas as pd
+
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        index_daily_return,
+    )
+    from global_stock_data_warehouse_spark.operators.timeseries import daily_close
+
+    spark = _get_spark()
+    bars = [
+        (u, i, dt.datetime(2024, 1, 1 + day, 12), float(v))
+        for i, (u, day, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        bars, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {r.d: r for r in index_daily_return(daily_close(df)).collect()}
+
+    # pandas oracle: same daily-close (last by ts,event_id), same fixed point
+    pdf = pd.DataFrame(bars, columns=["u", "e", "ts", "v"])
+    pdf["d"] = pdf["ts"].dt.date
+    daily = (
+        pdf.sort_values(["ts", "e"]).groupby(["u", "d"], as_index=False).last()
+    )
+    import math
+
+    per_date = {}
+    for u, g in daily.groupby("u"):
+        g = g.sort_values("d")
+        w = max(1, math.floor(g["v"].iloc[0] + 0.5))
+        prev = None
+        for _, row in g.iterrows():
+            if prev is not None and prev > 0:
+                ret_fx = math.floor((row["v"] / prev - 1.0) * 1e6 + 0.5)
+                per_date.setdefault(row["d"], []).append((w, ret_fx))
+            prev = row["v"]
+    for d, legs in per_date.items():
+        num = sum(w * r for w, r in legs)
+        den = sum(w for w, _ in legs)
+        want = math.floor(num / den / 1e6 * 1e6 + 0.5) / 1e6
+        assert got[d].n_members == len(legs)
+        assert got[d].index_return == want, (d, legs)
+    assert set(got) == set(per_date)

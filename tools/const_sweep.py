@@ -35,6 +35,11 @@ from global_stock_data_warehouse_spark.session import get_spark  # noqa: E402
 SRC = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.001")
 
 DEFAULT_TARGETS = [
+    # r9 batteries (pricing + curation)
+    "line_boilerplate", "quality_gate", "novelty_timeline", "zipf_slope",
+    "split_adjusted_prices", "stale_price_runs", "range_position",
+    "overnight_intraday", "liquidity_screen", "index_daily_return",
+    "factor_rank_ic",
     "dedup_exact", "ngram_jaccard_neardup", "dedup_components",
     "dedup_keep_best", "paragraph_dedup", "remove_duplicate_spans",
     "duplicate_spans", "dedup_funnel", "incremental_dedup", "sessionize",
