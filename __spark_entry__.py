@@ -1179,6 +1179,41 @@ def q_factor_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return factor_rank_ic(daily_close(ev), min_members=3)
 
 
+def q_beta_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity market beta vs the cap-weighted index: winsorized
+    basis-point returns make every OLS sum exact bigint arithmetic;
+    slope/alpha are single closed-form double divisions."""
+    from global_stock_data_warehouse_spark.operators.pricing import beta_vs_index
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return beta_vs_index(daily_close(ev), min_days=5)
+
+
+def q_calendar_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-seasonality screen: per ISO day-of-week, observation
+    count, fixed-point-exact mean return, positive-return share.
+    Seven-row group-bounded output."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        calendar_anomalies,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return calendar_anomalies(daily_close(ev))
+
+
+def q_market_regime_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-momentum regimes (risk-on / risk-off / flat by
+    advancer-decliner majority) with per-regime day counts and longest
+    consecutive runs; run-length encoding on the one-row-per-date
+    frame."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        market_regime_streaks,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return market_regime_streaks(daily_close(ev))
+
+
 def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-step funnel (view -> click -> purchase): each stage is the
     min event time strictly AFTER the previous stage, per user; one row of
@@ -4057,6 +4092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stale_price_runs": q_stale_price_runs,
         "index_daily_return": q_index_daily_return,
         "factor_rank_ic": q_factor_rank_ic,
+        "beta_vs_index": q_beta_vs_index,
+        "calendar_anomalies": q_calendar_anomalies,
+        "market_regime_streaks": q_market_regime_streaks,
         # displaced from the r9 window by the seven new r9 queries above
         # (rule 2); all hold the bit-exact local mirror
         "remove_duplicate_spans": q_remove_duplicate_spans,
@@ -5408,6 +5446,117 @@ SELECT d, n_members,
               * (CAST(n_members AS BIGINT) * n_members - 1))) * 1e6 + 0.5)
          / 1e6 AS rank_ic
 FROM agg WHERE n_members >= 3
+""",
+        "beta_vs_index": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), legs AS (
+  SELECT user_id, d,
+         CASE WHEN lag(close) OVER w > 0
+              THEN greatest(CAST(-50000 AS BIGINT),
+                            least(CAST(50000 AS BIGINT),
+                                  CAST(floor((close / lag(close) OVER w - 1.0)
+                                             * 1e4 + 0.5) AS BIGINT)))
+              END AS y,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(floor(first_value(close) OVER (
+                         PARTITION BY user_id ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) + 0.5) AS BIGINT)) AS w_d
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY d)
+), l2 AS (
+  SELECT * FROM legs WHERE y IS NOT NULL
+), idx AS (
+  SELECT d, CAST(floor(CAST(sum(w_d * y) AS DOUBLE) / sum(w_d) + 0.5)
+                 AS BIGINT) AS x
+  FROM l2 GROUP BY d
+), agg AS (
+  SELECT user_id, count(*) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM l2 JOIN idx USING (d) GROUP BY user_id
+)
+SELECT user_id, n_days,
+       CASE WHEN n_days >= 5 AND n_days * sxx - sx * sx > 0
+            THEN floor((n_days * sxy - sx * sy) * 1.0
+                       / (n_days * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+            END AS beta,
+       CASE WHEN n_days >= 5 AND n_days * sxx - sx * sx > 0
+            THEN floor((sy - (n_days * sxy - sx * sy) * 1.0
+                             / (n_days * sxx - sx * sx) * sx)
+                       / n_days / 1e4 * 1e6 + 0.5) / 1e6
+            END AS alpha
+FROM agg
+""",
+        "calendar_anomalies": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), legs AS (
+  SELECT d,
+         CASE WHEN lag(close) OVER (PARTITION BY user_id ORDER BY d) > 0
+              THEN CAST(floor((close / lag(close)
+                        OVER (PARTITION BY user_id ORDER BY d) - 1.0)
+                        * 1e6 + 0.5) AS BIGINT) END AS ret_fx
+  FROM daily
+)
+SELECT CAST(isodow(d) AS BIGINT) AS iso_dow,
+       count(*) AS n_obs,
+       floor(CAST(sum(ret_fx) AS DOUBLE) / count(*) / 1e6 * 1e6 + 0.5) / 1e6
+         AS mean_return,
+       CAST(sum(CASE WHEN ret_fx > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       floor(CAST(sum(CASE WHEN ret_fx > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1e6 + 0.5) / 1e6 AS up_share
+FROM legs WHERE ret_fx IS NOT NULL GROUP BY 1
+""",
+        "market_regime_streaks": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), legs AS (
+  SELECT user_id, d,
+         CASE WHEN lag(close) OVER (PARTITION BY user_id ORDER BY d) > 0
+              THEN CAST(floor((close / lag(close)
+                        OVER (PARTITION BY user_id ORDER BY d) - 1.0)
+                        * 1e6 + 0.5) AS BIGINT) END AS ret_fx
+  FROM daily
+), per_date AS (
+  SELECT d,
+         sum(CASE WHEN ret_fx > 0 THEN 1 ELSE 0 END) AS adv,
+         sum(CASE WHEN ret_fx < 0 THEN 1 ELSE 0 END) AS dec
+  FROM legs WHERE ret_fx IS NOT NULL GROUP BY d
+), tagged AS (
+  SELECT d,
+         CASE WHEN adv > dec THEN 'risk_on'
+              WHEN adv < dec THEN 'risk_off'
+              ELSE 'flat' END AS regime
+  FROM per_date
+), chg AS (
+  SELECT d, regime,
+         CASE WHEN lag(regime) OVER w IS NULL
+                   OR regime <> lag(regime) OVER w
+              THEN 1 ELSE 0 END AS changed
+  FROM tagged WINDOW w AS (ORDER BY d)
+), runs AS (
+  SELECT regime,
+         sum(changed) OVER (ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM chg
+), per_run AS (
+  SELECT regime, run_id, count(*) AS run_len FROM runs GROUP BY 1, 2
+)
+SELECT regime,
+       CAST(sum(run_len) AS BIGINT) AS n_days,
+       count(*) AS n_runs,
+       max(run_len) AS longest_run
+FROM per_run GROUP BY regime
 """,
         "line_boilerplate": """
 WITH segs AS (

@@ -346,6 +346,172 @@ def factor_rank_ic(
     )
 
 
+def beta_vs_index(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "close",
+    winsor_bp: int = 50_000,
+    min_days: int = 5,
+) -> DataFrame:
+    """Per-entity market beta against the cap-weighted index: OLS slope
+    of the entity's daily return on the index's, both in WINSORIZED
+    basis points (clamped to ±``winsor_bp`` — ±500% default, the
+    standard outlier guard every production beta uses), so every OLS
+    sum is exact bigint arithmetic: Sxy <= n * winsor_bp^2 = 2.5e9*n —
+    orders of magnitude inside int64 — and the slope/alpha are single
+    closed-form double divisions (engine-identical). Degenerate
+    entities (index variance 0 over their dates, or < ``min_days``
+    joint observations) return NULL beta.
+
+    Two shuffles: the entity-keyed lag window (shared with the index
+    legs), and the date-keyed index aggregate (group-bounded, one row
+    per date) that broadcasts back onto the legs.
+    """
+    w = Window.partitionBy(key_col).orderBy("d")
+    w_all = Window.partitionBy(key_col)
+    prev = F.lag(value_col).over(w)
+    ret_bp = F.when(
+        prev > 0,
+        F.greatest(
+            F.lit(-winsor_bp).cast("bigint"),
+            F.least(
+                F.lit(winsor_bp).cast("bigint"),
+                F.floor((F.col(value_col) / prev - 1.0) * 1e4 + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            ),
+        ),
+    )
+    weight_d = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor(F.min_by(value_col, "d").over(w_all) + F.lit(0.5)).cast("bigint"),
+    )
+    legs = (
+        daily.withColumn("_y", ret_bp)
+        .withColumn("_w_d", weight_d)
+        .filter(F.col("_y").isNotNull())
+    )
+    idx = legs.groupBy("d").agg(
+        F.floor(
+            F.sum(F.col("_w_d") * F.col("_y")) / F.sum("_w_d") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("_x")
+    )
+    joined = legs.join(F.broadcast(idx), "d")
+    agg = joined.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    n = F.col("n_days").cast("bigint")
+    den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    beta = F.when(
+        (F.col("n_days") >= min_days) & (den > 0),
+        (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den,
+    )
+    alpha_bp = (F.col("_sy") - beta * F.col("_sx")) / n
+    return agg.select(
+        key_col,
+        "n_days",
+        _fx(beta).alias("beta"),
+        _fx(alpha_bp / 1e4).alias("alpha"),
+    )
+
+
+def calendar_anomalies(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "close",
+) -> DataFrame:
+    """Weekday-seasonality report: per day-of-week, the observation
+    count, mean daily return, and the share of positive returns — the
+    turn-of-week anomaly screen. Returns ride 1e-6 fixed-point bigints
+    before the sums (exact), divisions happen once per output row.
+    Group-bounded output: seven rows, ever."""
+    w = Window.partitionBy(key_col).orderBy("d")
+    prev = F.lag(value_col).over(w)
+    ret_fx = F.when(
+        prev > 0,
+        F.floor((F.col(value_col) / prev - 1.0) * 1e6 + F.lit(0.5)).cast("bigint"),
+    )
+    legs = daily.withColumn("_ret_fx", ret_fx).filter(F.col("_ret_fx").isNotNull())
+    # dayofweek: Spark is 1=Sunday; normalize to ISO 1=Monday..7=Sunday
+    # (matches DuckDB isodow) so the oracle shares the domain
+    dow = ((F.dayofweek("d") + 5) % 7) + 1
+    return (
+        legs.groupBy(dow.alias("iso_dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            _fx(F.sum("_ret_fx") / F.count(F.lit(1)) / F.lit(1e6)).alias(
+                "mean_return"
+            ),
+            F.sum((F.col("_ret_fx") > 0).cast("int")).alias("n_up"),
+            _fx(
+                F.sum((F.col("_ret_fx") > 0).cast("int")) / F.count(F.lit(1))
+            ).alias("up_share"),
+        )
+    )
+
+
+def market_regime_streaks(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "close",
+) -> DataFrame:
+    """Breadth-momentum regimes: each date is risk-on (more advancers
+    than decliners), risk-off, or flat; report per-regime day counts
+    and the LONGEST consecutive run of each regime — the market-health
+    summary a breadth dashboard leads with.
+
+    Builds on the same per-date advancer/decliner counts as
+    `index_daily_return`; the run-length encoding (running sum over
+    regime-change flags) operates on the one-row-per-date frame, so the
+    single-partition window is bounded by the calendar, not the bar
+    count — the same bounded-by-contract shape as the breadth rollup
+    itself."""
+    w = Window.partitionBy(key_col).orderBy("d")
+    prev = F.lag(value_col).over(w)
+    ret_fx = F.when(
+        prev > 0,
+        F.floor((F.col(value_col) / prev - 1.0) * 1e6 + F.lit(0.5)).cast("bigint"),
+    )
+    legs = daily.withColumn("_ret_fx", ret_fx).filter(F.col("_ret_fx").isNotNull())
+    per_date = legs.groupBy("d").agg(
+        F.sum((F.col("_ret_fx") > 0).cast("int")).alias("_adv"),
+        F.sum((F.col("_ret_fx") < 0).cast("int")).alias("_dec"),
+    )
+    regime = (
+        F.when(F.col("_adv") > F.col("_dec"), F.lit("risk_on"))
+        .when(F.col("_adv") < F.col("_dec"), F.lit("risk_off"))
+        .otherwise(F.lit("flat"))
+    )
+    wd = Window.orderBy("d")
+    tagged = per_date.withColumn("_regime", regime).withColumn(
+        "_chg",
+        (
+            F.lag("_regime").over(wd).isNull()
+            | (F.col("_regime") != F.lag("_regime").over(wd))
+        ).cast("bigint"),
+    )
+    runs = tagged.withColumn(
+        "_run", F.sum("_chg").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_run = runs.groupBy("_regime", "_run").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        per_run.groupBy(F.col("_regime").alias("regime"))
+        .agg(
+            F.sum("run_len").alias("n_days"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").alias("longest_run"),
+        )
+    )
+
+
 def stale_price_runs(
     daily: DataFrame,
     key_col: str = "user_id",

@@ -363,3 +363,118 @@ def test_rank_ic_exactly_min_members_kept(spark):
     )
     out = factor_rank_ic(daily_close(df), min_members=3).collect()
     assert len(out) == 1 and out[0].n_members == 3
+
+
+# --- beta vs index ------------------------------------------------------------
+
+
+def test_beta_of_index_replica_is_one(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import beta_vs_index
+
+    # two identical entities: each IS the index, so beta == 1, alpha == 0
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        c = 100.0
+        for day, mult in enumerate([1.0, 1.01, 0.99, 1.02, 0.98, 1.03, 0.97]):
+            c *= mult
+            rows.append((u, eid, dt.datetime(2024, 1, 1 + day, 12), c))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = beta_vs_index(daily_close(df), min_days=5).collect()
+    for r in out:
+        assert r.beta == 1.0
+        assert r.alpha == 0.0
+
+
+def test_beta_min_days_guard(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import beta_vs_index
+
+    rows = [
+        (1, 0, dt.datetime(2024, 1, 1, 12), 100.0),
+        (1, 1, dt.datetime(2024, 1, 2, 12), 101.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    r = beta_vs_index(daily_close(df), min_days=5).collect()[0]
+    assert r.beta is None and r.alpha is None
+
+
+def test_beta_winsorization_clamps_extreme_moves(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import beta_vs_index
+
+    # a 100x move (999,900 bp) must enter the sums as the +-50,000 bp
+    # clamp, keeping every OLS sum inside int64; with one entity the
+    # entity IS the index, so beta stays exactly 1 even at the clamp
+    rows = [
+        (1, 0, dt.datetime(2024, 1, 1, 12), 1.0),
+        (1, 1, dt.datetime(2024, 1, 2, 12), 100.0),
+        (1, 2, dt.datetime(2024, 1, 3, 12), 1.0),
+        (1, 3, dt.datetime(2024, 1, 4, 12), 100.0),
+        (1, 4, dt.datetime(2024, 1, 5, 12), 1.0),
+        (1, 5, dt.datetime(2024, 1, 6, 12), 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    r = beta_vs_index(daily_close(df), min_days=5).collect()[0]
+    assert r.beta == 1.0
+
+
+# --- calendar anomalies --------------------------------------------------------
+
+
+def test_calendar_iso_dow_mapping_and_means(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        calendar_anomalies,
+    )
+
+    # 2024-01-01 is a Monday; the return lands on Tuesday (iso_dow 2)
+    rows = [
+        (1, 0, dt.datetime(2024, 1, 1, 12), 100.0),  # Mon
+        (1, 1, dt.datetime(2024, 1, 2, 12), 110.0),  # Tue: +10%
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {r.iso_dow: r for r in calendar_anomalies(daily_close(df)).collect()}
+    assert set(out) == {2}
+    assert out[2].n_obs == 1
+    assert out[2].mean_return == 0.1
+    assert out[2].up_share == 1.0
+
+
+# --- market regime streaks ------------------------------------------------------
+
+
+def test_regime_streaks_runs_and_longest(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        market_regime_streaks,
+    )
+
+    # 3 entities; day d return sign pattern: ++-, ++-, --+, ++- ->
+    # regimes: on, on, off, on -> risk_on: 3 days in 2 runs (longest 2),
+    # risk_off: 1 day 1 run
+    patterns = {
+        1: [100, 101, 102, 101.0, 102],
+        2: [100, 101, 102, 101.5, 103],
+        3: [100, 99, 98, 99.0, 98],
+    }
+    rows = []
+    eid = 0
+    for u, closes in patterns.items():
+        for day, c in enumerate(closes):
+            rows.append((u, eid, dt.datetime(2024, 1, 1 + day, 12), float(c)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {r.regime: r for r in market_regime_streaks(daily_close(df)).collect()}
+    assert out["risk_on"].n_days == 3
+    assert out["risk_on"].n_runs == 2
+    assert out["risk_on"].longest_run == 2
+    assert out["risk_off"].n_days == 1
+    assert out["risk_off"].n_runs == 1
