@@ -1179,6 +1179,19 @@ def q_factor_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return factor_rank_ic(daily_close(ev), min_members=3)
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-yield audit: per md5 shard, sequence counts / tail waste
+    / fill rate for the concatenate-then-cut ctx_len=64 layout —
+    count-only arithmetic, no token ever shuffles."""
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        packing_efficiency,
+    )
+
+    return packing_efficiency(
+        _t(spark, sf_dir, "documents"), ctx_len=64, n_shards=8, seed=42
+    )
+
+
 def q_beta_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity market beta vs the cap-weighted index: winsorized
     basis-point returns make every OLS sum exact bigint arithmetic;
@@ -1452,6 +1465,30 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_join(transform(members, x -> cast(x as string)), ',')").alias(
             "members"
         ),
+    )
+
+
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION — the "how duplicated is this
+    corpus" one-pager an ops team reads before sizing a dedup pass: per
+    cluster size, how many clusters and how many docs they cover, plus
+    the doc-level dedup yield (docs removable = size - 1 per cluster).
+    Composes the oracled near-dup components (same pair threshold) with
+    a group-bounded size rollup — all exact integers."""
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    groups = dedup_groups(pairs)
+    return (
+        groups.groupBy(F.col("group_size").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("group_size").cast("bigint")).alias(
+                "n_docs"
+            ),
+            (
+                F.count(F.lit(1)) * (F.col("group_size").cast("bigint") - 1)
+            ).alias("n_removable"),
+        )
+        .select("cluster_size", "n_clusters", "n_docs", "n_removable")
     )
 
 
@@ -4095,6 +4132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "beta_vs_index": q_beta_vs_index,
         "calendar_anomalies": q_calendar_anomalies,
         "market_regime_streaks": q_market_regime_streaks,
+        "dup_cluster_stats": q_dup_cluster_stats,
+        "packing_efficiency": q_packing_efficiency,
         # displaced from the r9 window by the seven new r9 queries above
         # (rule 2); all hold the bit-exact local mirror
         "remove_duplicate_spans": q_remove_duplicate_spans,
@@ -5446,6 +5485,77 @@ SELECT d, n_members,
               * (CAST(n_members AS BIGINT) * n_members - 1))) * 1e6 + 0.5)
          / 1e6 AS rank_ic
 FROM agg WHERE n_members >= 3
+""",
+        "dup_cluster_stats": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+              ELSE [] END AS s
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(s) AS n FROM sh
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(n_common * 1.0 / (x.n + y.n - n_common), 6) AS jaccard
+    FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id)
+  WHERE jaccard >= 0.2
+), sym AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s
+), comp AS (
+  SELECT a AS id, min(b) AS comp FROM reach GROUP BY a
+), clusters AS (
+  SELECT comp, count(*) AS group_size FROM comp GROUP BY comp
+)
+SELECT CAST(group_size AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters,
+       CAST(count(*) * group_size AS BIGINT) AS n_docs,
+       CAST(count(*) * (group_size - 1) AS BIGINT) AS n_removable
+FROM clusters GROUP BY group_size
+""",
+        "packing_efficiency": """
+WITH keyed AS (
+  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), sharded AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(k, 1, 8))::UBIGINT % 8 AS BIGINT) AS shard
+  FROM keyed
+), counted AS (
+  SELECT s.shard,
+         len(list_filter(string_split_regex(lower(trim(coalesce(d.text, ''))), '\\s+'),
+                         t -> t != '')) AS n_toks
+  FROM documents d JOIN sharded s USING (doc_id)
+), per_shard AS (
+  SELECT shard, count(*) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens
+  FROM counted GROUP BY shard
+)
+SELECT shard, n_docs, total_tokens,
+       (total_tokens + 63) // 64 AS n_seqs,
+       total_tokens // 64 AS n_full_seqs,
+       ((total_tokens + 63) // 64) * 64 - total_tokens AS pad_waste,
+       CASE WHEN (total_tokens + 63) // 64 > 0
+            THEN floor(CAST(total_tokens AS DOUBLE)
+                       / (((total_tokens + 63) // 64) * 64) * 1e6 + 0.5) / 1e6
+            END AS fill_rate
+FROM per_shard
 """,
         "beta_vs_index": """
 WITH daily AS (

@@ -2242,3 +2242,53 @@ def stratified_quota_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = expr.otherwise("train") if expr is not None else F.lit("train")
     return ranked.select(id_col, strata_col, expr.alias(out_col))
+
+
+def packing_efficiency(
+    df: DataFrame,
+    ctx_len: int,
+    n_shards: int = 8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Packing-yield audit for the concatenate-then-cut shard layout
+    (:func:`pack_token_sequences`' policy): per shard — doc/token
+    totals, how many ``ctx_len`` sequences the shard cuts into, how
+    many are completely full, the tail waste in pad tokens, and the
+    fill rate. The pre-flight a training-data owner runs to size
+    ``ctx_len``/`n_shards`` BEFORE paying for the token-level
+    materialization.
+
+    Count-only arithmetic: ONE narrow (doc -> token count) projection +
+    the md5 shard assignment from :func:`shard_shuffle` — no token ever
+    shuffles, so the audit costs O(docs) regardless of corpus width.
+    n_seqs = ceil(total/ctx) via integer DIV; everything exact until
+    the single fill-rate division.
+    """
+    from global_stock_data_warehouse_spark.operators.text import token_count
+
+    order = shard_shuffle(df, n_shards=n_shards, seed=seed, id_col=id_col)
+    counted = df.select(
+        F.col(id_col), token_count(text_col).alias("_n_toks")
+    ).join(order.select(id_col, "shard"), id_col)
+    per_shard = counted.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_toks").alias("total_tokens"),
+    )
+    n_seqs = F.expr(f"(total_tokens + {ctx_len} - 1) DIV {ctx_len}")
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        n_seqs.alias("n_seqs"),
+        F.expr(f"total_tokens DIV {ctx_len}").alias("n_full_seqs"),
+        (n_seqs * ctx_len - F.col("total_tokens")).alias("pad_waste"),
+        F.when(
+            n_seqs > 0,
+            F.floor(
+                F.col("total_tokens") / (n_seqs * ctx_len) * 1e6 + F.lit(0.5)
+            )
+            / 1e6,
+        ).alias("fill_rate"),
+    )

@@ -164,3 +164,70 @@ def test_boilerplate_min_docs_exact_threshold(spark):
     df = _docs(spark, [(1, "x", "s"), (2, "x", "s"), (3, "y", "s")])
     out = {r.doc_id: r.n_boiler for r in line_boilerplate_stats(df, sep="\n", min_docs=2).collect()}
     assert out[1] == 1 and out[2] == 1 and out[3] == 0
+
+
+# --- packing efficiency + dup cluster stats (r9) ------------------------------
+
+
+def test_packing_efficiency_arithmetic(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        packing_efficiency,
+    )
+
+    # 1 shard, ctx 10: docs of 7 + 6 = 13 tokens -> 2 seqs, 1 full,
+    # 7 pad tokens, fill 13/20
+    df = _docs(spark, [(1, " ".join(["a"] * 7), "s"), (2, " ".join(["b"] * 6), "s")])
+    r = packing_efficiency(df, ctx_len=10, n_shards=1).collect()[0]
+    assert r.n_docs == 2
+    assert r.total_tokens == 13
+    assert r.n_seqs == 2
+    assert r.n_full_seqs == 1
+    assert r.pad_waste == 7
+    assert abs(r.fill_rate - 0.65) < 1e-6
+
+
+def test_packing_efficiency_exact_multiple_no_waste(spark):
+    from global_stock_data_warehouse_spark.operators.corpus import (
+        packing_efficiency,
+    )
+
+    df = _docs(spark, [(1, " ".join(["a"] * 20), "s")])
+    r = packing_efficiency(df, ctx_len=10, n_shards=1).collect()[0]
+    assert r.n_seqs == 2 and r.n_full_seqs == 2 and r.pad_waste == 0
+    assert r.fill_rate == 1.0
+
+
+def test_dup_cluster_stats_sizes(spark):
+    import __spark_entry__  # noqa: F401 — q_ wrapper exercised via operators
+
+    from pyspark.sql import functions as F
+
+    from global_stock_data_warehouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from global_stock_data_warehouse_spark.operators.graph import dedup_groups
+
+    # docs 1,2,3 identical (cluster of 3); 4,5 identical (cluster of 2);
+    # 6 unique (no cluster)
+    same_a = "alpha beta gamma delta epsilon zeta"
+    same_b = "one two three four five six seven"
+    df = _docs(
+        spark,
+        [(1, same_a, "s"), (2, same_a, "s"), (3, same_a, "s"),
+         (4, same_b, "s"), (5, same_b, "s"), (6, "totally different text here", "s")],
+    )
+    pairs = ngram_jaccard_pairs(df, threshold=0.2)
+    stats = {
+        r.cluster_size: r
+        for r in dedup_groups(pairs)
+        .groupBy(F.col("group_size").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("group_size").cast("bigint")).alias("n_docs"),
+            (F.count(F.lit(1)) * (F.col("group_size").cast("bigint") - 1)).alias("n_removable"),
+        )
+        .collect()
+    }
+    assert stats[3].n_clusters == 1 and stats[3].n_removable == 2
+    assert stats[2].n_clusters == 1 and stats[2].n_removable == 1
+    assert 1 not in stats  # singletons never form a component
