@@ -1179,6 +1179,19 @@ def q_factor_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return factor_rank_ic(daily_close(ev), min_members=3)
 
 
+def q_decile_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Momentum quintile long-short backtest: per date, equal-weighted
+    forward return of the top vs bottom return-quintile and the spread.
+    ntile selection is integer-deterministic; tile means are exact
+    fixed-point sums."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        decile_spread_backtest,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return decile_spread_backtest(daily_close(ev), n_tiles=5, min_members=10)
+
+
 def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-yield audit: per md5 shard, sequence counts / tail waste
     / fill rate for the concatenate-then-cut ctx_len=64 layout —
@@ -4134,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_regime_streaks": q_market_regime_streaks,
         "dup_cluster_stats": q_dup_cluster_stats,
         "packing_efficiency": q_packing_efficiency,
+        "decile_spread": q_decile_spread,
         # displaced from the r9 window by the seven new r9 queries above
         # (rule 2); all hold the bit-exact local mirror
         "remove_duplicate_spans": q_remove_duplicate_spans,
@@ -5485,6 +5499,45 @@ SELECT d, n_members,
               * (CAST(n_members AS BIGINT) * n_members - 1))) * 1e6 + 0.5)
          / 1e6 AS rank_ic
 FROM agg WHERE n_members >= 3
+""",
+        "decile_spread": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), rets AS (
+  SELECT user_id, d,
+         CASE WHEN lag(close) OVER w > 0
+              THEN close / lag(close) OVER w - 1.0 END AS ret
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY d)
+), paired AS (
+  SELECT user_id, d, ret,
+         CASE WHEN lead(ret) OVER (PARTITION BY user_id ORDER BY d) IS NOT NULL
+              THEN CAST(floor(lead(ret) OVER (PARTITION BY user_id ORDER BY d)
+                              * 1e6 + 0.5) AS BIGINT) END AS fwd_fx
+  FROM rets
+), tiled AS (
+  SELECT d, fwd_fx,
+         ntile(5) OVER (PARTITION BY d ORDER BY ret DESC, user_id) AS tile
+  FROM paired WHERE ret IS NOT NULL AND fwd_fx IS NOT NULL
+), agg AS (
+  SELECT d, count(*) AS n_members,
+         CAST(sum(CASE WHEN tile = 1 THEN fwd_fx END) AS BIGINT) AS top_sum,
+         sum(CASE WHEN tile = 1 THEN 1 ELSE 0 END) AS top_n,
+         CAST(sum(CASE WHEN tile = 5 THEN fwd_fx END) AS BIGINT) AS bot_sum,
+         sum(CASE WHEN tile = 5 THEN 1 ELSE 0 END) AS bot_n
+  FROM tiled GROUP BY d
+)
+SELECT d, n_members,
+       floor(CAST(top_sum AS DOUBLE) / top_n / 1e6 * 1e6 + 0.5) / 1e6
+         AS top_tile_return,
+       floor(CAST(bot_sum AS DOUBLE) / bot_n / 1e6 * 1e6 + 0.5) / 1e6
+         AS bottom_tile_return,
+       floor((CAST(top_sum AS DOUBLE) / top_n / 1e6
+              - CAST(bot_sum AS DOUBLE) / bot_n / 1e6) * 1e6 + 0.5) / 1e6
+         AS spread
+FROM agg WHERE n_members >= 10
 """,
         "dup_cluster_stats": """
 WITH RECURSIVE toks AS (

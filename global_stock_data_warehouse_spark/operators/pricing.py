@@ -421,6 +421,68 @@ def beta_vs_index(
     )
 
 
+def decile_spread_backtest(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "close",
+    n_tiles: int = 5,
+    min_members: int = 10,
+) -> DataFrame:
+    """Long-short factor backtest, the end of the classic pipeline: per
+    date, rank entities into ``n_tiles`` by TODAY's return (the
+    momentum factor), hold the top and bottom tiles for one period, and
+    report each date's equal-weighted top-tile / bottom-tile FORWARD
+    return and the long-short spread.
+
+    Selection is ntile over a (ret, key)-tiebroken order (integer,
+    deterministic); forward returns ride 1e-6 fixed-point bigints so
+    the tile means are exact integer sums with one division each.
+    Dates with fewer than ``min_members`` joint observations drop (a
+    3-name cross-section has no deciles worth reading).
+
+    Shuffles: the entity-keyed lag/lead window, then the date-keyed
+    rank window + rollup (shared date clustering). Per-date partitions
+    grow with the universe — same O(n log n)-per-date shape and
+    range-partition escape lever as `factor_rank_ic` (SCALE.md r9).
+    """
+    w = Window.partitionBy(key_col).orderBy("d")
+    prev = F.lag(value_col).over(w)
+    ret = F.when(prev > 0, F.col(value_col) / prev - 1.0)
+    with_ret = daily.withColumn("_ret", ret)
+    fwd_fx = F.when(
+        F.lead("_ret").over(w).isNotNull(),
+        F.floor(F.lead("_ret").over(w) * 1e6 + F.lit(0.5)).cast("bigint"),
+    )
+    paired = with_ret.withColumn("_fwd_fx", fwd_fx).filter(
+        F.col("_ret").isNotNull() & F.col("_fwd_fx").isNotNull()
+    )
+    tile = F.ntile(n_tiles).over(
+        Window.partitionBy("d").orderBy(F.col("_ret").desc(), F.col(key_col))
+    )
+    tiled = paired.withColumn("_tile", tile)
+    agg = tiled.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.when(F.col("_tile") == 1, F.col("_fwd_fx"))).alias("_top_sum"),
+        F.sum((F.col("_tile") == 1).cast("int")).alias("_top_n"),
+        F.sum(F.when(F.col("_tile") == n_tiles, F.col("_fwd_fx"))).alias(
+            "_bot_sum"
+        ),
+        F.sum((F.col("_tile") == n_tiles).cast("int")).alias("_bot_n"),
+    )
+    top = F.col("_top_sum") / F.col("_top_n") / F.lit(1e6)
+    bot = F.col("_bot_sum") / F.col("_bot_n") / F.lit(1e6)
+    return (
+        agg.filter(F.col("n_members") >= min_members)
+        .select(
+            "d",
+            "n_members",
+            _fx(top).alias("top_tile_return"),
+            _fx(bot).alias("bottom_tile_return"),
+            _fx(top - bot).alias("spread"),
+        )
+    )
+
+
 def calendar_anomalies(
     daily: DataFrame,
     key_col: str = "user_id",

@@ -478,3 +478,54 @@ def test_regime_streaks_runs_and_longest(spark):
     assert out["risk_on"].longest_run == 2
     assert out["risk_off"].n_days == 1
     assert out["risk_off"].n_runs == 1
+
+
+# --- decile spread backtest -----------------------------------------------------
+
+
+def test_decile_spread_top_bottom_means(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        decile_spread_backtest,
+    )
+
+    # 10 entities, 3 days; entity u's return each day is u% (persistent
+    # momentum): top quintile (u=10,9) fwd mean = 9.5%, bottom (u=1,2)
+    # = 1.5%, spread 8%.
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        c = 100.0
+        for day in range(3):
+            rows.append((u, eid, dt.datetime(2024, 1, 1 + day, 12), c))
+            eid += 1
+            c *= 1 + u / 100.0
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = decile_spread_backtest(daily_close(df), n_tiles=5, min_members=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_members == 10
+    assert r.top_tile_return == 0.095
+    assert r.bottom_tile_return == 0.015
+    assert r.spread == 0.08
+
+
+def test_decile_spread_min_members_guard(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        decile_spread_backtest,
+    )
+
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for day, c in enumerate([100.0, 110.0, 121.0]):
+            rows.append((u, eid, dt.datetime(2024, 1, 1 + day, 12), c))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    assert (
+        decile_spread_backtest(daily_close(df), n_tiles=5, min_members=10).count()
+        == 0
+    )
