@@ -608,24 +608,27 @@ def test_split_adjustment_recovers_injected_splits(data):
 
     base_vals, ratios = data
     spark = _get_spark()
-    # smooth the series so no ACCIDENTAL ratio lands in the split band:
-    # clamp day-over-day moves to < 1.5x by construction
+    # Build the underlying series INLINE so both guarantees hold at
+    # once: (a) a split day's raw value is pinned to the previous day's
+    # (a split is only detectable when the price is continuous across
+    # it), and (b) every OTHER day's move is clamped inside [1/1.5,
+    # 1.5x] RELATIVE TO THE PINNED NEIGHBOR — clamping before pinning
+    # let a post-split day sit 1.96x below the pinned value and fire a
+    # spurious 2:1 detection (hypothesis found it).
+    split_days = {1 + 2 * j: ratios[j] for j in range(len(ratios)) if 1 + 2 * j < len(base_vals)}
     vals = [base_vals[0]]
-    for v in base_vals[1:]:
+    for i, v in enumerate(base_vals[1:], start=1):
         prev = vals[-1]
-        vals.append(min(max(v, prev / 1.5), prev * 1.5))
-    # inject splits at deterministic interior positions; a split is only
-    # DETECTABLE when the underlying price is continuous across it, so
-    # pin the split day's raw value to the previous day's (ratio == k)
-    split_positions = {1 + 2 * j: ratios[j] for j in range(len(ratios)) if 1 + 2 * j < len(vals)}
-    for i in split_positions:
-        vals[i] = vals[i - 1]
+        if i in split_days:
+            vals.append(prev)  # flat across the split
+        else:
+            vals.append(min(max(v, prev / 1.5), prev * 1.5))
     factor = 1
     out_vals = []
     split_at = {}
     for i, v in enumerate(vals):
-        if i in split_positions:
-            k = split_positions[i]
+        if i in split_days:
+            k = split_days[i]
             factor *= k
             split_at[i] = k
         out_vals.append(v / factor)

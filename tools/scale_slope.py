@@ -822,6 +822,20 @@ def _ops():
         # the dimension that scales — the honest stress for this op
         return factor_rank_ic(_pricing_daily(spark, s), key_col="symbol")
 
+    def _beta(spark, s):
+        from global_stock_data_warehouse_spark.operators.pricing import (
+            beta_vs_index,
+        )
+
+        return beta_vs_index(_pricing_daily(spark, s), key_col="symbol")
+
+    def _decile(spark, s):
+        from global_stock_data_warehouse_spark.operators.pricing import (
+            decile_spread_backtest,
+        )
+
+        return decile_spread_backtest(_pricing_daily(spark, s), key_col="symbol")
+
     def _mixplan(spark, s):
         from global_stock_data_warehouse_spark.operators.corpus import (
             mixture_epoch_plan,
@@ -958,6 +972,18 @@ def _ops():
             _rank_ic,
             1.0,
             "symbol-keyed lag/lead + date-keyed rank windows: per-date partitions grow with the universe, O(n log n) per date (NEW r9)",
+            lambda spark, s: fixture(spark, "bars", s),
+        ),
+        "beta_vs_index": (
+            _beta,
+            1.0,
+            "symbol-keyed lag window + group-bounded per-date index agg broadcast back; OLS sums map-side (NEW r9)",
+            lambda spark, s: fixture(spark, "bars", s),
+        ),
+        "decile_spread": (
+            _decile,
+            1.0,
+            "symbol-keyed lag/lead + ONE date-keyed ntile window; same per-date O(n log n) shape as factor_rank_ic (NEW r9)",
             lambda spark, s: fixture(spark, "bars", s),
         ),
     }
