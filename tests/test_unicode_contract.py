@@ -68,3 +68,26 @@ def test_benign_unicode_is_engine_stable(spark):
         toks, fp = _tok_fp(spark, text)
         assert len(toks) == n, (text, toks)
         assert len(fp) == 32
+
+
+def test_length_counts_code_points_like_duckdb(spark):
+    """The r9 curation scores (quality_gate, line_boilerplate char
+    ratios) lean on length(); pin that Spark counts CODE POINTS —
+    decomposed combining marks, ZWJ, astral plane, CJK — exactly like
+    DuckDB's length(), so multibyte corpora stay inside the oracle
+    domain (probed r9: engines agree on every class)."""
+    import duckdb
+
+    cases = [
+        "é decomposed",        # combining acute: 2 cp for the e
+        "é precomposed",        # single cp
+        "x‍y zwj",              # zero-width joiner is 1 cp
+        "astral \U0001d11e clef",    # surrogate pair in UTF-16, 1 cp
+        "日本語 cjk",
+    ]
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = {r.text: r.n for r in df.select("text", F.length("text").alias("n")).collect()}
+    con = duckdb.connect()
+    for t in cases:
+        want = con.execute("select length(?)", [t]).fetchone()[0]
+        assert got[t] == want == len(t), (repr(t), got[t], want, len(t))
