@@ -2260,18 +2260,27 @@ def packing_efficiency(
     ``ctx_len``/`n_shards`` BEFORE paying for the token-level
     materialization.
 
-    Count-only arithmetic: ONE narrow (doc -> token count) projection +
-    the md5 shard assignment from :func:`shard_shuffle` — no token ever
-    shuffles, so the audit costs O(docs) regardless of corpus width.
+    Count-only arithmetic: the shard is a PURE FUNCTION of the id
+    (:func:`shard_shuffle`'s md5 assignment, computed inline — joining
+    back to shard_shuffle's output would shuffle two (doc, ...) frames
+    for nothing; the r9 slope run caught exactly that join dominating
+    the bytes), so the whole audit is one map-only projection + an
+    ``n_shards``-row aggregate: near-zero shuffle at any corpus size.
     n_seqs = ceil(total/ctx) via integer DIV; everything exact until
     the single fill-rate division.
     """
     from global_stock_data_warehouse_spark.operators.text import token_count
 
-    order = shard_shuffle(df, n_shards=n_shards, seed=seed, id_col=id_col)
-    counted = df.select(
-        F.col(id_col), token_count(text_col).alias("_n_toks")
-    ).join(order.select(id_col, "shard"), id_col)
+    # identical expression to shard_shuffle's assignment (oracle-shared)
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")).cast(
+            "binary"
+        )
+    )
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards).alias(
+        "shard"
+    )
+    counted = df.select(shard, token_count(text_col).alias("_n_toks"))
     per_shard = counted.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_n_toks").alias("total_tokens"),

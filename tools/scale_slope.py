@@ -822,6 +822,58 @@ def _ops():
         # the dimension that scales — the honest stress for this op
         return factor_rank_ic(_pricing_daily(spark, s), key_col="symbol")
 
+    def _qgate(spark, s):
+        from global_stock_data_warehouse_spark.operators.curation import (
+            quality_percentile_gate,
+        )
+
+        return quality_percentile_gate(_with_source(fixture(spark, "docs", s)))
+
+    def _packeff(spark, s):
+        from global_stock_data_warehouse_spark.operators.corpus import (
+            packing_efficiency,
+        )
+
+        return packing_efficiency(fixture(spark, "docs", s), ctx_len=512, n_shards=64)
+
+    def _idxret(spark, s):
+        from global_stock_data_warehouse_spark.operators.pricing import (
+            index_daily_return,
+        )
+
+        return index_daily_return(_pricing_daily(spark, s), key_col="symbol")
+
+    def _overnight(spark, s):
+        from global_stock_data_warehouse_spark.operators.pricing import (
+            overnight_intraday_split,
+        )
+
+        return overnight_intraday_split(
+            fixture(spark, "bars", s),
+            key_col="symbol",
+            time_col="ts",
+            value_col="close",
+        )
+
+    def _liq(spark, s):
+        from global_stock_data_warehouse_spark.operators.pricing import (
+            liquidity_screen,
+        )
+
+        return liquidity_screen(
+            fixture(spark, "bars", s),
+            key_col="symbol",
+            time_col="ts",
+            value_col="close",
+        )
+
+    def _stale(spark, s):
+        from global_stock_data_warehouse_spark.operators.pricing import (
+            stale_price_runs,
+        )
+
+        return stale_price_runs(_pricing_daily(spark, s), key_col="symbol", grid=2.0)
+
     def _beta(spark, s):
         from global_stock_data_warehouse_spark.operators.pricing import (
             beta_vs_index,
@@ -984,6 +1036,42 @@ def _ops():
             _decile,
             1.0,
             "symbol-keyed lag/lead + ONE date-keyed ntile window; same per-date O(n log n) shape as factor_rank_ic (NEW r9)",
+            lambda spark, s: fixture(spark, "bars", s),
+        ),
+        "quality_gate": (
+            _qgate,
+            1.0,
+            "source-keyed rank windows (64 sources): O(n log n) per source partition, one exchange (NEW r9)",
+            lambda spark, s: fixture(spark, "docs", s),
+        ),
+        "packing_efficiency": (
+            _packeff,
+            1.0,
+            "count-only: md5 shard assignment + narrow (doc, count) join + 64-row rollup; no token ever shuffles (NEW r9)",
+            lambda spark, s: fixture(spark, "docs", s),
+        ),
+        "index_daily_return": (
+            _idxret,
+            1.0,
+            "symbol-keyed windows + group-bounded per-date rollup (dates constant as the universe grows) (NEW r9)",
+            lambda spark, s: fixture(spark, "bars", s),
+        ),
+        "overnight_intraday": (
+            _overnight,
+            1.0,
+            "one symbol exchange: daily min_by/max_by agg + lag window + per-symbol rollup (NEW r9)",
+            lambda spark, s: fixture(spark, "bars", s),
+        ),
+        "liquidity_screen": (
+            _liq,
+            1.0,
+            "symbol exchange for daily volumes + trailing frame; final ntile over ONE ROW PER SYMBOL (NEW r9)",
+            lambda spark, s: fixture(spark, "bars", s),
+        ),
+        "stale_price_runs": (
+            _stale,
+            1.0,
+            "one symbol exchange: quantize + change-flag window + run rollup (NEW r9)",
             lambda spark, s: fixture(spark, "bars", s),
         ),
     }
