@@ -628,3 +628,120 @@ def read_breadth(spark, breadth_path: str) -> DataFrame:
         )
         .drop("_num", "_den")
     )
+
+
+def stale_feed_sink(
+    stream: DataFrame,
+    state_path: str,
+    alerts_path: str,
+    checkpoint: str,
+    key_col: str = "symbol",
+    value_col: str = "close",
+    grid: float = 1.0,
+    min_flat_batches: int = 3,
+):
+    """Streaming stale-feed monitor: the live twin of the batch
+    ``pricing.stale_price_runs`` audit. A symbol whose tick-grid-
+    quantized price never moves for ``min_flat_batches`` CONSECUTIVE
+    micro-batches is a halted listing or a dead vendor feed — the
+    thing you want paged on WHILE it lands, not found in next week's
+    batch audit.
+
+    Per batch, per symbol: the quantized lo/hi of the batch's values
+    (lo == hi = a flat batch). The streak state (symbol, qv, streak)
+    rides the same ``_batch_id``-partitioned dynamic-overwrite ledger
+    as :func:`drift_monitor_sink`, with the identical replay contract:
+    the baseline read filters ``_batch_id < batch_id`` so an
+    at-least-once replay recomputes the same streak and rewrites the
+    same partition — never double-counts. Streak update is pure
+    integer logic: flat batch continuing the previous qv increments,
+    a flat batch at a NEW level restarts at 1, any moving batch
+    resets to 0. Alerts (streak >= min_flat_batches) are written the
+    same way.
+
+    State is one row per symbol per batch — group-bounded, compactable
+    with `storage/compact.py` like the drift ledger.
+    """
+
+    def monitor(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        q = F.floor(F.col(value_col) / F.lit(grid) + F.lit(0.5)).cast("bigint")
+        cur = (
+            batch.filter(
+                F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+            )
+            .select(F.col(key_col).alias("sym"), q.alias("_q"))
+            .groupBy("sym")
+            .agg(
+                F.min("_q").alias("q_lo"),
+                F.max("_q").alias("q_hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        jp = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        prev = None
+        if fs.exists(jp):
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            ledger_schema = StructType(
+                [
+                    StructField("sym", batch.schema[key_col].dataType),
+                    StructField("qv", LongType()),
+                    StructField("streak", LongType()),
+                    StructField("_batch_id", LongType()),
+                ]
+            )
+            hist = spark.read.schema(ledger_schema).parquet(state_path).filter(
+                F.col("_batch_id") < F.lit(batch_id)
+            )
+            # latest state per symbol = the row from the max prior batch
+            prev = hist.groupBy("sym").agg(
+                F.max_by("qv", "_batch_id").alias("prev_qv"),
+                F.max_by("streak", "_batch_id").alias("prev_streak"),
+            )
+        if prev is not None:
+            joined = cur.join(prev, "sym", "left")
+        else:
+            joined = cur.withColumn("prev_qv", F.lit(None).cast("long")).withColumn(
+                "prev_streak", F.lit(None).cast("long")
+            )
+        flat = F.col("q_lo") == F.col("q_hi")
+        streak = (
+            F.when(
+                flat & (F.col("prev_qv") == F.col("q_lo")),
+                F.coalesce(F.col("prev_streak"), F.lit(0)) + 1,
+            )
+            .when(flat, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        state = joined.select(
+            "sym",
+            F.col("q_lo").alias("qv"),
+            streak.alias("streak"),
+        )
+
+        def write_batch_partition(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+
+        write_batch_partition(
+            state.filter(F.col("streak") >= min_flat_batches).select(
+                "sym", "qv", "streak"
+            ),
+            alerts_path,
+        )
+        write_batch_partition(state, state_path)
+
+    return (
+        stream.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

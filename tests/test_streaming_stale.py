@@ -1,0 +1,96 @@
+"""Streaming stale-feed monitor: flat-quote streaks across micro-
+batches, ledger replay safety."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from global_stock_data_warehouse_spark.streaming.pipeline import (
+    read_bar_stream,
+    stale_feed_sink,
+)
+
+SCHEMA = "symbol long, ts timestamp, close double"
+
+
+def _write_file(spark, src, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+
+def _drain(spark, src, state, alerts, ckpt, min_flat=3):
+    stream = read_bar_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = stale_feed_sink(
+        stream, state, alerts, ckpt, grid=1.0, min_flat_batches=min_flat
+    ).start()
+    q.awaitTermination(180)
+
+
+def _alerts(spark, path):
+    try:
+        return {
+            (r.sym, r._batch_id): r.streak
+            for r in spark.read.parquet(path).collect()
+        }
+    except Exception:
+        return {}
+
+
+def test_flat_feed_alerts_after_k_batches(spark, tmp_path):
+    src, state, alerts, ckpt = (
+        str(tmp_path / p) for p in ("src", "st", "al", "ck")
+    )
+    t = dt.datetime(2024, 1, 1, 9, 0)
+    # symbol 1 frozen at 50.0 for 3 batches; symbol 2 moves every batch
+    for b in range(3):
+        _write_file(
+            spark,
+            src,
+            [
+                (1, t + dt.timedelta(minutes=b), 50.0),
+                (2, t + dt.timedelta(minutes=b), 50.0 + 10 * b),
+            ],
+        )
+    _drain(spark, src, state, alerts, ckpt, min_flat=3)
+    got = _alerts(spark, alerts)
+    # only symbol 1, only at batch 2 (streak reaches 3)
+    assert got == {(1, 2): 3}
+
+
+def test_moving_feed_never_alerts(spark, tmp_path):
+    src, state, alerts, ckpt = (
+        str(tmp_path / p) for p in ("src", "st", "al", "ck")
+    )
+    t = dt.datetime(2024, 1, 1, 9, 0)
+    for b in range(4):
+        _write_file(spark, src, [(1, t + dt.timedelta(minutes=b), 10.0 * (b + 1))])
+    _drain(spark, src, state, alerts, ckpt, min_flat=2)
+    assert _alerts(spark, alerts) == {}
+
+
+def test_level_change_restarts_streak(spark, tmp_path):
+    src, state, alerts, ckpt = (
+        str(tmp_path / p) for p in ("src", "st", "al", "ck")
+    )
+    t = dt.datetime(2024, 1, 1, 9, 0)
+    # flat at 50 for 2 batches, then flat at 80 for 2 batches: neither
+    # run reaches 3 — a new level must RESTART, not continue, the streak
+    for b, px in enumerate([50.0, 50.0, 80.0, 80.0]):
+        _write_file(spark, src, [(1, t + dt.timedelta(minutes=b), px)])
+    _drain(spark, src, state, alerts, ckpt, min_flat=3)
+    assert _alerts(spark, alerts) == {}
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    src, state, alerts, ckpt1, ckpt2 = (
+        str(tmp_path / p) for p in ("src", "st", "al", "ck1", "ck2")
+    )
+    t = dt.datetime(2024, 1, 1, 9, 0)
+    for b in range(3):
+        _write_file(spark, src, [(1, t + dt.timedelta(minutes=b), 50.0)])
+    _drain(spark, src, state, alerts, ckpt1, min_flat=2)
+    first = _alerts(spark, alerts)
+    assert first  # streaks 2 and 3 alerted
+    # fresh checkpoint = full replay; dynamic overwrite must rewrite the
+    # same per-batch partitions, leaving alerts identical
+    _drain(spark, src, state, alerts, ckpt2, min_flat=2)
+    assert _alerts(spark, alerts) == first
