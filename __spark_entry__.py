@@ -1179,6 +1179,16 @@ def q_factor_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return factor_rank_ic(daily_close(ev), min_members=3)
 
 
+def q_risk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity risk report: mean/vol/Sharpe/skew from exact bigint
+    power sums of winsorized bp returns + 5% historical VaR via the
+    pinned percentile/quantile_cont pairing."""
+    from global_stock_data_warehouse_spark.operators.pricing import risk_summary
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return risk_summary(daily_close(ev), min_days=5)
+
+
 def q_decile_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Momentum quintile long-short backtest: per date, equal-weighted
     forward return of the top vs bottom return-quintile and the spread.
@@ -4150,6 +4160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_stats": q_dup_cluster_stats,
         "packing_efficiency": q_packing_efficiency,
         "decile_spread": q_decile_spread,
+        "risk_summary": q_risk_summary,
         # displaced from the r9 window by the seven new r9 queries above
         # (rule 2); all hold the bit-exact local mirror
         "remove_duplicate_spans": q_remove_duplicate_spans,
@@ -5501,6 +5512,50 @@ SELECT d, n_members,
               * (CAST(n_members AS BIGINT) * n_members - 1))) * 1e6 + 0.5)
          / 1e6 AS rank_ic
 FROM agg WHERE n_members >= 3
+""",
+        "risk_summary": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), legs AS (
+  SELECT user_id,
+         close / lag(close) OVER w - 1.0 AS ret,
+         greatest(CAST(-10000 AS BIGINT),
+                  least(CAST(10000 AS BIGINT),
+                        CAST(floor((close / lag(close) OVER w - 1.0) * 1e4
+                                   + 0.5) AS BIGINT))) AS x
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY d)
+), l2 AS (
+  SELECT * FROM legs WHERE ret IS NOT NULL
+), agg AS (
+  SELECT user_id, count(*) AS n_days,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(x * x * x) AS DOUBLE) AS sxxx,
+         quantile_cont(ret, 0.05) AS var95
+  FROM l2 GROUP BY user_id
+), calc AS (
+  SELECT user_id, n_days, var95,
+         sx / n_days AS mean_bp,
+         CASE WHEN n_days >= 2
+              THEN (n_days * sxx - sx * sx) / (n_days * (n_days - 1.0)) END
+           AS var_bp2,
+         sxx / n_days - (sx / n_days) * (sx / n_days) AS m2,
+         sxxx / n_days - 3.0 * (sx / n_days) * sxx / n_days
+           + 2.0 * (sx / n_days) * (sx / n_days) * (sx / n_days) AS m3
+  FROM agg
+)
+SELECT user_id, n_days,
+       floor(mean_bp / 1e4 * 1e6 + 0.5) / 1e6 AS mean_return,
+       floor(sqrt(var_bp2) / 1e4 * 1e6 + 0.5) / 1e6 AS volatility,
+       CASE WHEN n_days >= 5 AND sqrt(var_bp2) > 0
+            THEN floor(mean_bp / sqrt(var_bp2) * 1e6 + 0.5) / 1e6 END AS sharpe,
+       CASE WHEN n_days >= 5 AND m2 > 0
+            THEN floor(m3 / pow(m2, 1.5) * 1e6 + 0.5) / 1e6 END AS skewness,
+       floor(var95 * 1e6 + 0.5) / 1e6 AS var95
+FROM calc WHERE n_days >= 2
 """,
         "decile_spread": """
 WITH daily AS (

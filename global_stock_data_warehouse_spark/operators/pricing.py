@@ -483,6 +483,75 @@ def decile_spread_backtest(
     )
 
 
+def risk_summary(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "close",
+    winsor_bp: int = 10_000,
+    min_days: int = 5,
+) -> DataFrame:
+    """Per-entity return-risk report: mean daily return, sample
+    volatility, Sharpe (mean/vol), skewness, and the 5% historical VaR
+    — the risk columns every screen joins onto the universe.
+
+    Exactness design: moments come from EXACT bigint power sums of
+    winsorized basis-point returns (+-100% clamp keeps |x|<=1e4, so
+    Sx^3 terms stay far inside int64 for any realistic history), and
+    the variance/skew closed forms are evaluated from those identical
+    integers on both engines — no engine-internal stddev/skew whose
+    partial-sum order could drift. VaR interpolates the RAW return
+    doubles (identical IEEE values both sides) with
+    percentile/quantile_cont — the `stats_moments` pairing already
+    pinned in the driver window. One entity-keyed exchange end-to-end.
+    """
+    w = Window.partitionBy(key_col).orderBy("d")
+    prev = F.lag(value_col).over(w)
+    ret = F.when(prev > 0, F.col(value_col) / prev - 1.0)
+    x = F.greatest(
+        F.lit(-winsor_bp).cast("bigint"),
+        F.least(
+            F.lit(winsor_bp).cast("bigint"),
+            F.floor(ret * 1e4 + F.lit(0.5)).cast("bigint"),
+        ),
+    )
+    legs = (
+        daily.withColumn("_ret", ret)
+        .withColumn("_x", x)
+        .filter(F.col("_ret").isNotNull())
+    )
+    agg = legs.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_x") * F.col("_x")).alias("_sxxx"),
+        F.percentile("_ret", F.lit(0.05)).alias("_var95"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxxx = F.col("_sxxx").cast("double")
+    mean_bp = sx / n
+    # sample variance in bp^2 from exact sums
+    var_bp2 = F.when(
+        F.col("n_days") >= 2, (n * sxx - sx * sx) / (n * (n - 1.0))
+    )
+    vol_bp = F.sqrt(var_bp2)
+    # population skewness g1 = m3 / m2^1.5 from exact power sums
+    m2 = sxx / n - mean_bp * mean_bp
+    m3 = sxxx / n - 3.0 * mean_bp * sxx / n + 2.0 * mean_bp * mean_bp * mean_bp
+    g1 = F.when((F.col("n_days") >= min_days) & (m2 > 0), m3 / F.pow(m2, 1.5))
+    sharpe = F.when((F.col("n_days") >= min_days) & (vol_bp > 0), mean_bp / vol_bp)
+    return agg.filter(F.col("n_days") >= 2).select(
+        key_col,
+        "n_days",
+        _fx(mean_bp / 1e4).alias("mean_return"),
+        _fx(vol_bp / 1e4).alias("volatility"),
+        _fx(sharpe).alias("sharpe"),
+        _fx(g1).alias("skewness"),
+        _fx(F.col("_var95")).alias("var95"),
+    )
+
+
 def calendar_anomalies(
     daily: DataFrame,
     key_col: str = "user_id",

@@ -529,3 +529,49 @@ def test_decile_spread_min_members_guard(spark):
         decile_spread_backtest(daily_close(df), n_tiles=5, min_members=10).count()
         == 0
     )
+
+
+# --- risk summary ---------------------------------------------------------------
+
+
+def test_risk_summary_hand_computed_moments(spark):
+    import math
+
+    from global_stock_data_warehouse_spark.operators.pricing import risk_summary
+
+    # returns exactly +1%, -1%, +1%, -1%, +1% (bp x = [100,-100,100,-100,100])
+    closes = [100.0]
+    for r in [0.01, -0.01, 0.01, -0.01, 0.01]:
+        closes.append(closes[-1] * (1 + r))
+    d = _daily(spark, closes)
+    r = risk_summary(d, min_days=5).collect()[0]
+    assert r.n_days == 5
+    xs = [100, -100, 100, -100, 100]
+    n = 5
+    mean = sum(xs) / n
+    var = (n * sum(v * v for v in xs) - sum(xs) ** 2) / (n * (n - 1))
+    assert r.mean_return == round(mean / 1e4, 6)
+    assert abs(r.volatility - math.sqrt(var) / 1e4) < 1e-6
+    assert abs(r.sharpe - mean / math.sqrt(var)) < 1e-6
+
+
+def test_risk_summary_zero_vol_guards(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import risk_summary
+
+    # perfectly constant returns: vol 0 -> sharpe/skew NULL, never NaN
+    closes = [100.0 * (1.01 ** i) for i in range(7)]
+    d = _daily(spark, closes)
+    r = risk_summary(d, min_days=5).collect()[0]
+    assert r.volatility == 0.0
+    assert r.sharpe is None and r.skewness is None
+    assert r.mean_return == 0.01
+
+
+def test_risk_summary_winsorizes_100x_move(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import risk_summary
+
+    # a 100x day clamps to +100% in the moment sums (VaR, on raw
+    # returns, still sees the truth)
+    d = _daily(spark, [1.0, 100.0, 100.0, 100.0, 100.0, 100.0, 100.0])
+    r = risk_summary(d, min_days=5).collect()[0]
+    assert r.mean_return == round(10000 / 6 / 1e4, 6)  # one clamped +1e4 bp over 6 days

@@ -40,7 +40,7 @@ DEFAULT_TARGETS = [
     "split_adjusted_prices", "stale_price_runs", "range_position",
     "overnight_intraday", "liquidity_screen", "index_daily_return",
     "factor_rank_ic", "beta_vs_index", "calendar_anomalies",
-    "market_regime_streaks", "dup_cluster_stats", "packing_efficiency", "decile_spread",
+    "market_regime_streaks", "dup_cluster_stats", "packing_efficiency", "decile_spread", "risk_summary",
     "dedup_exact", "ngram_jaccard_neardup", "dedup_components",
     "dedup_keep_best", "paragraph_dedup", "remove_duplicate_spans",
     "duplicate_spans", "dedup_funnel", "incremental_dedup", "sessionize",
