@@ -4049,10 +4049,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # market_breadth, repeat_purchase_rate — all mirrored per rule 3.
     #
     # R10 ROTATION GUIDANCE: lead with whatever changes in r10, then the
-    # TEN never-windowed r9 additions (range_position, stale_price_runs,
-    # index_daily_return, factor_rank_ic, beta_vs_index,
-    # calendar_anomalies, market_regime_streaks, dup_cluster_stats,
-    # packing_efficiency, decile_spread — all CHECK_EXACT=1 at two SFs),
+    # ELEVEN never-windowed r9 additions (range_position,
+    # stale_price_runs, index_daily_return, factor_rank_ic,
+    # beta_vs_index, calendar_anomalies, market_regime_streaks,
+    # dup_cluster_stats, packing_efficiency, decile_spread,
+    # risk_summary — all CHECK_EXACT=1 at two SFs),
     # then refill from the never-windowed mirror-only pool: paragraph_dedup,
     # decontaminate, pii_scrub, bm25_score, pack_sequences,
     # keyword_search, gap_fill_linear, rfm_segments, agg_pricing_summary,
