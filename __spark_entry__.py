@@ -4048,23 +4048,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # longest_up_streak, salted_flag_totals, vwap_brand,
     # market_breadth, repeat_purchase_rate — all mirrored per rule 3.
     #
-    # R10 ROTATION GUIDANCE: lead with whatever changes in r10, then the
-    # ELEVEN never-windowed r9 additions (range_position,
-    # stale_price_runs, index_daily_return, factor_rank_ic,
-    # beta_vs_index, calendar_anomalies, market_regime_streaks,
-    # dup_cluster_stats, packing_efficiency, decile_spread,
-    # risk_summary — all CHECK_EXACT=1 at two SFs),
-    # then refill from the never-windowed mirror-only pool: paragraph_dedup,
-    # decontaminate, pii_scrub, bm25_score, pack_sequences,
-    # keyword_search, gap_fill_linear, rfm_segments, agg_pricing_summary,
-    # win_rolling_frame, cube_rollup, pivot_status, window_tumbling_7d,
-    # shipping_priority, regional_revenue, funnel_3step,
-    # small_qty_revenue, big_orders, range_join_shipments,
-    # multi_res_rollup, snapshot_diff, profile_table, tech_indicators,
-    # drawdown_cumret, sessionize, stats_moments, repetition_stats,
-    # sample_per_group. EPS queries (rolling_beta, unigram_logprob,
-    # source_kl, autocorrelation, dsir_weights, nb_self_loglik) stay
-    # out per rule 4 — their _fx twins carry the driver-grade evidence.
+    # ROUND-10 ROTATION (executed): slots 31-50 lead with the two
+    # changed-this-round queries (liquidity_screen — floor-idiom cents
+    # quantization per r9 ADVICE; stale_price_runs — threshold-free
+    # n_stale_days per r9 ADVICE), then the remaining TEN never-windowed
+    # r9 queries VERDICT r9 item 1 named, then 8 pool fills
+    # (paragraph_dedup, decontaminate, bm25_score, pack_sequences,
+    # keyword_search, gap_fill_linear, rfm_segments,
+    # agg_pricing_summary). The 20 r9 occupants rotate out with green
+    # r9 driver rows and stay bit-exact-mirrored per rule 3.
+    #
+    # R11 ROTATION GUIDANCE: lead with whatever changes in r11, then
+    # continue the never-windowed mirror-only pool in VERDICT r9 item
+    # 3's order: win_rolling_frame, cube_rollup, pivot_status,
+    # window_tumbling_7d, shipping_priority, regional_revenue,
+    # funnel_3step, small_qty_revenue, big_orders,
+    # range_join_shipments, multi_res_rollup, snapshot_diff,
+    # profile_table, tech_indicators, drawdown_cumret, sessionize,
+    # stats_moments, repetition_stats, sample_per_group (19 names = one
+    # near-full window). pii_scrub stays out (rows-only by design); EPS
+    # queries (rolling_beta, unigram_logprob, source_kl,
+    # autocorrelation, dsir_weights, nb_self_loglik) stay out per rule
+    # 4 — their _fx twins carry the driver-grade evidence.
     return {
         "wmy_gold_pipeline": q_wmy_gold_pipeline,
         "wmy_weekly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "W"),
@@ -4096,23 +4101,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
-        # --- r9 rotated window slots (31-50) ---
-        # risk order per rule 2: changed this round — drift_alert_report
-        # (drift_alerts rounding moved to the engine-shared
-        # floor(x*1e6+0.5)/1e6 idiom + explicit-schema ledger read, both
-        # sides of the oracle updated) > NEW this round —
-        # gopher_quality_flags (Rae et al. rule battery),
-        # mixture_epoch_plan (BIGINT target-weight planning),
-        # stratified_quota_split (exact-quota md5-ranked split) > the
-        # TEN oracled queries that had NEVER held a driver-hash row (the
-        # three added after the r8 window froze — asof_join_tolerance,
-        # sessionize_skewsafe, pps_weighted_sample — plus ngram_topk,
-        # price_distribution, skew_report, class_centroids,
-        # quantize_embeddings, centroid_outliers; exactly the set
-        # VERDICT r8 item 1 demanded) > never-windowed mirror-only
-        # composite pool fill (remove_duplicate_spans .. cdc_apply; the
-        # last three pool fills moved to the mirror to make room). All
-        # 20 CHECK_EXACT=1 verified before promotion (this session).
+        # --- r10 rotated window slots (31-50) ---
+        # risk order per rule 2: changed this round — liquidity_screen
+        # (cents quantization moved from F.round to the engine-shared
+        # floor(x*100+0.5) idiom per r9 ADVICE, both sides of the oracle
+        # updated) and stale_price_runs (n_stale_days rewritten
+        # threshold-free as sum(run_len-1) per r9 ADVICE; value-identical,
+        # oracle mirrored) > the remaining TEN oracled r9 queries that
+        # have NEVER held a driver-hash row (exactly the set VERDICT r9
+        # item 1 demanded: range_position, index_daily_return,
+        # factor_rank_ic, beta_vs_index, calendar_anomalies,
+        # market_regime_streaks, dup_cluster_stats, packing_efficiency,
+        # decile_spread, risk_summary) > never-windowed mirror-only pool
+        # fill (VERDICT r9 item 3's list, in its order, skipping
+        # pii_scrub which is rows-only by design: paragraph_dedup,
+        # decontaminate, bm25_score, pack_sequences, keyword_search,
+        # gap_fill_linear, rfm_segments, agg_pricing_summary — 8 fills,
+        # all the slots left once the 12 above are seated; the remaining
+        # 19 pool names queue for r11). All 20 CHECK_EXACT=1 verified at
+        # sf0.001 AND sf0.01 before promotion (MIRROR_r10 reports).
+        "liquidity_screen": q_liquidity_screen,
+        "stale_price_runs": q_stale_price_runs,
+        "range_position": q_range_position,
+        "index_daily_return": q_index_daily_return,
+        "factor_rank_ic": q_factor_rank_ic,
+        "beta_vs_index": q_beta_vs_index,
+        "calendar_anomalies": q_calendar_anomalies,
+        "market_regime_streaks": q_market_regime_streaks,
+        "dup_cluster_stats": q_dup_cluster_stats,
+        "packing_efficiency": q_packing_efficiency,
+        "decile_spread": q_decile_spread,
+        "risk_summary": q_risk_summary,
+        "paragraph_dedup": q_paragraph_dedup,
+        "decontaminate": q_decontaminate,
+        "bm25_score": q_bm25_score,
+        "pack_sequences": q_pack_sequences,
+        "keyword_search": q_keyword_search,
+        "gap_fill_linear": q_gap_fill_linear,
+        "rfm_segments": q_rfm_segments,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        # --- oracled but beyond the driver's 50-row check window; verified
+        # locally via tools/check_correctness.py ---
+        # displaced from the r9 window by the three NEW r9 queries above
+        # (rule 2: new-this-round outranks pool fill); all three hold the
+        # bit-exact local mirror
+        "max_concurrency": q_max_concurrency,
+        "tfidf_topterms": q_tfidf_topterms,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        # rotated out r10 (all 20 hold green driver-hash rows from r9;
+        # drift_alert_report and the 19 below are code-unchanged this
+        # round and stay bit-exact-mirrored per rule 3)
         "drift_alert_report": q_drift_alert_report,
         "gopher_quality_flags": q_gopher_quality_flags,
         "mixture_epoch_plan": q_mixture_epoch_plan,
@@ -4126,42 +4164,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_centroids": q_class_centroids,
         "quantize_embeddings": q_quantize_embeddings,
         "centroid_outliers": q_centroid_outliers,
-        # the final seven window slots: NEW-this-round queries (rule 2:
-        # new outranks pool fill) — the corporate-action/price-quality
-        # battery (operators/pricing.py) and the corpus-curation battery
-        # (operators/curation.py); the seven mirror-only pool fills they
-        # displace (remove_duplicate_spans, basket_rules, source_overlap,
-        # trend_ols, market_share, scd2_history, cdc_apply) return to the
-        # mirror. range_position and stale_price_runs (also new) hold the
-        # bit-exact mirror, window space being exhausted.
         "split_adjusted_prices": q_split_adjusted_prices,
         "overnight_intraday": q_overnight_intraday,
-        "liquidity_screen": q_liquidity_screen,
         "line_boilerplate": q_line_boilerplate,
         "quality_gate": q_quality_gate,
         "novelty_timeline": q_novelty_timeline,
         "zipf_slope": q_zipf_slope,
-        # --- oracled but beyond the driver's 50-row check window; verified
-        # locally via tools/check_correctness.py ---
-        # displaced from the r9 window by the three NEW r9 queries above
-        # (rule 2: new-this-round outranks pool fill); all three hold the
-        # bit-exact local mirror
-        "max_concurrency": q_max_concurrency,
-        "tfidf_topterms": q_tfidf_topterms,
-        "bpe_merge_candidates": q_bpe_merge_candidates,
-        # NEW r9, mirror-verified (window space exhausted; CHECK_EXACT=1
-        # at sf0.001 AND sf0.01 before registration)
-        "range_position": q_range_position,
-        "stale_price_runs": q_stale_price_runs,
-        "index_daily_return": q_index_daily_return,
-        "factor_rank_ic": q_factor_rank_ic,
-        "beta_vs_index": q_beta_vs_index,
-        "calendar_anomalies": q_calendar_anomalies,
-        "market_regime_streaks": q_market_regime_streaks,
-        "dup_cluster_stats": q_dup_cluster_stats,
-        "packing_efficiency": q_packing_efficiency,
-        "decile_spread": q_decile_spread,
-        "risk_summary": q_risk_summary,
         # displaced from the r9 window by the seven new r9 queries above
         # (rule 2); all hold the bit-exact local mirror
         "remove_duplicate_spans": q_remove_duplicate_spans,
@@ -4252,15 +4260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": q_rolling_distinct_users,
         "quantile_summary": q_quantile_summary,
         "gap_fill": q_gap_fill,
-        "paragraph_dedup": q_paragraph_dedup,
-        "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
-        "bm25_score": q_bm25_score,
-        "pack_sequences": q_pack_sequences,
-        "keyword_search": q_keyword_search,
-        "gap_fill_linear": q_gap_fill_linear,
-        "rfm_segments": q_rfm_segments,
-        "agg_pricing_summary": q_agg_pricing_summary,
         "win_rolling_frame": q_win_rolling_frame,
         "cube_rollup": q_cube_rollup,
         "pivot_status": q_pivot_status,
@@ -5405,7 +5405,7 @@ FROM legs GROUP BY user_id
         "liquidity_screen": """
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
-         sum(CAST(round(value * 100) AS BIGINT)) AS dvol_c
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS dvol_c
   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ), tr AS (
   SELECT user_id, d,
@@ -5448,7 +5448,7 @@ WITH daily AS (
   SELECT user_id, run_id, count(*) AS run_len FROM runs GROUP BY 1, 2
 )
 SELECT user_id,
-       CAST(sum(CASE WHEN run_len >= 2 THEN run_len - 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(run_len - 1) AS BIGINT)
          AS n_stale_days,
        CAST(sum(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_stale_runs,

@@ -220,7 +220,13 @@ def liquidity_screen(
         )
         .repartition(key_col)
         .groupBy(F.col(key_col), F.to_date(time_col).alias("d"))
-        .agg(F.sum(F.round(F.col(value_col) * 100, 0).cast("bigint")).alias("dvol_c"))
+        # cents via the module-wide floor(x*scale + 0.5) idiom (see _fx):
+        # F.round is engine-divergent on half-way cases vs DuckDB round.
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("dvol_c")
+        )
     )
     frame = Window.partitionBy(key_col).orderBy("d").rowsBetween(-(window - 1), 0)
     trailing = daily.withColumn(
@@ -672,10 +678,11 @@ def stale_price_runs(
         F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     per_run = runs.groupBy(key_col, "_run").agg(F.count(F.lit(1)).alias("run_len"))
+    # n_stale_days is threshold-FREE by definition: a stale day is any day
+    # repeating the prior quantized close, i.e. run_len - 1 per run (zero
+    # for singleton runs). Only n_stale_runs applies the min_run qualifier.
     return per_run.groupBy(key_col).agg(
-        F.sum(F.when(F.col("run_len") >= 2, F.col("run_len") - 1).otherwise(0)).alias(
-            "n_stale_days"
-        ),
+        F.sum(F.col("run_len") - F.lit(1)).alias("n_stale_days"),
         F.sum((F.col("run_len") >= min_run).cast("int")).alias("n_stale_runs"),
         F.max("run_len").alias("max_run_len"),
     )

@@ -656,8 +656,11 @@ def stale_feed_sink(
     same partition — never double-counts. Streak update is pure
     integer logic: flat batch continuing the previous qv increments,
     a flat batch at a NEW level restarts at 1, any moving batch
-    resets to 0. Alerts (streak >= min_flat_batches) are written the
-    same way.
+    resets to 0, and a symbol ABSENT from the batch entirely (the
+    fully-dead-feed case) is treated as a flat batch continuing its
+    last qv — a vendor that stops sending still crosses
+    min_flat_batches and pages. Alerts (streak >= min_flat_batches)
+    are written the same way.
 
     State is one row per symbol per batch — group-bounded, compactable
     with `storage/compact.py` like the drift ledger.
@@ -702,14 +705,18 @@ def stale_feed_sink(
                 F.max_by("streak", "_batch_id").alias("prev_streak"),
             )
         if prev is not None:
-            joined = cur.join(prev, "sym", "left")
+            # FULL outer: a symbol absent from the batch (q_lo IS NULL)
+            # is a dead feed continuing its last level — streak += 1.
+            joined = cur.join(prev, "sym", "full_outer")
         else:
             joined = cur.withColumn("prev_qv", F.lit(None).cast("long")).withColumn(
                 "prev_streak", F.lit(None).cast("long")
             )
+        absent = F.col("q_lo").isNull()
         flat = F.col("q_lo") == F.col("q_hi")
         streak = (
-            F.when(
+            F.when(absent, F.coalesce(F.col("prev_streak"), F.lit(0)) + 1)
+            .when(
                 flat & (F.col("prev_qv") == F.col("q_lo")),
                 F.coalesce(F.col("prev_streak"), F.lit(0)) + 1,
             )
@@ -719,9 +726,14 @@ def stale_feed_sink(
         )
         state = joined.select(
             "sym",
-            F.col("q_lo").alias("qv"),
+            F.coalesce(F.col("q_lo"), F.col("prev_qv")).alias("qv"),
             streak.alias("streak"),
         )
+        # Break lineage BEFORE overwriting state_path: `state` still reads
+        # state_path through `prev`, and a lost-task recompute mid-commit
+        # would otherwise re-scan a directory being mutated (same
+        # precedent as drift_monitor_sink's pre-overwrite checkpoint).
+        state = state.localCheckpoint(eager=True)
 
         def write_batch_partition(df: DataFrame, path: str) -> None:
             (

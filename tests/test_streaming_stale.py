@@ -94,3 +94,25 @@ def test_replay_is_idempotent(spark, tmp_path):
     # same per-batch partitions, leaving alerts identical
     _drain(spark, src, state, alerts, ckpt2, min_flat=2)
     assert _alerts(spark, alerts) == first
+
+
+def test_dead_feed_alerts_via_absence(spark, tmp_path):
+    src, state, alerts, ckpt = (
+        str(tmp_path / p) for p in ("src", "st", "al", "ck")
+    )
+    t = dt.datetime(2024, 1, 1, 9, 0)
+    # symbol 1 sends flat 50.0 in batches 0-1, then STOPS ENTIRELY;
+    # symbol 2 keeps the later batches non-empty. Absence must continue
+    # the streak (a fully dead vendor feed), so streak hits 3 at batch 2
+    # and keeps climbing at batch 3.
+    _write_file(spark, src, [(1, t, 50.0), (2, t, 10.0)])
+    _write_file(
+        spark,
+        src,
+        [(1, t + dt.timedelta(minutes=1), 50.0), (2, t + dt.timedelta(minutes=1), 20.0)],
+    )
+    _write_file(spark, src, [(2, t + dt.timedelta(minutes=2), 30.0)])
+    _write_file(spark, src, [(2, t + dt.timedelta(minutes=3), 40.0)])
+    _drain(spark, src, state, alerts, ckpt, min_flat=3)
+    got = _alerts(spark, alerts)
+    assert got == {(1, 2): 3, (1, 3): 4}

@@ -9,6 +9,7 @@ Usage: python tools/check_correctness.py [name ...]
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -127,6 +128,10 @@ def main(names: list[str]) -> int:
     oracles = entrymod.oracle_sql()
     targets = names or list(qs)
     failures = []
+    # CHECK_REPORT=path: persist a per-query JSON record so mirror-only
+    # verification claims are auditable in-repo (r9 ADVICE), not just
+    # stdout lines lost to the session.
+    report: dict = {}
     for name in targets:
         t0 = time.time()
         try:
@@ -135,9 +140,11 @@ def main(names: list[str]) -> int:
             scols = sdf.columns
         except Exception as e:
             failures.append(name)
+            report[name] = {"status": f"SPARK_ERROR: {str(e)[:200]}"}
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
+            report[name] = {"status": "ROWS_ONLY", "rows": len(srows)}
             print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
@@ -150,6 +157,7 @@ def main(names: list[str]) -> int:
                 huge = [r[0] for r in desc if "HUGEINT" in str(r[1]).upper()]
                 if huge:
                     failures.append(name)
+                    report[name] = {"status": f"HUGEINT: {huge}"}
                     print(f"FAIL {name}: oracle emits HUGEINT columns {huge} "
                           "(float64 under the driver's pandas fetch)")
                     continue
@@ -158,6 +166,7 @@ def main(names: list[str]) -> int:
             drows = cur.fetchall()
         except Exception as e:
             failures.append(name)
+            report[name] = {"status": f"DUCK_ERROR: {str(e)[:200]}"}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         sn, sc = _normalize(srows, scols)
@@ -174,6 +183,10 @@ def main(names: list[str]) -> int:
         elif sn != dn:
             diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
             status = f"VALUE MISMATCH first-diffs={diffs}"
+        report[name] = {"status": status if status == "OK" else f"FAIL: {status[:200]}",
+                        "rows": len(sn)}
+        if name in EPS_QUERIES and status == "OK":
+            report[name]["eps"] = EPS_QUERIES[name]
         if status != "OK":
             failures.append(name)
             print(f"FAIL {name}: {status}")
@@ -181,6 +194,18 @@ def main(names: list[str]) -> int:
             print(f"OK   {name} ({len(sn)} rows, {time.time()-t0:.1f}s)")
 
     print(f"\n{len(targets) - len(failures)}/{len(targets)} passed")
+    out_path = os.environ.get("CHECK_REPORT")
+    if out_path:
+        payload = {
+            "sf_dir": SF_DIR,
+            "exact": EXACT,
+            "n_targets": len(targets),
+            "n_passed": len(targets) - len(failures),
+            "results": report,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"report -> {out_path}")
     return 1 if failures else 0
 
 
