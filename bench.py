@@ -45,11 +45,24 @@ def main() -> None:
         default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")),
         help="full-set sweeps; per-query median is reported (default 3)",
     )
+    ap.add_argument(
+        "--out",
+        default=os.environ.get("SPARK_GRAFT_BENCH_OUT", ""),
+        help="also write the FULL result (per-query raw sweeps, shuffle "
+        "bytes, load averages) as a JSON file — the self-adjudicating "
+        "local artifact (VERDICT r9 item 2); stdout stays the driver's "
+        "truncation-safe one-liner",
+    )
     args = ap.parse_args()
     repeat = max(1, args.repeat)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # Rig-idleness evidence: a wall-clock number is only adjudicable if
+    # the artifact records what else the machine was doing (VERDICT r9
+    # found a 35% sweep spread caused by background load).
+    load_start = os.getloadavg()
 
     spark = get_spark("gsdw-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -152,6 +165,31 @@ def main() -> None:
     # per-sweep seconds, so a regressed median can be split into
     # "cold on sweep 1 only" vs "slow every sweep" without a re-run.
     print(json.dumps({"raw_sweeps": runs}), file=sys.stderr)
+    if args.out:
+        # The full, untruncated artifact: per-query raw sweeps (drift is
+        # adjudicable from spread), per-query + total shuffle bytes (the
+        # rig's deterministic signal), and load averages bracketing the
+        # run (idle-rig evidence).
+        full = {
+            "metric": "total_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "repeat": repeat,
+            "load_avg_start": [round(x, 2) for x in load_start],
+            "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+            "sweep_totals": [
+                round(sum(ts[i] for ts in runs.values()), 1)
+                for i in range(repeat)
+            ],
+            "total_shuffle_mb": round(sum(v for v in shuffle_mb.values() if v > 0), 3),
+            "shuffle_mb": shuffle_mb,
+            "sweeps": runs,
+            "queries": timings,
+        }
+        with open(args.out, "w") as fh:
+            json.dump(full, fh, indent=1)
+        print(f"full artifact -> {args.out}", file=sys.stderr)
     # FIELD ORDER IS LOAD-BEARING: the driver's capture truncates the TAIL
     # of this line, so `queries` (per-query SECONDS — the adjudication
     # metric) must be the LAST dict. Round 5 serialized shuffle_mb after

@@ -575,3 +575,173 @@ def test_risk_summary_winsorizes_100x_move(spark):
     d = _daily(spark, [1.0, 100.0, 100.0, 100.0, 100.0, 100.0, 100.0])
     r = risk_summary(d, min_days=5).collect()[0]
     assert r.mean_return == round(10000 / 6 / 1e4, 6)  # one clamped +1e4 bp over 6 days
+
+
+# --- r10 boundary edges (VERDICT r9 item 5) --------------------------------
+
+
+def test_risk_summary_exactly_min_days_boundary(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import risk_summary
+
+    # entity 1: exactly min_days return observations -> sharpe/skew
+    # populated; entity 2: min_days - 1 -> row present (n_days >= 2)
+    # but sharpe/skew NULL. Same +-1% alternation so variance > 0.
+    def closes(n_rets):
+        cs = [100.0]
+        for i in range(n_rets):
+            cs.append(cs[-1] * (1.01 if i % 2 == 0 else 0.99))
+        return cs
+
+    rows = []
+    eid = 0
+    for u, n_rets in ((1, 5), (2, 4)):
+        for day, c in enumerate(closes(n_rets)):
+            rows.append((u, eid, dt.datetime(2024, 1, 1 + day, 12), float(c)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {r.user_id: r for r in risk_summary(daily_close(df), min_days=5).collect()}
+    assert out[1].n_days == 5
+    assert out[1].sharpe is not None and out[1].skewness is not None
+    assert out[2].n_days == 4
+    assert out[2].sharpe is None and out[2].skewness is None
+    assert out[2].volatility is not None  # n>=2 moments still reported
+
+
+def test_risk_summary_var95_interpolation_boundary(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import risk_summary
+
+    # percentile(., 0.05) interpolates at position 0.05*(n-1).
+    # n=21 returns -> position exactly 1.0: var95 IS the second-smallest
+    # return, no interpolation.
+    rets_21 = [-0.10, -0.05] + [0.001 * (i + 1) for i in range(19)]
+    cs = [100.0]
+    for r in rets_21:
+        cs.append(cs[-1] * (1 + r))
+    r21 = risk_summary(_daily(spark, cs), min_days=5).collect()[0]
+    assert r21.n_days == 21
+    assert r21.var95 == -0.05
+    # n=11 returns -> position 0.5: exact midpoint of the two smallest.
+    rets_11 = [-0.10, -0.05] + [0.001 * (i + 1) for i in range(9)]
+    cs = [100.0]
+    for r in rets_11:
+        cs.append(cs[-1] * (1 + r))
+    r11 = risk_summary(_daily(spark, cs), min_days=5).collect()[0]
+    assert r11.n_days == 11
+    assert r11.var95 == -0.075
+
+
+def test_decile_spread_fewer_entities_than_tiles(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        decile_spread_backtest,
+    )
+
+    # 3 entities into 5 tiles: ntile assigns 1..3, tile 5 is EMPTY ->
+    # bottom leg (and spread) NULL, top leg still real. No crash, no
+    # division blowup.
+    rows = []
+    eid = 0
+    for u, mult in ((1, 1.03), (2, 1.02), (3, 1.01)):
+        c = 100.0
+        for day in range(3):
+            rows.append((u, eid, dt.datetime(2024, 1, 1 + day, 12), c))
+            eid += 1
+            c *= mult
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = decile_spread_backtest(
+        daily_close(df), n_tiles=5, min_members=1
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_members == 3
+    assert r.top_tile_return == 0.03  # entity 1 persists at +3%
+    assert r.bottom_tile_return is None and r.spread is None
+
+
+def test_decile_spread_all_equal_returns_zero_spread(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        decile_spread_backtest,
+    )
+
+    # every entity moves identically: tie-broken tiles are arbitrary but
+    # forward returns are equal everywhere -> spread exactly 0.
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        c = 100.0
+        for day in range(3):
+            rows.append((u, eid, dt.datetime(2024, 1, 1 + day, 12), c))
+            eid += 1
+            c *= 1.02
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = decile_spread_backtest(daily_close(df), n_tiles=5, min_members=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.top_tile_return == r.bottom_tile_return == 0.02
+    assert r.spread == 0.0
+
+
+def test_beta_clamp_boundary_exactly_500pct(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import beta_vs_index
+
+    # winsor boundary is +50,000 bp = +500%. A x6 day sits EXACTLY on
+    # the boundary (kept as 50,000, not altered); any overshoot (x7)
+    # clamps back to the identical 50,000 -> the whole OLS output must
+    # be bit-identical between the two datasets. A below-boundary x5.5
+    # day (45,000 bp) must differ.
+    def universe(extreme_mult):
+        rows = []
+        eid = 0
+        series = {
+            1: [1.0, extreme_mult, 0.5, 2.0, 0.8, 1.5],  # the jumpy name
+            2: [1.0, 1.01, 0.99, 1.02, 0.98, 1.03],      # index ballast
+            3: [1.0, 0.99, 1.01, 0.98, 1.02, 0.97],
+        }
+        for u, mults in series.items():
+            c = 100.0
+            for day, m in enumerate(mults):
+                c *= m
+                rows.append((u, eid, dt.datetime(2024, 1, 1 + day, 12), c))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, value double"
+        )
+
+    def betas(mult):
+        return {
+            r.user_id: (r.beta, r.alpha)
+            for r in beta_vs_index(daily_close(universe(mult)), min_days=5).collect()
+        }
+
+    at_boundary, overshoot, below = betas(6.0), betas(7.0), betas(5.5)
+    assert at_boundary == overshoot
+    assert at_boundary != below
+
+
+def test_regime_streaks_tie_date_is_flat(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        market_regime_streaks,
+    )
+
+    # day 2: one advancer, one decliner -> advancers == decliners ->
+    # "flat" regime; day 3: both up -> risk_on.
+    patterns = {1: [100.0, 101.0, 102.0], 2: [100.0, 99.0, 101.0]}
+    rows = []
+    eid = 0
+    for u, closes in patterns.items():
+        for day, c in enumerate(closes):
+            rows.append((u, eid, dt.datetime(2024, 1, 1 + day, 12), c))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {r.regime: r for r in market_regime_streaks(daily_close(df)).collect()}
+    assert out["flat"].n_days == 1
+    assert out["flat"].n_runs == 1
+    assert out["flat"].longest_run == 1
+    assert out["risk_on"].n_days == 1

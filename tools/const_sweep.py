@@ -8,13 +8,16 @@ cell, a single hot key). Exercises: single-group pair joins, window
 folds over one partition key, tripwire thresholds, zero-variance
 statistics, and division-by-range guards.
 
-Usage: python tools/const_sweep.py [name ...]  (default: the heavy
-dedup/session/stats subset; pass names for others). r8 baseline: 38/38
-clean.
+Usage: python tools/const_sweep.py [name ...]  (default: EVERY
+registered query — full-surface parity with the NULL and empty sweeps
+per VERDICT r9 item 4; rows-only queries run crash-detection-only and
+print SKIP). CONST_REPORT=path persists the per-query outcome JSON.
+r9 baseline: 55/55 clean on the curated subset; r10: full surface.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import sys
@@ -34,26 +37,8 @@ from global_stock_data_warehouse_spark.session import get_spark  # noqa: E402
 
 SRC = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.001")
 
-DEFAULT_TARGETS = [
-    # r9 batteries (pricing + curation)
-    "line_boilerplate", "quality_gate", "novelty_timeline", "zipf_slope",
-    "split_adjusted_prices", "stale_price_runs", "range_position",
-    "overnight_intraday", "liquidity_screen", "index_daily_return",
-    "factor_rank_ic", "beta_vs_index", "calendar_anomalies",
-    "market_regime_streaks", "dup_cluster_stats", "packing_efficiency", "decile_spread", "risk_summary",
-    "dedup_exact", "ngram_jaccard_neardup", "dedup_components",
-    "dedup_keep_best", "paragraph_dedup", "remove_duplicate_spans",
-    "duplicate_spans", "dedup_funnel", "incremental_dedup", "sessionize",
-    "sessionize_skewsafe", "session_paths", "max_concurrency",
-    "cohort_retention", "event_transitions", "scd2_history", "text_stats",
-    "corpus_clean", "tfidf_topterms", "bm25_score", "term_chi2",
-    "length_ks_drift", "bigram_prob_score", "decay_weighted",
-    "hopping_window", "window_tumbling_7d", "wmy_weekly_resample_returns",
-    "agg_gap_max", "drift_alert_report", "pps_weighted_sample",
-    "temperature_sample", "rebalance_sample", "dsir_select",
-    "token_vote_classify", "classifier_confusion",
-    "classifier_calibration", "llm_gold_pipeline", "record_linkage",
-]
+# r10: the default is the FULL registered surface (VERDICT r9 item 4);
+# the curated r9 subset is gone — pass names explicitly for a subset.
 
 
 def build_const_dir(spark, out: str) -> None:
@@ -102,8 +87,9 @@ def main(names: list[str]) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    targets = names or DEFAULT_TARGETS
+    targets = names or list(qs)
     failures = []
+    report: dict = {}
     for name in targets:
         t0 = time.time()
         try:
@@ -112,9 +98,11 @@ def main(names: list[str]) -> int:
             scols = sdf.columns
         except Exception as ex:
             failures.append(name)
+            report[name] = {"status": f"SPARK_CRASH: {str(ex)[:200]}"}
             print(f"FAIL {name}: SPARK CRASH: {str(ex)[:200]}")
             continue
         if name not in oracles:
+            report[name] = {"status": "ROWS_ONLY", "rows": len(srows)}
             print(f"SKIP {name} (rows-only: {len(srows)} rows)")
             continue
         try:
@@ -123,26 +111,42 @@ def main(names: list[str]) -> int:
             drows = cur.fetchall()
         except Exception as ex:
             failures.append(name)
+            report[name] = {"status": f"DUCK_ERROR: {str(ex)[:200]}"}
             print(f"FAIL {name}: duck: {str(ex)[:200]}")
             continue
         sn, sc = _normalize(srows, scols)
         dn, dc = _normalize(drows, dcols)
         if sc != dc:
             failures.append(name)
+            report[name] = {"status": f"FAIL: SCHEMA {sc} vs {dc}"[:220]}
             print(f"FAIL {name}: SCHEMA {sc} vs {dc}")
         elif len(sn) != len(dn):
             failures.append(name)
+            report[name] = {"status": f"FAIL: ROWS {len(sn)} vs {len(dn)}"}
             print(f"FAIL {name}: ROWS {len(sn)} vs {len(dn)}")
         elif sn != dn:
             failures.append(name)
             diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:2]
+            report[name] = {"status": "FAIL: VALUES"}
             print(f"FAIL {name}: VALUES {diffs}")
         else:
+            report[name] = {"status": "OK", "rows": len(sn)}
             print(f"OK   {name} ({len(sn)} rows, {time.time()-t0:.1f}s)")
     shutil.rmtree(out, ignore_errors=True)
     print(f"\n{len(targets) - len(failures)}/{len(targets)} clean on constant corpus")
     if failures:
         print("failing:", " ".join(failures))
+    out_path = os.environ.get("CONST_REPORT")
+    if out_path:
+        payload = {
+            "src": SRC,
+            "n_targets": len(targets),
+            "n_clean": len(targets) - len(failures),
+            "results": report,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"report -> {out_path}")
     return 1 if failures else 0
 
 

@@ -325,6 +325,15 @@ def _ops():
         df = fixture(spark, "docs", s)
         return dedup.minhash_neardup(df, threshold=0.5)
 
+    def minhash_auto(spark, s):
+        # bands=None: plan_lsh_bands derives the banding from the
+        # threshold. At 0.5 the planner reproduces the hand default
+        # (8x4 — identical plan, nothing to measure); 0.3 is the
+        # planner's stress direction: 16 bands x 2 rows = double the
+        # hand default's banded-row volume and the loosest buckets.
+        df = fixture(spark, "docs", s)
+        return dedup.minhash_neardup(df, threshold=0.3, bands=None)
+
     def dup_spans(spark, s):
         df = fixture(spark, "docs", s)
         return corpus.duplicate_spans(df, n=4, min_docs=2)
@@ -912,6 +921,7 @@ def _ops():
     return {
         "ngram_jaccard_neardup": (ngram_jaccard, 1.0, "PPJoin prefix blocks, constant df/token"),
         "minhash_neardup": (minhash, 1.0, "banded LSH, constant pair density"),
+        "minhash_autoband": (minhash_auto, 1.0, "plan_lsh_bands(0.3, 32) auto-banding: 16 bands x 2 rows (2x the hand default's band volume); must track the hand-banded slope"),
         "duplicate_spans": (dup_spans, 1.0, "span-count agg + top-k broadcast"),
         "remove_duplicate_spans": (rm_spans, 1.0, "hashed span shuffle + doc-keyed rebuild"),
         "record_linkage": (linkage, 1.0, "constant block size, block count ~ n"),
