@@ -1154,6 +1154,56 @@ def q_stale_price_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stale_price_runs(daily_close(ev), grid=2.0, min_run=2)
 
 
+def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r10: Amihud (2002) price-impact illiquidity — mean |daily
+    return| per $1M traded, per entity, plus the worst day. Each day's
+    ratio is ONE bigint floor-division (numerator <= 1e14), so the sum
+    is exact-integer on both engines; one entity-keyed exchange."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        amihud_illiquidity,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return amihud_illiquidity(ev)
+
+
+def q_underwater_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r10: drawdown DURATION — per entity, days spent strictly
+    below the running peak, spell count, longest spell. Strict double
+    comparison against a running max (identical IEEE inputs both
+    engines) feeding the change-flag run-length pattern; all-integer
+    outputs."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        underwater_spells,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return underwater_spells(daily_close(ev))
+
+
+def q_turn_of_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r10: turn-of-month seasonality — mean return and up-share by
+    month-position bucket (first3/last3/middle via row_number within
+    (entity, month)). 1e-6 fixed-point sums; three rows out, ever."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        turn_of_month_effect,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return turn_of_month_effect(daily_close(ev), edge_days=3)
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r10: per-source type-token-ratio report — mean TTR and
+    low-diversity share (template spam screen; Gopher-adjacent). Per-doc
+    TTR is one bigint floor-division; one group-bounded source agg."""
+    from global_stock_data_warehouse_spark.operators.curation import (
+        lexical_diversity,
+    )
+
+    return lexical_diversity(_t(spark, sf_dir, "documents"), low_ttr=0.5)
+
+
 def q_index_daily_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap-weighted market index daily return + breadth counts: weights
     and returns become fixed-point bigints BEFORE the cross-sectional
@@ -4148,6 +4198,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_concurrency": q_max_concurrency,
         "tfidf_topterms": q_tfidf_topterms,
         "bpe_merge_candidates": q_bpe_merge_candidates,
+        # NEW r10, mirror-verified (CHECK_EXACT=1 at sf0.001 AND sf0.01
+        # before registration — MIRROR_r10 reports; the 20 window slots
+        # are committed to the VERDICT-r9-demanded rotation this round,
+        # so these queue for the r11 window per rule 2)
+        "amihud_illiquidity": q_amihud_illiquidity,
+        "underwater_spells": q_underwater_spells,
+        "turn_of_month": q_turn_of_month,
+        "lexical_diversity": q_lexical_diversity,
         # rotated out r10 (all 20 hold green driver-hash rows from r9;
         # drift_alert_report and the 19 below are code-unchanged this
         # round and stay bit-exact-mirrored per rule 3)
@@ -5454,6 +5512,115 @@ SELECT user_id,
          AS n_stale_runs,
        max(run_len) AS max_run_len
 FROM per_run GROUP BY user_id
+""",
+        "amihud_illiquidity": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS dvol_c
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), legs AS (
+  SELECT user_id, dvol_c,
+         CASE WHEN lag(close) OVER w > 0
+              THEN greatest(CAST(-10000 AS BIGINT),
+                            least(CAST(10000 AS BIGINT),
+                                  CAST(floor((close / lag(close) OVER w - 1.0) * 1e4 + 0.5)
+                                       AS BIGINT)))
+         END AS ret_bp
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)
+), days AS (
+  SELECT user_id,
+         (abs(ret_bp) * CAST(10000000000 AS BIGINT)) // dvol_c AS day_fx
+  FROM legs WHERE ret_bp IS NOT NULL AND dvol_c > 0
+)
+SELECT user_id,
+       count(*) AS n_days,
+       floor(CAST(sum(day_fx) AS DOUBLE) / count(*) / 1e6 * 1e6 + 0.5) / 1e6
+         AS amihud,
+       floor(CAST(max(day_fx) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+         AS amihud_worst_day
+FROM days GROUP BY user_id
+""",
+        "underwater_spells": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), uw AS (
+  SELECT user_id, d,
+         CASE WHEN close < max(close) OVER (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              THEN 1 ELSE 0 END AS is_uw
+  FROM daily
+), ch AS (
+  SELECT user_id, d, is_uw,
+         CASE WHEN lag(is_uw) OVER w IS NULL OR is_uw <> lag(is_uw) OVER w
+              THEN 1 ELSE 0 END AS changed
+  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY d)
+), runs AS (
+  SELECT user_id, is_uw,
+         sum(changed) OVER (PARTITION BY user_id ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM ch
+), per_run AS (
+  SELECT user_id, run_id, max(is_uw) AS is_uw, count(*) AS run_len
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN is_uw = 1 THEN run_len ELSE 0 END) AS BIGINT)
+         AS n_underwater_days,
+       CAST(sum(CASE WHEN is_uw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spells,
+       CAST(max(CASE WHEN is_uw = 1 THEN run_len ELSE 0 END) AS BIGINT)
+         AS longest_spell
+FROM per_run GROUP BY user_id
+""",
+        "turn_of_month": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         last(value ORDER BY ts, event_id) AS close
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
+), pos AS (
+  SELECT user_id, d, close,
+         row_number() OVER (PARTITION BY user_id, date_trunc('month', d)
+                            ORDER BY d) AS rn,
+         row_number() OVER (PARTITION BY user_id, date_trunc('month', d)
+                            ORDER BY d DESC) AS rnd,
+         lag(close) OVER (PARTITION BY user_id ORDER BY d) AS prev
+  FROM daily
+), legs AS (
+  SELECT CASE WHEN rnd <= 3 THEN 'last3'
+              WHEN rn <= 3 THEN 'first3'
+              ELSE 'middle' END AS month_bucket,
+         CAST(floor((close / prev - 1.0) * 1e6 + 0.5) AS BIGINT) AS ret_fx
+  FROM pos WHERE prev > 0
+)
+SELECT month_bucket,
+       count(*) AS n_obs,
+       floor(CAST(sum(ret_fx) AS DOUBLE) / count(*) / 1e6 * 1e6 + 0.5) / 1e6
+         AS mean_return,
+       floor(sum(CASE WHEN ret_fx > 0 THEN 1 ELSE 0 END) * 1.0 / count(*)
+             * 1e6 + 0.5) / 1e6 AS up_share
+FROM legs GROUP BY month_bucket
+""",
+        "lexical_diversity": """
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                     t -> t != '') AS tk
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         len(list_distinct(tk)) * CAST(1000000 AS BIGINT) // len(tk) AS ttr_fx
+  FROM toks WHERE len(tk) > 0
+)
+SELECT source,
+       count(*) AS n_docs,
+       floor(CAST(sum(ttr_fx) AS DOUBLE) / count(*) / 1e6 * 1e6 + 0.5) / 1e6
+         AS mean_ttr,
+       floor(sum(CASE WHEN ttr_fx < 500000 THEN 1 ELSE 0 END) * 1.0 / count(*)
+             * 1e6 + 0.5) / 1e6 AS low_diversity_share
+FROM per_doc GROUP BY source
 """,
         "index_daily_return": """
 WITH daily AS (

@@ -245,3 +245,45 @@ def zipf_slope(
         _fx(slope).alias("slope"),
         _fx(intercept).alias("intercept"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    low_ttr: float = 0.5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source type-token-ratio report: mean TTR (distinct tokens /
+    tokens per doc), the share of low-diversity docs (TTR <
+    ``low_ttr`` — template/boilerplate-shaped text repeats itself), and
+    the doc count. TTR is the lexical-diversity screen Gopher's
+    repetition rules approximate (Rae et al. 2021 §A1.1); per-source
+    means tell you WHICH feed is template spam.
+
+    Exactness: per-doc TTR is ONE bigint floor-division
+    ``(n_distinct * 1e6) div n_tokens`` (exact on both engines); the
+    per-source mean sums those integers and divides once. Zero-token
+    docs are excluded (no tokens, no diversity to measure). Map-only
+    token math + one source-keyed agg with map-side combine: a single
+    group-bounded exchange.
+    """
+    from .text import tokens
+
+    toks = tokens(text_col)
+    per_doc = (
+        df.withColumn("_n_tok", F.size(toks))
+        .withColumn("_n_dist", F.size(F.array_distinct(toks)))
+        .filter(F.col("_n_tok") > 0)
+        .withColumn(
+            "_ttr_fx",
+            F.expr("_n_dist * cast(1000000 as bigint) div _n_tok"),
+        )
+    )
+    low_fx = int(low_ttr * 1e6)
+    return per_doc.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _fx(F.sum("_ttr_fx") / F.count(F.lit(1)) / 1e6).alias("mean_ttr"),
+        _fx(
+            F.sum((F.col("_ttr_fx") < low_fx).cast("int")) / F.count(F.lit(1))
+        ).alias("low_diversity_share"),
+    )

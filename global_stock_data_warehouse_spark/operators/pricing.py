@@ -686,3 +686,163 @@ def stale_price_runs(
         F.sum((F.col("run_len") >= min_run).cast("int")).alias("n_stale_runs"),
         F.max("run_len").alias("max_run_len"),
     )
+
+
+def amihud_illiquidity(
+    bars: DataFrame,
+    winsor_bp: int = 10_000,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Amihud (2002) illiquidity: per entity, the mean over days of
+    |daily return| per million dollars traded (x1e6, the standard
+    scaling) plus the worst single day — the price-impact twin of
+    `liquidity_screen`'s volume screen. The reference stores raw bars
+    (`downloader_wmy.py:54-58`); this is the first screen any factor
+    study runs on them after ADV.
+
+    Exactness: returns ride winsorized 1e-4 basis points (the
+    `risk_summary` clamp — |x| <= winsor_bp), dollar volume rides
+    cents bigints, and each day's ratio is computed as ONE bigint
+    floor-division ``(aret_bp * 1e10) div dvol_c`` (numerator
+    <= 1e14, far inside int64), so the per-day values and their sum
+    are exact integers on both engines; the mean is one final double
+    division. Days with zero/negative traded value drop (no volume,
+    no impact estimate). ONE entity-keyed exchange serves the daily
+    rollup, the lag window, and the final aggregate.
+    """
+    daily = (
+        bars.filter(
+            F.col(key_col).isNotNull()
+            & F.col(time_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .repartition(key_col)
+        .groupBy(F.col(key_col), F.to_date(time_col).alias("d"))
+        .agg(
+            F.max_by(value_col, F.struct(time_col, "event_id")).alias("close"),
+            F.sum(
+                F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("dvol_c"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy("d")
+    prev = F.lag("close").over(w)
+    ret_bp = F.when(
+        prev > 0,
+        F.greatest(
+            F.lit(-winsor_bp).cast("bigint"),
+            F.least(
+                F.lit(winsor_bp).cast("bigint"),
+                F.floor((F.col("close") / prev - 1.0) * 1e4 + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            ),
+        ),
+    )
+    legs = (
+        daily.withColumn("_ret_bp", ret_bp)
+        .filter(F.col("_ret_bp").isNotNull() & (F.col("dvol_c") > 0))
+        # amihud_e6_day = 1e6 * |ret| / dollars = 1e4 * |ret_bp| / dvol_c;
+        # at 1e-6 fixed point that is (|ret_bp| * 1e10) div dvol_c — exact
+        .withColumn(
+            "_day_fx",
+            F.expr("abs(_ret_bp) * cast(10000000000 as bigint) div dvol_c"),
+        )
+    )
+    return legs.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        _fx(F.sum("_day_fx") / F.count(F.lit(1)) / 1e6).alias("amihud"),
+        _fx(F.max("_day_fx") / 1e6).alias("amihud_worst_day"),
+    )
+
+
+def underwater_spells(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "close",
+) -> DataFrame:
+    """Drawdown-duration report: per entity, how many days the close sat
+    strictly below its running peak, in how many distinct underwater
+    spells, and the longest spell — the time dimension `drawdown_stats`'
+    depth numbers miss (a -5% that lasts two years hurts differently
+    than a -20% flash).
+
+    Underwater is a strict double comparison against ``max() over`` the
+    running frame — identical IEEE inputs on both engines, so the flag,
+    the run-length encoding over it (the `stale_price_runs`
+    change-flag pattern), and every output are exact integers. One
+    entity-keyed exchange end-to-end.
+    """
+    w = Window.partitionBy(key_col).orderBy("d")
+    run_frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = daily.withColumn(
+        "_uw", (F.col(value_col) < F.max(value_col).over(run_frame)).cast("int")
+    )
+    changed = (
+        F.lag("_uw").over(w).isNull() | (F.col("_uw") != F.lag("_uw").over(w))
+    ).cast("bigint")
+    runs = d.withColumn("_run", F.sum(changed).over(run_frame))
+    per_run = runs.groupBy(key_col, "_run").agg(
+        F.max("_uw").alias("_is_uw"),  # constant within a run
+        F.count(F.lit(1)).alias("run_len"),
+    )
+    return per_run.groupBy(key_col).agg(
+        F.sum(F.when(F.col("_is_uw") == 1, F.col("run_len")).otherwise(0)).alias(
+            "n_underwater_days"
+        ),
+        F.sum((F.col("_is_uw") == 1).cast("int")).alias("n_spells"),
+        F.max(F.when(F.col("_is_uw") == 1, F.col("run_len")).otherwise(0)).alias(
+            "longest_spell"
+        ),
+    )
+
+
+def turn_of_month_effect(
+    daily: DataFrame,
+    edge_days: int = 3,
+    key_col: str = "user_id",
+    value_col: str = "close",
+) -> DataFrame:
+    """Turn-of-month seasonality: classify each trading day as one of
+    the month's last ``edge_days`` ('last3'), first ``edge_days``
+    ('first3'), or 'middle', and report each bucket's observation
+    count, mean daily return, and up-day share — the month-boundary
+    twin of `calendar_anomalies`' weekday screen.
+
+    Day indexing is row_number within (entity, calendar month) over the
+    trading dates actually present — calendar-aware without a calendar
+    table. A short month (< 2*edge_days trading days) resolves
+    last-over-first (the month-end flow effect dominates empirically;
+    deterministic either way). Returns ride 1e-6 fixed-point bigints;
+    output is three rows, ever.
+    """
+    w = Window.partitionBy(key_col).orderBy("d")
+    month = F.trunc("d", "month")
+    rn = F.row_number().over(Window.partitionBy(key_col, month).orderBy("d"))
+    rn_desc = F.row_number().over(
+        Window.partitionBy(key_col, month).orderBy(F.col("d").desc())
+    )
+    prev = F.lag(value_col).over(w)
+    ret_fx = F.when(
+        prev > 0,
+        F.floor((F.col(value_col) / prev - 1.0) * 1e6 + F.lit(0.5)).cast("bigint"),
+    )
+    bucket = (
+        F.when(rn_desc <= edge_days, F.lit("last3"))
+        .when(rn <= edge_days, F.lit("first3"))
+        .otherwise(F.lit("middle"))
+    )
+    legs = (
+        daily.withColumn("_ret_fx", ret_fx)
+        .withColumn("_bucket", bucket)
+        .filter(F.col("_ret_fx").isNotNull())
+    )
+    return legs.groupBy(F.col("_bucket").alias("month_bucket")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        _fx(F.sum("_ret_fx") / F.count(F.lit(1)) / F.lit(1e6)).alias("mean_return"),
+        _fx(
+            F.sum((F.col("_ret_fx") > 0).cast("int")) / F.count(F.lit(1))
+        ).alias("up_share"),
+    )

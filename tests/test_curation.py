@@ -231,3 +231,41 @@ def test_dup_cluster_stats_sizes(spark):
     assert stats[3].n_clusters == 1 and stats[3].n_removable == 2
     assert stats[2].n_clusters == 1 and stats[2].n_removable == 1
     assert 1 not in stats  # singletons never form a component
+
+
+# --- r10: lexical diversity (TTR) -------------------------------------------
+
+
+def test_lexical_diversity_hand_computed(spark):
+    from global_stock_data_warehouse_spark.operators.curation import (
+        lexical_diversity,
+    )
+
+    rows = [
+        (1, "x x x x", "a"),        # ttr 1/4 -> 250000 fx (low)
+        (2, "a b c d", "a"),        # ttr 1   -> 1000000 fx
+        (3, "", "b"),               # zero tokens -> excluded
+        (4, "the the cat", "b"),    # ttr 2/3 -> 666666 fx
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in lexical_diversity(df, low_ttr=0.5).collect()}
+    assert out["a"].n_docs == 2
+    assert out["a"].mean_ttr == 0.625
+    assert out["a"].low_diversity_share == 0.5
+    assert out["b"].n_docs == 1
+    assert out["b"].mean_ttr == 0.666666  # (2*1e6)//3 = 666666 fx
+    assert out["b"].low_diversity_share == 0.0
+
+
+def test_lexical_diversity_case_folding(spark):
+    from global_stock_data_warehouse_spark.operators.curation import (
+        lexical_diversity,
+    )
+
+    # tokenizer lowercases: "The the THE" is ONE type, three tokens
+    df = spark.createDataFrame(
+        [(1, "The the THE", "a")], "doc_id long, text string, source string"
+    )
+    r = lexical_diversity(df).collect()[0]
+    assert r.mean_ttr == 0.333333
+    assert r.low_diversity_share == 1.0

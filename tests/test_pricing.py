@@ -745,3 +745,100 @@ def test_regime_streaks_tie_date_is_flat(spark):
     assert out["flat"].n_runs == 1
     assert out["flat"].longest_run == 1
     assert out["risk_on"].n_days == 1
+
+
+# --- r10 additions: amihud / underwater / turn-of-month --------------------
+
+
+def test_amihud_hand_computed(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        amihud_illiquidity,
+    )
+
+    # one event per day: closes 100 -> 110 -> 99, dollar vol = the close.
+    # day2: |ret|=10% on $110 -> 1000bp*1e10 // 11000c = 909_090_909
+    # day3: |ret|=10% on $99  -> 1000bp*1e10 //  9900c = 1_010_101_010
+    df = _bars(spark, [100.0, 110.0, 99.0])
+    r = amihud_illiquidity(df).collect()[0]
+    assert r.n_days == 2
+    day2, day3 = 10**13 // 11000, 10**13 // 9900
+    assert r.amihud_worst_day == day3 / 1e6
+    import math
+
+    assert r.amihud == math.floor((day2 + day3) / 2 + 0.5) / 1e6
+
+
+def test_amihud_zero_volume_days_drop(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        amihud_illiquidity,
+    )
+
+    # a day whose traded value sums to zero cents contributes no ratio
+    rows = [
+        (1, 0, dt.datetime(2024, 1, 1, 12), 100.0),
+        (1, 1, dt.datetime(2024, 1, 2, 12), 0.0),  # close 0, dvol 0
+        (1, 2, dt.datetime(2024, 1, 3, 12), 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = amihud_illiquidity(df).collect()
+    # day2: prev>0 but dvol_c=0 -> drops; day3: prev=0 -> ret NULL -> drops
+    assert out == []
+
+
+def test_underwater_spells_hand_computed(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        underwater_spells,
+    )
+
+    # peaks: 100,100,100,101,101,101,102 -> uw: 0,1,1,0,1,1,0
+    d = _daily(spark, [100.0, 90.0, 95.0, 101.0, 100.0, 99.0, 102.0])
+    r = underwater_spells(d).collect()[0]
+    assert r.n_underwater_days == 4
+    assert r.n_spells == 2
+    assert r.longest_spell == 2
+
+
+def test_underwater_never_below_peak(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        underwater_spells,
+    )
+
+    # monotone rising series: zero underwater days, zero spells
+    d = _daily(spark, [100.0, 101.0, 102.0, 103.0])
+    r = underwater_spells(d).collect()[0]
+    assert r.n_underwater_days == 0
+    assert r.n_spells == 0
+    assert r.longest_spell == 0
+
+
+def test_turn_of_month_buckets_and_counts(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        turn_of_month_effect,
+    )
+
+    # Jan 1-10 + Feb 1-4, every day +1%. Jan day1 has no return.
+    # first3: Jan 2,3 + Feb 1 (rn=1 in a 4-day month, rnd=4) = 3 obs
+    # middle: Jan 4-7 = 4 obs
+    # last3:  Jan 8,9,10 + Feb 2,3,4 = 6 obs (short-month last-overrides)
+    rows = []
+    c = 100.0
+    eid = 0
+    days = [dt.datetime(2024, 1, d, 12) for d in range(1, 11)] + [
+        dt.datetime(2024, 2, d, 12) for d in range(1, 5)
+    ]
+    for t in days:
+        rows.append((1, eid, t, c))
+        eid += 1
+        c *= 1.01
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {r.month_bucket: r for r in turn_of_month_effect(daily_close(df)).collect()}
+    assert out["first3"].n_obs == 3
+    assert out["middle"].n_obs == 4
+    assert out["last3"].n_obs == 6
+    for b in out.values():
+        assert b.mean_return == 0.01
+        assert b.up_share == 1.0
