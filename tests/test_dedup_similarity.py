@@ -135,6 +135,28 @@ def test_minhash_recall_floor_vs_exact_jaccard(spark):
     assert recall >= 0.9, f"minhash recall {recall:.3f} < 0.9 on {len(truth)} pairs"
 
 
+def test_minhash_autoband_recall_floor(spark):
+    """r10 (VERDICT r9 item 7): the recall gate re-run with the PLANNED
+    banding. At threshold=0.3, plan_lsh_bands(0.3, 32) picks 16 bands x
+    r=2 (the loosest legal buckets — double the hand default's band
+    volume); candidate probability at J=0.75 is 1-(1-0.75^2)^16 ~ 1.0,
+    so the same >= 0.9 recall floor must hold for the auto-banded path
+    that SCALE.md's minhash_autoband row measures."""
+    docs = _clustered_docs(spark)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        if r.jaccard >= 0.75
+    }
+    assert len(truth) >= 50
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_neardup(docs, bands=None, threshold=0.3).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"auto-band recall {recall:.3f} < 0.9 on {len(truth)} pairs"
+
+
 def test_simhash_recall_gates(spark):
     """Two-level recall gate for simhash (VERDICT r2 item 2):
 
