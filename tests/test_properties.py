@@ -716,3 +716,61 @@ def test_index_return_matches_pandas_oracle(rows):
         assert got[d].n_members == len(legs)
         assert got[d].index_return == want, (d, legs)
     assert set(got) == set(per_date)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=60),
+            st.floats(min_value=0.5, max_value=1000.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SLOW
+def test_underwater_spells_matches_pandas_oracle(rows):
+    """r10: underwater_spells == a pandas recomputation (close < running
+    cummax, run-length encoded) on arbitrary small bar sets — the
+    strict-compare + change-flag pipeline has no float rounding to hide
+    behind, so the match must be exact."""
+    import pandas as pd
+
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        underwater_spells,
+    )
+    from global_stock_data_warehouse_spark.operators.timeseries import daily_close
+
+    spark = _get_spark()
+    bars = [
+        (u, i, dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=day), float(v))
+        for i, (u, day, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        bars, "user_id string, event_id long, ts timestamp, value double"
+    )
+    got = {r.user_id: r for r in underwater_spells(daily_close(df)).collect()}
+
+    pdf = pd.DataFrame(bars, columns=["u", "e", "ts", "v"])
+    pdf["d"] = pdf["ts"].dt.date
+    daily = pdf.sort_values(["ts", "e"]).groupby(["u", "d"], as_index=False).last()
+    for u, g in daily.groupby("u"):
+        g = g.sort_values("d")
+        uw = (g["v"] < g["v"].cummax()).tolist()
+        n_days = sum(uw)
+        spells, longest, run = 0, 0, 0
+        prev = None
+        for flag in uw:
+            if flag:
+                run = run + 1 if prev else 1
+                if run == 1:
+                    spells += 1
+                longest = max(longest, run)
+            else:
+                run = 0
+            prev = flag
+        assert got[u].n_underwater_days == n_days, (u, uw)
+        assert got[u].n_spells == spells, (u, uw)
+        assert got[u].longest_spell == longest, (u, uw)
+    assert set(got) == set(daily["u"])

@@ -821,6 +821,39 @@ def _ops():
 
         return split_adjusted_prices(_pricing_daily(spark, s), key_col="symbol")
 
+    def _amihud(spark, s):
+        from global_stock_data_warehouse_spark.operators.pricing import (
+            amihud_illiquidity,
+        )
+
+        return amihud_illiquidity(
+            fixture(spark, "bars", s),
+            key_col="symbol",
+            time_col="ts",
+            value_col="close",
+        )
+
+    def _underwater(spark, s):
+        from global_stock_data_warehouse_spark.operators.pricing import (
+            underwater_spells,
+        )
+
+        return underwater_spells(_pricing_daily(spark, s), key_col="symbol")
+
+    def _tom(spark, s):
+        from global_stock_data_warehouse_spark.operators.pricing import (
+            turn_of_month_effect,
+        )
+
+        return turn_of_month_effect(_pricing_daily(spark, s), key_col="symbol")
+
+    def _lexdiv(spark, s):
+        from global_stock_data_warehouse_spark.operators.curation import (
+            lexical_diversity,
+        )
+
+        return lexical_diversity(_with_source(fixture(spark, "docs", s)))
+
     def _rank_ic(spark, s):
         from global_stock_data_warehouse_spark.operators.pricing import (
             factor_rank_ic,
@@ -1029,6 +1062,30 @@ def _ops():
             1.0,
             "one symbol-keyed exchange serves daily groupBy + lag + desc factor windows (NEW r9)",
             lambda spark, s: fixture(spark, "bars", s),
+        ),
+        "amihud_illiquidity": (
+            _amihud,
+            1.0,
+            "one symbol-keyed exchange: daily rollup + lag window + final agg; per-day ratio is map-side bigint div (NEW r10)",
+            lambda spark, s: fixture(spark, "bars", s),
+        ),
+        "underwater_spells": (
+            _underwater,
+            1.0,
+            "one symbol-keyed exchange: running-max + change-flag run encoding + two group-bounded rollups (NEW r10)",
+            lambda spark, s: fixture(spark, "bars", s),
+        ),
+        "turn_of_month": (
+            _tom,
+            1.0,
+            "symbol-keyed lag + (symbol,month) row_number windows; 3-row output agg is map-side combinable (NEW r10)",
+            lambda spark, s: fixture(spark, "bars", s),
+        ),
+        "lexical_diversity": (
+            _lexdiv,
+            1.0,
+            "map-only token math + one group-bounded source agg with map-side combine (NEW r10)",
+            lambda spark, s: fixture(spark, "docs", s),
         ),
         "factor_rank_ic": (
             _rank_ic,
