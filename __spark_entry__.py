@@ -1193,6 +1193,41 @@ def q_turn_of_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_of_month_effect(daily_close(ev), edge_days=3)
 
 
+def q_calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r10: per-entity completeness vs the MARKET calendar (the
+    engine form of main.py:126-133's coverage floors). Calendar is
+    row_number-indexed once (bounded-by-calendar single partition);
+    expected days = two broadcast EQUI-joins on the span endpoints —
+    no range/NL join. Coverage = one bigint floor-division."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        trading_calendar_coverage,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return trading_calendar_coverage(daily_close(ev), min_coverage=0.95)
+
+
+def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r10: hour-of-day volume seasonality (execution U-shape).
+    Cents bigints; per-hour share via DOLLAR-scaled bigint
+    floor-division (documented int64 headroom); 24-row output."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        volume_profile_by_hour,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return volume_profile_by_hour(ev)
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r10: declared-vs-detected language confusion matrix (feed
+    tag-rot audit). Pure-expression stopword argmax + one
+    group-bounded aggregate; |langs|^2 cells out, ever."""
+    from global_stock_data_warehouse_spark.operators.text import lang_confusion
+
+    return lang_confusion(_t(spark, sf_dir, "documents"))
+
+
 def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEW r10: per-source type-token-ratio report — mean TTR and
     low-diversity share (template spam screen; Gopher-adjacent). Per-doc
@@ -2811,6 +2846,35 @@ SELECT doc_id, n_chars_actual, n_tokens,
 FROM ratios
 """
 
+_LANG_CONFUSION_ORACLE = f"""
+WITH base AS (
+  SELECT coalesce(lang, 'und') AS declared,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), scored AS (
+  SELECT declared,
+         len(list_filter(toks, t -> list_contains({_sql_list(_STOP['de'])}, t))) AS h_de,
+         len(list_filter(toks, t -> list_contains({_sql_list(_STOP['en'])}, t))) AS h_en,
+         len(list_filter(toks, t -> list_contains({_sql_list(_STOP['es'])}, t))) AS h_es,
+         len(list_filter(toks, t -> list_contains({_sql_list(_STOP['fr'])}, t))) AS h_fr,
+         len(list_filter(toks, t -> list_contains({_sql_list(_STOP['zh'])}, t))) AS h_zh
+  FROM base
+), pred AS (
+  SELECT declared,
+         CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+              WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+              WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+              WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+              WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+              ELSE 'de' END AS detected
+  FROM scored
+)
+SELECT declared, detected, count(*) AS n_docs,
+       CASE WHEN declared = detected THEN 1 ELSE 0 END AS is_match
+FROM pred GROUP BY 1, 2
+"""
+
 _NGRAM_JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '') AS t
@@ -4206,6 +4270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "underwater_spells": q_underwater_spells,
         "turn_of_month": q_turn_of_month,
         "lexical_diversity": q_lexical_diversity,
+        "calendar_coverage": q_calendar_coverage,
+        "volume_profile": q_volume_profile,
+        "lang_confusion": q_lang_confusion,
         # rotated out r10 (all 20 hold green driver-hash rows from r9;
         # drift_alert_report and the 19 below are code-unchanged this
         # round and stay bit-exact-mirrored per rule 3)
@@ -5622,6 +5689,47 @@ SELECT source,
              * 1e6 + 0.5) / 1e6 AS low_diversity_share
 FROM per_doc GROUP BY source
 """,
+        "calendar_coverage": """
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), cal AS (
+  SELECT d, row_number() OVER (ORDER BY d) AS idx
+  FROM (SELECT DISTINCT d FROM daily)
+), per AS (
+  SELECT user_id, min(d) AS fd, max(d) AS ld, count(*) AS n_days
+  FROM daily GROUP BY user_id
+)
+SELECT p.user_id, p.n_days,
+       CAST(h.idx - l.idx + 1 AS BIGINT) AS n_expected,
+       CAST((p.n_days * CAST(1000000 AS BIGINT)) // (h.idx - l.idx + 1)
+            AS DOUBLE) / 1e6 AS coverage,
+       CASE WHEN (p.n_days * CAST(1000000 AS BIGINT)) // (h.idx - l.idx + 1)
+                 >= 950000
+            THEN 1 ELSE 0 END AS is_complete
+FROM per p JOIN cal l ON p.fd = l.d JOIN cal h ON p.ld = h.d
+""",
+        "volume_profile": """
+WITH legs AS (
+  SELECT hour(ts) AS hour_of_day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), per AS (
+  SELECT hour_of_day, count(*) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM legs GROUP BY 1
+), tot AS (
+  SELECT hour_of_day, n_events, cents,
+         cents // CAST(100 AS BIGINT) AS dollars,
+         sum(cents // CAST(100 AS BIGINT)) OVER () AS total_d
+  FROM per
+)
+SELECT hour_of_day, n_events,
+       floor(CAST(cents AS DOUBLE) / 100.0 * 1e4 + 0.5) / 1e4 AS dollar_volume,
+       CAST((dollars * CAST(1000000 AS BIGINT)) // nullif(total_d, 0)
+            AS DOUBLE) / 1e6 AS volume_share
+FROM tot
+""",
         "index_daily_return": """
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
@@ -6073,6 +6181,7 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """,
         "text_stats": _TEXT_STATS_ORACLE,
+        "lang_confusion": _LANG_CONFUSION_ORACLE,
         "chunk_documents": """
 WITH toks AS (
   SELECT doc_id,

@@ -846,3 +846,101 @@ def turn_of_month_effect(
             F.sum((F.col("_ret_fx") > 0).cast("int")) / F.count(F.lit(1))
         ).alias("up_share"),
     )
+
+
+def trading_calendar_coverage(
+    daily: DataFrame,
+    min_coverage: float = 0.95,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Data-completeness audit against the MARKET calendar: for each
+    entity, how many of the trading days the whole universe traded
+    (between the entity's first and last bar) does the entity actually
+    have? This is the engine form of the reference's coverage
+    monitoring (`main.py:126-133` flags a market below 80% of its
+    expected symbol count; this flags a SYMBOL below its expected day
+    count — the per-series twin).
+
+    The naive form is a (entity-span x calendar) range join — a
+    BroadcastNestedLoopJoin that explodes at scale. Instead the
+    calendar (one row per distinct trading date — bounded by the
+    calendar, the `market_regime_streaks` contract) is row_number-
+    indexed once, and each entity's expected-day count is
+    idx(last_d) - idx(first_d) + 1 via TWO broadcast EQUI-joins: no
+    NL join anywhere. Coverage is one bigint floor-division; all
+    outputs exact integers + one 1e-6 fixed-point ratio.
+    """
+    cal = daily.select("d").distinct()
+    # global row_number over the calendar: single-partition by design,
+    # bounded by the number of trading dates ever (thousands), the same
+    # bounded-by-contract shape as market_regime_streaks' date window.
+    cal_idx = cal.withColumn("_idx", F.row_number().over(Window.orderBy("d")))
+    per = daily.groupBy(key_col).agg(
+        F.min("d").alias("_first_d"),
+        F.max("d").alias("_last_d"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    lo = cal_idx.select(F.col("d").alias("_first_d"), F.col("_idx").alias("_lo"))
+    hi = cal_idx.select(F.col("d").alias("_last_d"), F.col("_idx").alias("_hi"))
+    joined = per.join(F.broadcast(lo), "_first_d").join(F.broadcast(hi), "_last_d")
+    n_expected = F.col("_hi") - F.col("_lo") + F.lit(1)
+    cov_fx = F.expr("n_days * cast(1000000 as bigint) div (_hi - _lo + 1)")
+    min_fx = int(min_coverage * 1e6)
+    return joined.select(
+        key_col,
+        "n_days",
+        n_expected.cast("bigint").alias("n_expected"),
+        (cov_fx / 1e6).alias("coverage"),
+        (cov_fx >= F.lit(min_fx)).cast("int").alias("is_complete"),
+    )
+
+
+def volume_profile_by_hour(
+    bars: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Intraday volume seasonality: per hour-of-day, the event count,
+    total traded dollars, and each hour's share of the day's total —
+    the U-shape every execution scheduler needs. The hour-of-day twin
+    of `calendar_anomalies` (day-of-week) and `turn_of_month`.
+
+    Dollar sums ride cents bigints; the share is one bigint
+    floor-division against the grand total carried onto the 24-row
+    aggregate by a single-partition window (24 rows, ever — group-
+    bounded by the clock). The share numerator is scaled to WHOLE
+    DOLLARS first (cents div 100): hourly_dollars * 1e6 must stay
+    inside int64, which holds to ~$9.2 trillion PER HOUR — cents would
+    cut that headroom 100x. A zero grand total (every event under half
+    a cent) yields NULL shares on both engines (div nullif). One
+    map-side-combinable exchange.
+    """
+    legs = bars.filter(
+        F.col(key_col).isNotNull()
+        & F.col(time_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    per_hour = legs.groupBy(F.hour(time_col).alias("hour_of_day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("_cents"),
+    )
+    dollars = F.expr("_cents div cast(100 as bigint)")
+    return (
+        per_hour.withColumn("_dollars", dollars)
+        .withColumn(
+            "_total_d", F.sum("_dollars").over(Window.partitionBy())
+        )
+        .withColumn(
+            "_share_fx",
+            F.expr("_dollars * cast(1000000 as bigint) div nullif(_total_d, 0)"),
+        )
+        .select(
+            "hour_of_day",
+            "n_events",
+            _fx(F.col("_cents") / 100.0, 1e4).alias("dollar_volume"),
+            (F.col("_share_fx") / 1e6).alias("volume_share"),
+        )
+    )

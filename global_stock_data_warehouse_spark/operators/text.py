@@ -408,3 +408,32 @@ def gopher_quality_flags(
             & F.col("flag_stopwords")
         ).alias("passes_gopher"),
     )
+
+
+def lang_confusion(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: group docs by
+    (declared ``lang`` column, stopword-argmax ``lang_id`` prediction)
+    and count — the data-quality audit that catches a feed whose `lang`
+    tags rotted (the mislabeled cells are exactly where declared !=
+    detected). NULL declared tags normalize to 'und', mirroring
+    lang_id's own fallback.
+
+    Pure-expression prediction (no UDF) + ONE group-bounded aggregate
+    (|langs|^2 cells, ever) with map-side combine; `is_match` is
+    derived from the group key, not a second pass.
+    """
+    declared = F.coalesce(F.col(lang_col), F.lit("und"))
+    return (
+        df.groupBy(
+            declared.alias("declared"),
+            lang_id(text_col).alias("detected"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "is_match", (F.col("declared") == F.col("detected")).cast("int")
+        )
+    )

@@ -269,3 +269,18 @@ def test_lexical_diversity_case_folding(spark):
     r = lexical_diversity(df).collect()[0]
     assert r.mean_ttr == 0.333333
     assert r.low_diversity_share == 1.0
+
+
+def test_lang_confusion_matrix(spark):
+    from global_stock_data_warehouse_spark.operators.text import lang_confusion
+
+    rows = [
+        (1, "the cat and the dog", "en"),   # detected en -> match
+        (2, "el la y los de", "en"),        # detected es -> MISMATCH cell
+        (3, None, None),                    # und/und -> match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r.declared, r.detected): r for r in lang_confusion(df).collect()}
+    assert out[("en", "en")].n_docs == 1 and out[("en", "en")].is_match == 1
+    assert out[("en", "es")].n_docs == 1 and out[("en", "es")].is_match == 0
+    assert out[("und", "und")].n_docs == 1 and out[("und", "und")].is_match == 1

@@ -842,3 +842,48 @@ def test_turn_of_month_buckets_and_counts(spark):
     for b in out.values():
         assert b.mean_return == 0.01
         assert b.up_share == 1.0
+
+
+def test_calendar_coverage_vs_market_calendar(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        trading_calendar_coverage,
+    )
+
+    # market calendar = days 1..5 (union over entities).
+    # u1 trades all 5 -> 1.0; u2 trades 1,3,5 (span 1..5) -> 3/5 = 0.6;
+    # u3 trades 2,3 (span idx 2..3) -> 2/2 = 1.0
+    rows = []
+    eid = 0
+    series = {1: [1, 2, 3, 4, 5], 2: [1, 3, 5], 3: [2, 3]}
+    for u, days in series.items():
+        for day in days:
+            rows.append((u, eid, dt.datetime(2024, 1, day, 12), 100.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {
+        r.user_id: r
+        for r in trading_calendar_coverage(daily_close(df), min_coverage=0.95).collect()
+    }
+    assert (out[1].n_days, out[1].n_expected, out[1].coverage, out[1].is_complete) == (5, 5, 1.0, 1)
+    assert (out[2].n_days, out[2].n_expected, out[2].coverage, out[2].is_complete) == (3, 5, 0.6, 0)
+    assert (out[3].n_days, out[3].n_expected, out[3].coverage, out[3].is_complete) == (2, 2, 1.0, 1)
+
+
+def test_volume_profile_shares(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        volume_profile_by_hour,
+    )
+
+    rows = [
+        (1, 0, dt.datetime(2024, 1, 1, 9, 5), 100.0),
+        (2, 1, dt.datetime(2024, 1, 1, 9, 40), 50.0),
+        (1, 2, dt.datetime(2024, 1, 2, 15, 10), 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {r.hour_of_day: r for r in volume_profile_by_hour(df).collect()}
+    assert (out[9].n_events, out[9].dollar_volume, out[9].volume_share) == (2, 150.0, 0.75)
+    assert (out[15].n_events, out[15].dollar_volume, out[15].volume_share) == (1, 50.0, 0.25)
