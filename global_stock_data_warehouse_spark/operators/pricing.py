@@ -874,7 +874,12 @@ def trading_calendar_coverage(
     # global row_number over the calendar: single-partition by design,
     # bounded by the number of trading dates ever (thousands), the same
     # bounded-by-contract shape as market_regime_streaks' date window.
-    cal_idx = cal.withColumn("_idx", F.row_number().over(Window.orderBy("d")))
+    # localCheckpoint: the index is consumed by TWO join branches (span
+    # start + span end); without the cut each branch would recompute the
+    # distinct over the full daily frame — two redundant scans at scale.
+    cal_idx = cal.withColumn(
+        "_idx", F.row_number().over(Window.orderBy("d"))
+    ).localCheckpoint(eager=True)
     per = daily.groupBy(key_col).agg(
         F.min("d").alias("_first_d"),
         F.max("d").alias("_last_d"),

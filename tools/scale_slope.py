@@ -854,6 +854,40 @@ def _ops():
 
         return lexical_diversity(_with_source(fixture(spark, "docs", s)))
 
+    def _calcov(spark, s):
+        from global_stock_data_warehouse_spark.operators.pricing import (
+            trading_calendar_coverage,
+        )
+
+        return trading_calendar_coverage(_pricing_daily(spark, s), key_col="symbol")
+
+    def _volprof(spark, s):
+        from global_stock_data_warehouse_spark.operators.pricing import (
+            volume_profile_by_hour,
+        )
+
+        return volume_profile_by_hour(
+            fixture(spark, "bars", s),
+            key_col="symbol",
+            time_col="ts",
+            value_col="close",
+        )
+
+    def _langconf(spark, s):
+        from global_stock_data_warehouse_spark.operators.text import lang_confusion
+
+        df = fixture(spark, "docs", s)
+        # derive a declared-lang column the same way the source column is
+        # derived for the grouped curation ops: constant cardinality
+        df = df.withColumn(
+            "lang",
+            F.element_at(
+                F.array(F.lit("en"), F.lit("es"), F.lit("de"), F.lit("fr")),
+                (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+            ),
+        )
+        return lang_confusion(df)
+
     def _rank_ic(spark, s):
         from global_stock_data_warehouse_spark.operators.pricing import (
             factor_rank_ic,
@@ -1085,6 +1119,24 @@ def _ops():
             _lexdiv,
             1.0,
             "map-only token math + one group-bounded source agg with map-side combine (NEW r10)",
+            lambda spark, s: fixture(spark, "docs", s),
+        ),
+        "calendar_coverage": (
+            _calcov,
+            1.0,
+            "one symbol-keyed exchange + checkpointed calendar index + two broadcast equi-joins; NO range/NL join (NEW r10)",
+            lambda spark, s: fixture(spark, "bars", s),
+        ),
+        "volume_profile": (
+            _volprof,
+            1.0,
+            "one 24-group agg with map-side combine + 24-row share window (NEW r10)",
+            lambda spark, s: fixture(spark, "bars", s),
+        ),
+        "lang_confusion": (
+            _langconf,
+            1.0,
+            "pure-expression argmax + one |langs|^2-group agg with map-side combine (NEW r10)",
             lambda spark, s: fixture(spark, "docs", s),
         ),
         "factor_rank_ic": (
