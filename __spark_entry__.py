@@ -4166,21 +4166,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # changed-this-round queries (liquidity_screen — floor-idiom cents
     # quantization per r9 ADVICE; stale_price_runs — threshold-free
     # n_stale_days per r9 ADVICE), then the remaining TEN never-windowed
-    # r9 queries VERDICT r9 item 1 named, then 8 pool fills
-    # (paragraph_dedup, decontaminate, bm25_score, pack_sequences,
-    # keyword_search, gap_fill_linear, rfm_segments,
-    # agg_pricing_summary). The 20 r9 occupants rotate out with green
-    # r9 driver rows and stay bit-exact-mirrored per rule 3.
+    # r9 queries VERDICT r9 item 1 named, then 8 pool fills in the
+    # VERDICT list's own order (paragraph_dedup, decontaminate,
+    # pii_scrub, bm25_score, pack_sequences, keyword_search,
+    # gap_fill_linear, rfm_segments). The 20 r9 occupants rotate out
+    # with green r9 driver rows and stay bit-exact-mirrored per rule 3.
     #
     # R11 ROTATION GUIDANCE: lead with whatever changes in r11, then
     # continue the never-windowed mirror-only pool in VERDICT r9 item
-    # 3's order: win_rolling_frame, cube_rollup, pivot_status,
+    # 3's order: agg_pricing_summary, win_rolling_frame, cube_rollup, pivot_status,
     # window_tumbling_7d, shipping_priority, regional_revenue,
     # funnel_3step, small_qty_revenue, big_orders,
     # range_join_shipments, multi_res_rollup, snapshot_diff,
     # profile_table, tech_indicators, drawdown_cumret, sessionize,
-    # stats_moments, repetition_stats, sample_per_group (19 names = one
-    # near-full window). pii_scrub stays out (rows-only by design); EPS
+    # stats_moments, repetition_stats, sample_per_group, plus the seven
+    # NEW r10 queries (amihud_illiquidity, underwater_spells,
+    # turn_of_month, lexical_diversity, calendar_coverage,
+    # volume_profile, lang_confusion). EPS
     # queries (rolling_beta, unigram_logprob, source_kl,
     # autocorrelation, dsir_weights, nb_self_loglik) stay out per rule
     # 4 — their _fx twins carry the driver-grade evidence.
@@ -4227,12 +4229,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # factor_rank_ic, beta_vs_index, calendar_anomalies,
         # market_regime_streaks, dup_cluster_stats, packing_efficiency,
         # decile_spread, risk_summary) > never-windowed mirror-only pool
-        # fill (VERDICT r9 item 3's list, in its order, skipping
-        # pii_scrub which is rows-only by design: paragraph_dedup,
-        # decontaminate, bm25_score, pack_sequences, keyword_search,
-        # gap_fill_linear, rfm_segments, agg_pricing_summary — 8 fills,
-        # all the slots left once the 12 above are seated; the remaining
-        # 19 pool names queue for r11). All 20 CHECK_EXACT=1 verified at
+        # fill (VERDICT r9 item 3's list, in its exact order:
+        # paragraph_dedup, decontaminate, pii_scrub, bm25_score,
+        # pack_sequences, keyword_search, gap_fill_linear, rfm_segments
+        # — 8 fills, all the slots left once the 12 above are seated;
+        # the remaining 20 pool names, agg_pricing_summary first, queue
+        # for r11). All 20 CHECK_EXACT=1 verified at
         # sf0.001 AND sf0.01 before promotion (MIRROR_r10 reports).
         "liquidity_screen": q_liquidity_screen,
         "stale_price_runs": q_stale_price_runs,
@@ -4248,12 +4250,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "risk_summary": q_risk_summary,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
         "bm25_score": q_bm25_score,
         "pack_sequences": q_pack_sequences,
         "keyword_search": q_keyword_search,
         "gap_fill_linear": q_gap_fill_linear,
         "rfm_segments": q_rfm_segments,
-        "agg_pricing_summary": q_agg_pricing_summary,
         # --- oracled but beyond the driver's 50-row check window; verified
         # locally via tools/check_correctness.py ---
         # displaced from the r9 window by the three NEW r9 queries above
@@ -4385,7 +4387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": q_rolling_distinct_users,
         "quantile_summary": q_quantile_summary,
         "gap_fill": q_gap_fill,
-        "pii_scrub": q_pii_scrub,
+        "agg_pricing_summary": q_agg_pricing_summary,
         "win_rolling_frame": q_win_rolling_frame,
         "cube_rollup": q_cube_rollup,
         "pivot_status": q_pivot_status,
