@@ -138,3 +138,14 @@ def test_vector_and_text_queries_survive_null_cells(spark, tmp_path, sf_dir):
         except Exception as ex:  # noqa: BLE001
             failures.append(f"{name}: {type(ex).__name__}")
     assert not failures, "queries crashed on null cells: " + ", ".join(failures)
+
+
+def test_lang_marker_lists_match_oracle_stopwords():
+    """r10: lang_confusion's oracle re-encodes the stopword marker lists
+    as SQL literals (_STOP); if the engine's LANG_MARKERS ever drift from
+    them the oracle would diverge silently — pin them equal."""
+    from global_stock_data_warehouse_spark.operators.text import LANG_MARKERS
+
+    assert {k: tuple(v) for k, v in LANG_MARKERS.items()} == {
+        k: tuple(v) for k, v in entrymod._STOP.items()
+    }
