@@ -4217,25 +4217,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
-        # --- r10 rotated window slots (31-50) ---
-        # risk order per rule 2: changed this round — liquidity_screen
-        # (cents quantization moved from F.round to the engine-shared
-        # floor(x*100+0.5) idiom per r9 ADVICE, both sides of the oracle
-        # updated) and stale_price_runs (n_stale_days rewritten
-        # threshold-free as sum(run_len-1) per r9 ADVICE; value-identical,
-        # oracle mirrored) > the remaining TEN oracled r9 queries that
-        # have NEVER held a driver-hash row (exactly the set VERDICT r9
-        # item 1 demanded: range_position, index_daily_return,
-        # factor_rank_ic, beta_vs_index, calendar_anomalies,
-        # market_regime_streaks, dup_cluster_stats, packing_efficiency,
-        # decile_spread, risk_summary) > never-windowed mirror-only pool
-        # fill (VERDICT r9 item 3's list, in its exact order:
-        # paragraph_dedup, decontaminate, pii_scrub, bm25_score,
-        # pack_sequences, keyword_search, gap_fill_linear, rfm_segments
-        # — 8 fills, all the slots left once the 12 above are seated;
-        # the remaining 20 pool names, agg_pricing_summary first, queue
-        # for r11). All 20 CHECK_EXACT=1 verified at
-        # sf0.001 AND sf0.01 before promotion (MIRROR_r10 reports).
+        # --- r11 rotated window slots (31-50) ---
+        # Risk order per rule 2: changed this round FIRST — the four
+        # r10-ADVICE-touched queries (amihud_illiquidity: tiebreak_cols
+        # parameterized like daily_close; turn_of_month: bucket labels
+        # derived from edge_days; lexical_diversity and
+        # calendar_coverage: threshold fixed-point moved from bare
+        # int() truncation to the floor(x*scale+0.5) idiom — all four
+        # value-identical at the defaults, re-verified CHECK_EXACT=1 at
+        # sf0.001 AND sf0.01 post-change, MIRROR_r11 reports) > then
+        # the VERDICT-r10-item-1 queue in its exact order:
+        # agg_pricing_summary first, the remaining three never-windowed
+        # r10 queries (underwater_spells, volume_profile,
+        # lang_confusion), then 12 pool fills continuing VERDICT r9
+        # item 3's order (win_rolling_frame .. snapshot_diff). The 20
+        # r10 occupants rotate out with green r10 driver rows and stay
+        # bit-exact-mirrored per rule 3. Remaining never-windowed pool
+        # for r12: profile_table, tech_indicators, drawdown_cumret,
+        # sessionize, stats_moments, repetition_stats, sample_per_group.
+        "amihud_illiquidity": q_amihud_illiquidity,
+        "turn_of_month": q_turn_of_month,
+        "lexical_diversity": q_lexical_diversity,
+        "calendar_coverage": q_calendar_coverage,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "underwater_spells": q_underwater_spells,
+        "volume_profile": q_volume_profile,
+        "lang_confusion": q_lang_confusion,
+        "win_rolling_frame": q_win_rolling_frame,
+        "cube_rollup": q_cube_rollup,
+        "pivot_status": q_pivot_status,
+        "window_tumbling_7d": q_window_tumbling_7d,
+        "shipping_priority": q_shipping_priority,
+        "regional_revenue": q_regional_revenue,
+        "funnel_3step": q_funnel_3step,
+        "small_qty_revenue": q_small_qty_revenue,
+        "big_orders": q_big_orders,
+        "range_join_shipments": q_range_join_shipments,
+        "multi_res_rollup": q_multi_res_rollup,
+        "snapshot_diff": q_snapshot_diff,
+        # --- oracled but beyond the driver's 50-row check window; verified
+        # locally via tools/check_correctness.py ---
+        # rotated out r11 (all 20 hold green driver-hash rows from r10;
+        # code unchanged this round, bit-exact-mirrored per rule 3)
         "liquidity_screen": q_liquidity_screen,
         "stale_price_runs": q_stale_price_runs,
         "range_position": q_range_position,
@@ -4256,25 +4279,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": q_keyword_search,
         "gap_fill_linear": q_gap_fill_linear,
         "rfm_segments": q_rfm_segments,
-        # --- oracled but beyond the driver's 50-row check window; verified
-        # locally via tools/check_correctness.py ---
         # displaced from the r9 window by the three NEW r9 queries above
         # (rule 2: new-this-round outranks pool fill); all three hold the
         # bit-exact local mirror
         "max_concurrency": q_max_concurrency,
         "tfidf_topterms": q_tfidf_topterms,
         "bpe_merge_candidates": q_bpe_merge_candidates,
-        # NEW r10, mirror-verified (CHECK_EXACT=1 at sf0.001 AND sf0.01
-        # before registration — MIRROR_r10 reports; the 20 window slots
-        # are committed to the VERDICT-r9-demanded rotation this round,
-        # so these queue for the r11 window per rule 2)
-        "amihud_illiquidity": q_amihud_illiquidity,
-        "underwater_spells": q_underwater_spells,
-        "turn_of_month": q_turn_of_month,
-        "lexical_diversity": q_lexical_diversity,
-        "calendar_coverage": q_calendar_coverage,
-        "volume_profile": q_volume_profile,
-        "lang_confusion": q_lang_confusion,
         # rotated out r10 (all 20 hold green driver-hash rows from r9;
         # drift_alert_report and the 19 below are code-unchanged this
         # round and stay bit-exact-mirrored per rule 3)
@@ -4387,19 +4397,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": q_rolling_distinct_users,
         "quantile_summary": q_quantile_summary,
         "gap_fill": q_gap_fill,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "win_rolling_frame": q_win_rolling_frame,
-        "cube_rollup": q_cube_rollup,
-        "pivot_status": q_pivot_status,
-        "window_tumbling_7d": q_window_tumbling_7d,
-        "shipping_priority": q_shipping_priority,
-        "regional_revenue": q_regional_revenue,
-        "funnel_3step": q_funnel_3step,
-        "small_qty_revenue": q_small_qty_revenue,
-        "big_orders": q_big_orders,
-        "range_join_shipments": q_range_join_shipments,
-        "multi_res_rollup": q_multi_res_rollup,
-        "snapshot_diff": q_snapshot_diff,
         "profile_table": q_profile_table,
         "tech_indicators": q_tech_indicators,
         "drawdown_cumret": q_drawdown_cumret,

@@ -279,7 +279,10 @@ def lexical_diversity(
             F.expr("_n_dist * cast(1000000 as bigint) div _n_tok"),
         )
     )
-    low_fx = int(low_ttr * 1e6)
+    # floor(x*scale+0.5): bare int() truncates (int(0.29*1e6)=289999),
+    # shifting the threshold one fixed-point unit for many non-default
+    # values (r10 ADVICE; the trading_calendar_coverage fix's twin).
+    low_fx = int(low_ttr * 1e6 + 0.5)
     return per_doc.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         _fx(F.sum("_ttr_fx") / F.count(F.lit(1)) / 1e6).alias("mean_ttr"),

@@ -694,6 +694,7 @@ def amihud_illiquidity(
     key_col: str = "user_id",
     time_col: str = "ts",
     value_col: str = "value",
+    tiebreak_cols: tuple[str, ...] = ("ts", "event_id"),
 ) -> DataFrame:
     """Amihud (2002) illiquidity: per entity, the mean over days of
     |daily return| per million dollars traded (x1e6, the standard
@@ -710,7 +711,10 @@ def amihud_illiquidity(
     are exact integers on both engines; the mean is one final double
     division. Days with zero/negative traded value drop (no volume,
     no impact estimate). ONE entity-keyed exchange serves the daily
-    rollup, the lag window, and the final aggregate.
+    rollup, the lag window, and the final aggregate. The daily-close
+    tiebreak is parameterized like `daily_close`'s (``tiebreak_cols``,
+    default ``("ts", "event_id")``) so frames without an event_id
+    column can supply their own deterministic order (r10 ADVICE).
     """
     daily = (
         bars.filter(
@@ -721,7 +725,7 @@ def amihud_illiquidity(
         .repartition(key_col)
         .groupBy(F.col(key_col), F.to_date(time_col).alias("d"))
         .agg(
-            F.max_by(value_col, F.struct(time_col, "event_id")).alias("close"),
+            F.max_by(value_col, F.struct(*tiebreak_cols)).alias("close"),
             F.sum(
                 F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
             ).alias("dvol_c"),
@@ -806,8 +810,9 @@ def turn_of_month_effect(
     value_col: str = "close",
 ) -> DataFrame:
     """Turn-of-month seasonality: classify each trading day as one of
-    the month's last ``edge_days`` ('last3'), first ``edge_days``
-    ('first3'), or 'middle', and report each bucket's observation
+    the month's last ``edge_days`` (``last{edge_days}``), first
+    ``edge_days`` (``first{edge_days}``), or 'middle', and report
+    each bucket's observation
     count, mean daily return, and up-day share — the month-boundary
     twin of `calendar_anomalies`' weekday screen.
 
@@ -829,9 +834,11 @@ def turn_of_month_effect(
         prev > 0,
         F.floor((F.col(value_col) / prev - 1.0) * 1e6 + F.lit(0.5)).cast("bigint"),
     )
+    # labels derive from edge_days (r10 ADVICE: hardcoded 'first3'/'last3'
+    # misnamed the buckets for any non-default window)
     bucket = (
-        F.when(rn_desc <= edge_days, F.lit("last3"))
-        .when(rn <= edge_days, F.lit("first3"))
+        F.when(rn_desc <= edge_days, F.lit(f"last{edge_days}"))
+        .when(rn <= edge_days, F.lit(f"first{edge_days}"))
         .otherwise(F.lit("middle"))
     )
     legs = (
@@ -890,7 +897,10 @@ def trading_calendar_coverage(
     joined = per.join(F.broadcast(lo), "_first_d").join(F.broadcast(hi), "_last_d")
     n_expected = F.col("_hi") - F.col("_lo") + F.lit(1)
     cov_fx = F.expr("n_days * cast(1000000 as bigint) div (_hi - _lo + 1)")
-    min_fx = int(min_coverage * 1e6)
+    # floor(x*scale+0.5) — the module's fixed-point idiom; bare int()
+    # truncates (int(0.29*1e6)=289999), silently shifting the threshold
+    # by one fixed-point unit for many non-default values (r10 ADVICE).
+    min_fx = int(min_coverage * 1e6 + 0.5)
     return joined.select(
         key_col,
         "n_days",

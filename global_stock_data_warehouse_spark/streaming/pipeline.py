@@ -639,6 +639,7 @@ def stale_feed_sink(
     value_col: str = "close",
     grid: float = 1.0,
     min_flat_batches: int = 3,
+    max_absent_batches: int = 30,
 ):
     """Streaming stale-feed monitor: the live twin of the batch
     ``pricing.stale_price_runs`` audit. A symbol whose tick-grid-
@@ -662,8 +663,25 @@ def stale_feed_sink(
     min_flat_batches and pages. Alerts (streak >= min_flat_batches)
     are written the same way.
 
-    State is one row per symbol per batch — group-bounded, compactable
-    with `storage/compact.py` like the drift ledger.
+    Absence is BOUNDED (r10 ADVICE: without a cap, every symbol ever
+    seen writes a state row — and once stale, an alert row — in every
+    batch forever, so ledger cardinality becomes n_batches x all-time
+    symbol universe and permanently-delisted symbols page
+    indefinitely). The state row carries an ``absent`` counter (0 when
+    the symbol appears in the batch, +1 per consecutive absent batch);
+    once a symbol's latest state shows ``absent >= max_absent_batches``
+    its state EXPIRES: no further state or alert rows are written, and
+    if the symbol later reappears it starts fresh (streak from 1/0,
+    absent 0) rather than resuming the pre-expiry level. A dead symbol
+    therefore writes exactly ``max_absent_batches`` trailing rows and
+    then goes silent — ledger growth and alert noise are both bounded.
+    Expiry is a pure function of the prior ledger + the batch, so the
+    replay contract is unchanged. Ledgers written before this column
+    existed read as ``absent = 0`` (parquet missing-column null,
+    coalesced).
+
+    State is one row per LIVE symbol per batch — group-bounded,
+    compactable with `storage/compact.py` like the drift ledger.
     """
 
     def monitor(batch: DataFrame, batch_id: int) -> None:
@@ -693,6 +711,7 @@ def stale_feed_sink(
                     StructField("sym", batch.schema[key_col].dataType),
                     StructField("qv", LongType()),
                     StructField("streak", LongType()),
+                    StructField("absent", LongType()),
                     StructField("_batch_id", LongType()),
                 ]
             )
@@ -703,31 +722,48 @@ def stale_feed_sink(
             prev = hist.groupBy("sym").agg(
                 F.max_by("qv", "_batch_id").alias("prev_qv"),
                 F.max_by("streak", "_batch_id").alias("prev_streak"),
+                F.max_by("absent", "_batch_id").alias("prev_absent"),
             )
         if prev is not None:
             # FULL outer: a symbol absent from the batch (q_lo IS NULL)
             # is a dead feed continuing its last level — streak += 1.
             joined = cur.join(prev, "sym", "full_outer")
         else:
-            joined = cur.withColumn("prev_qv", F.lit(None).cast("long")).withColumn(
-                "prev_streak", F.lit(None).cast("long")
+            joined = (
+                cur.withColumn("prev_qv", F.lit(None).cast("long"))
+                .withColumn("prev_streak", F.lit(None).cast("long"))
+                .withColumn("prev_absent", F.lit(None).cast("long"))
             )
+        # Expiry: a prior state whose absence counter already reached the
+        # cap is FORGOTTEN — nullify it before the streak logic so a
+        # reappearing symbol starts fresh and an absent one writes nothing.
+        expired = F.coalesce(F.col("prev_absent"), F.lit(0)) >= F.lit(
+            max_absent_batches
+        )
+        prev_qv = F.when(~expired, F.col("prev_qv"))
+        prev_streak = F.when(~expired, F.col("prev_streak"))
         absent = F.col("q_lo").isNull()
         flat = F.col("q_lo") == F.col("q_hi")
         streak = (
-            F.when(absent, F.coalesce(F.col("prev_streak"), F.lit(0)) + 1)
+            F.when(absent, F.coalesce(prev_streak, F.lit(0)) + 1)
             .when(
-                flat & (F.col("prev_qv") == F.col("q_lo")),
-                F.coalesce(F.col("prev_streak"), F.lit(0)) + 1,
+                flat & (prev_qv == F.col("q_lo")),
+                F.coalesce(prev_streak, F.lit(0)) + 1,
             )
             .when(flat, F.lit(1))
             .otherwise(F.lit(0))
             .cast("long")
         )
-        state = joined.select(
+        absent_ctr = (
+            F.when(absent, F.coalesce(F.when(~expired, F.col("prev_absent")), F.lit(0)) + 1)
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        state = joined.filter(~(absent & expired)).select(
             "sym",
-            F.coalesce(F.col("q_lo"), F.col("prev_qv")).alias("qv"),
+            F.coalesce(F.col("q_lo"), prev_qv).alias("qv"),
             streak.alias("streak"),
+            absent_ctr.alias("absent"),
         )
         # Break lineage BEFORE overwriting state_path: `state` still reads
         # state_path through `prev`, and a lost-task recompute mid-commit

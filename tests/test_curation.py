@@ -284,3 +284,21 @@ def test_lang_confusion_matrix(spark):
     assert out[("en", "en")].n_docs == 1 and out[("en", "en")].is_match == 1
     assert out[("en", "es")].n_docs == 1 and out[("en", "es")].is_match == 0
     assert out[("und", "und")].n_docs == 1 and out[("und", "und")].is_match == 1
+
+
+def test_lang_confusion_marker_tie_is_deterministic(spark):
+    from global_stock_data_warehouse_spark.operators.text import lang_confusion
+
+    # "la" is a marker for BOTH es and fr (1 hit each): the greatest-of-
+    # structs argmax must break the tie toward the alphabetically-LAST
+    # code — fr — on every engine, every run. "the und" ties en/de the
+    # same way (en wins). A declared tag matching the tie winner flags
+    # is_match accordingly.
+    df = spark.createDataFrame(
+        [("la", "fr"), ("la", "es"), ("the und maschine", "de")],
+        "text string, lang string",
+    )
+    out = {(r.declared, r.detected): r for r in lang_confusion(df).collect()}
+    assert out[("fr", "fr")].n_docs == 1 and out[("fr", "fr")].is_match == 1
+    assert out[("es", "fr")].n_docs == 1 and out[("es", "fr")].is_match == 0
+    assert out[("de", "en")].n_docs == 1 and out[("de", "en")].is_match == 0

@@ -887,3 +887,102 @@ def test_volume_profile_shares(spark):
     out = {r.hour_of_day: r for r in volume_profile_by_hour(df).collect()}
     assert (out[9].n_events, out[9].dollar_volume, out[9].volume_share) == (2, 150.0, 0.75)
     assert (out[15].n_events, out[15].dollar_volume, out[15].volume_share) == (1, 50.0, 0.25)
+
+
+def test_calendar_coverage_single_bar_entity(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        trading_calendar_coverage,
+    )
+
+    # boundary: u2 has exactly ONE bar, so _lo == _hi and the expected
+    # span is 1 day — coverage must be exactly 1.0 (div by 1, never 0);
+    # u1 spans the FULL market calendar with no gaps (the other edge).
+    rows = []
+    eid = 0
+    for day in (1, 2, 3):
+        rows.append((1, eid, dt.datetime(2024, 1, day, 12), 100.0))
+        eid += 1
+    rows.append((2, eid, dt.datetime(2024, 1, 2, 12), 55.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {
+        r.user_id: r for r in trading_calendar_coverage(daily_close(df)).collect()
+    }
+    assert (out[2].n_days, out[2].n_expected, out[2].coverage, out[2].is_complete) == (1, 1, 1.0, 1)
+    assert (out[1].n_days, out[1].n_expected, out[1].coverage, out[1].is_complete) == (3, 3, 1.0, 1)
+
+
+def test_calendar_coverage_threshold_fixed_point(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        trading_calendar_coverage,
+    )
+
+    # r10 ADVICE contract pin: the threshold rides the floor(x*scale+0.5)
+    # idiom (bare int(0.29*1e6) truncates to 289999). An entity at
+    # EXACTLY the threshold (29/100 days vs min_coverage=0.29 -> fx
+    # 290000 vs 290000) is complete; one day fewer is not. The 1-fx-unit
+    # truncation gap itself is unreachable for spans < 1e6 days, so this
+    # pins the >=-at-exact-threshold contract the idiom guarantees.
+    rows = []
+    eid = 0
+    # u1 defines a 100-day market calendar (days 0..99 of 2024)
+    base = dt.datetime(2024, 1, 1, 12)
+    for d in range(100):
+        rows.append((1, eid, base + dt.timedelta(days=d), 100.0))
+        eid += 1
+    # u2: first + last bar pin the full span; 29 days present total
+    for d in [0, 99] + list(range(1, 28)):
+        rows.append((2, eid, base + dt.timedelta(days=d), 50.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {
+        r.user_id: r
+        for r in trading_calendar_coverage(
+            daily_close(df), min_coverage=0.29
+        ).collect()
+    }
+    assert (out[2].n_days, out[2].n_expected) == (29, 100)
+    assert out[2].is_complete == 1  # exactly at threshold -> complete
+    out = {
+        r.user_id: r
+        for r in trading_calendar_coverage(
+            daily_close(df), min_coverage=0.30
+        ).collect()
+    }
+    assert out[2].is_complete == 0  # 0.29 coverage < 0.30 threshold
+
+
+def test_volume_profile_single_hour_and_zero_total(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        volume_profile_by_hour,
+    )
+
+    # all volume in ONE hour: that hour's share is exactly 1.0
+    rows = [
+        (1, 0, dt.datetime(2024, 1, 1, 9, 5), 100.0),
+        (2, 1, dt.datetime(2024, 1, 2, 9, 40), 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {r.hour_of_day: r for r in volume_profile_by_hour(df).collect()}
+    assert set(out) == {9}
+    assert (out[9].n_events, out[9].dollar_volume, out[9].volume_share) == (2, 150.0, 1.0)
+
+    # zero grand total (every event under half a cent): the share is
+    # NULL on the div-nullif branch, never a crash or a 0-division
+    rows = [
+        (1, 0, dt.datetime(2024, 1, 1, 9, 5), 0.001),
+        (2, 1, dt.datetime(2024, 1, 1, 15, 40), 0.004),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {r.hour_of_day: r for r in volume_profile_by_hour(df).collect()}
+    assert set(out) == {9, 15}
+    for h in (9, 15):
+        assert out[h].dollar_volume == 0.0
+        assert out[h].volume_share is None

@@ -116,3 +116,69 @@ def test_dead_feed_alerts_via_absence(spark, tmp_path):
     _drain(spark, src, state, alerts, ckpt, min_flat=3)
     got = _alerts(spark, alerts)
     assert got == {(1, 2): 3, (1, 3): 4}
+
+
+def test_absent_state_expires_after_cap(spark, tmp_path):
+    src, state, alerts, ckpt = (
+        str(tmp_path / p) for p in ("src", "st", "al", "ck")
+    )
+    t = dt.datetime(2024, 1, 1, 9, 0)
+    # symbol 1 flat at 50.0 in batches 0-1 then vanishes; symbol 2 keeps
+    # batches 2-5 non-empty. With max_absent_batches=2 the carried state
+    # writes absent=1 (batch 2) and absent=2 (batch 3), then EXPIRES:
+    # batches 4-5 write no state row and no alert for symbol 1 — ledger
+    # growth and alert noise are bounded (r10 ADVICE).
+    _write_file(spark, src, [(1, t, 50.0), (2, t, 10.0)])
+    _write_file(
+        spark,
+        src,
+        [(1, t + dt.timedelta(minutes=1), 50.0), (2, t + dt.timedelta(minutes=1), 20.0)],
+    )
+    for b in range(2, 6):
+        _write_file(spark, src, [(2, t + dt.timedelta(minutes=b), 10.0 * (b + 1))])
+    stream = read_bar_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = stale_feed_sink(
+        stream, state, alerts, ckpt, grid=1.0, min_flat_batches=3,
+        max_absent_batches=2,
+    ).start()
+    q.awaitTermination(180)
+    # alerts: streak hits 3 at batch 2 (absent=1) and 4 at batch 3
+    # (absent=2), then silence — no batch-4/5 pages for the dead symbol
+    assert _alerts(spark, alerts) == {(1, 2): 3, (1, 3): 4}
+    # state ledger: symbol 1 has rows only through batch 3
+    st = spark.read.parquet(state)
+    sym1_batches = sorted(r._batch_id for r in st.filter("sym = 1").collect())
+    assert sym1_batches == [0, 1, 2, 3]
+
+
+def test_reappearing_symbol_starts_fresh_after_expiry(spark, tmp_path):
+    src, state, alerts, ckpt = (
+        str(tmp_path / p) for p in ("src", "st", "al", "ck")
+    )
+    t = dt.datetime(2024, 1, 1, 9, 0)
+    # symbol 1 flat at 50.0 in batch 0, absent batches 1-3: absence
+    # carries the streak to 3 (absent=2) at batch 2, then expiry drops
+    # the batch-3 row. Reappearing flat at 50.0 in batch 4, the
+    # pre-expiry streak must NOT resume — fresh state restarts the
+    # streak at 1, so min_flat_batches=4 never alerts (a resumed
+    # streak would have hit 4 here).
+    _write_file(spark, src, [(1, t, 50.0), (2, t, 10.0)])
+    for b in range(1, 4):
+        _write_file(spark, src, [(2, t + dt.timedelta(minutes=b), 10.0 * (b + 1))])
+    _write_file(
+        spark,
+        src,
+        [(1, t + dt.timedelta(minutes=4), 50.0), (2, t + dt.timedelta(minutes=4), 60.0)],
+    )
+    stream = read_bar_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = stale_feed_sink(
+        stream, state, alerts, ckpt, grid=1.0, min_flat_batches=4,
+        max_absent_batches=2,
+    ).start()
+    q.awaitTermination(180)
+    assert _alerts(spark, alerts) == {}
+    st = spark.read.parquet(state)
+    # expiry dropped the batch-3 row entirely
+    assert st.filter("sym = 1 and _batch_id = 3").count() == 0
+    row = st.filter("sym = 1 and _batch_id = 4").collect()
+    assert len(row) == 1 and row[0].streak == 1 and row[0].absent == 0

@@ -1,16 +1,29 @@
 #!/usr/bin/env python
-"""Bytes-first bench adjudication: diff two bench.py artifacts.
+"""Bytes-first, min-sweep-second bench adjudication: diff two bench.py
+artifacts.
 
 Wall times at sf0.1 drift ±10-25% run-to-run on this rig (uniform,
-machine-state) while per-query shuffle-write bytes are deterministic —
-so regressions are judged on BYTES first, and on walls only when a
-SINGLE query moves against a flat field. This tool encodes that recipe:
+machine-state; the r10 final record's own sweeps show 8x intra-query
+spread with load ramping 0.03 -> 6.75 DURING the run) while per-query
+shuffle-write bytes are deterministic. So regressions are judged in
+this order (the r10 VERDICT protocol):
+
+  1. BYTES — |delta| > max(0.5 MB, 15%) fails the gate (minus the
+     documented EXPECTED_TRADES ceilings).
+  2. MIN SWEEP — the quietest-rig wall each artifact ever saw for the
+     query. A query whose MIN sweep regressed >1.3x (field-drift-
+     adjusted) and >0.5s moved even when the rig was at its best —
+     that is a real advisory, not weather.
+  3. MEDIAN — only reported as the whole-run drift ratio so a uniform
+     shift is visible at a glance; never used to flag a single query
+     when min-sweep is available.
 
   python tools/bench_diff.py BENCH_local_r6.json BENCH_local_r7.json
 
-Prints (and exits non-zero on) BYTE movers: |delta| > max(0.5 MB, 15%).
-Wall movers (>1.3x and >0.5s) are listed as advisory only, with the
-whole-run drift ratio so a uniform shift is visible at a glance.
+Exits non-zero on byte REGRESSED movers only; wall findings stay
+advisory (walls on a shared rig are evidence, not verdicts).
+Artifacts without per-query ``sweeps`` (pre-r10) fall back to the
+median ``queries`` walls for step 2.
 """
 
 from __future__ import annotations
@@ -37,6 +50,15 @@ EXPECTED_TRADES = {
 }
 
 
+def _walls(artifact: dict) -> dict[str, float]:
+    """Quiet-rig wall per query: MIN over sweeps when the artifact
+    recorded them (r10+), else the median ``queries`` value."""
+    sweeps = artifact.get("sweeps")
+    if sweeps:
+        return {k: min(v) for k, v in sweeps.items() if v}
+    return dict(artifact.get("queries", {}))
+
+
 def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
@@ -49,16 +71,30 @@ def main() -> int:
         o, n = old["shuffle_mb"][k], new["shuffle_mb"][k]
         if abs(n - o) > max(0.5, 0.15 * o):
             byte_movers.append((k, o, n))
+
+    ow, nw = _walls(old), _walls(new)
+    basis = []
+    if "sweeps" in old:
+        basis.append("old=min-sweep")
+    if "sweeps" in new:
+        basis.append("new=min-sweep")
     ratios = [
-        new["queries"][k] / old["queries"][k]
+        nw[k] / ow[k]
         for k in shared
-        if old["queries"].get(k, 0) > 0.05 and k in new["queries"]
+        if ow.get(k, 0) > 0.05 and k in nw
     ]
     drift = statistics.median(ratios) if ratios else 1.0
     print(f"shared queries: {len(shared)}  median wall ratio: {drift:.2f} "
+          f"[{', '.join(basis) or 'median walls (no sweeps recorded)'}] "
           f"(uniform shift = machine drift, not a regression)")
     print(f"total shuffle MB: {sum(old['shuffle_mb'].values()):.0f} -> "
           f"{sum(new['shuffle_mb'].values()):.0f}")
+    for art, tag in ((old, "old"), (new, "new")):
+        ls, le = art.get("load_avg_start"), art.get("load_avg_end")
+        if ls and le and max(ls[0], le[0]) >= 2.0:
+            print(f"LOAD warning ({tag}): rig not idle end-to-end "
+                  f"(start {ls[0]:.2f}, end {le[0]:.2f}) — walls in this "
+                  f"artifact are weather-contaminated; trust bytes/min-sweep")
     expected = []
     for k, o, n in sorted(byte_movers, key=lambda t: t[1] - t[2]):
         trade = EXPECTED_TRADES.get(k)
@@ -70,16 +106,16 @@ def main() -> int:
         tag = "IMPROVED" if n < o else "REGRESSED"
         print(f"BYTES {tag:9s} {k}: {o:.2f} -> {n:.2f} MB")
     advisories = [
-        (k, old["queries"][k], new["queries"][k])
+        (k, ow[k], nw[k])
         for k in shared
-        if k in new["queries"]
-        and new["queries"][k] > 1.3 * drift * old["queries"][k]
-        and new["queries"][k] - old["queries"][k] > 0.5
+        if k in nw and k in ow
+        and nw[k] > 1.3 * drift * ow[k]
+        and nw[k] - ow[k] > 0.5
         and all(k != m[0] for m in byte_movers)
     ]
     for k, o, n in advisories:
-        print(f"WALL advisory (no byte move — check order-coupling / "
-              f"standalone first): {k}: {o:.2f}s -> {n:.2f}s")
+        print(f"WALL advisory (min-sweep moved with no byte move — check "
+              f"order-coupling / standalone first): {k}: {o:.2f}s -> {n:.2f}s")
     regressed = [
         m for m in byte_movers if m[2] > m[1] and m not in expected
     ]

@@ -87,6 +87,7 @@ def main(names: list[str]) -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     targets = names or [n for n in qs if n in oracles]
     failures = []
+    report = {}
     for name in targets:
         t0 = time.time()
         try:
@@ -109,20 +110,34 @@ def main(names: list[str]) -> int:
         dn, dc = _normalize(drows, dcols)
         if sc != dc:
             failures.append(name)
+            report[name] = {"status": "SCHEMA_MISMATCH"}
             print(f"FAIL {name}: SCHEMA {sc} vs {dc}")
         elif len(sn) != len(dn):
             failures.append(name)
+            report[name] = {"status": "ROWS_MISMATCH", "spark": len(sn), "duck": len(dn)}
             print(f"FAIL {name}: ROWS spark={len(sn)} duck={len(dn)}")
         elif sn != dn:
             failures.append(name)
             diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:2]
+            report[name] = {"status": "VALUES_MISMATCH"}
             print(f"FAIL {name}: VALUES {diffs}")
         else:
+            report[name] = {"status": "OK", "rows": len(sn)}
             print(f"OK   {name} ({len(sn)} rows, {time.time()-t0:.1f}s)")
     shutil.rmtree(out, ignore_errors=True)
     print(f"\n{len(targets) - len(failures)}/{len(targets)} clean on empty tables")
     if failures:
         print("failing:", " ".join(failures))
+    out_path = os.environ.get("EMPTY_SWEEP_REPORT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump(
+                {"sf_dir": SRC, "n_clean": len(targets) - len(failures),
+                 "n_total": len(targets), "results": report},
+                fh, indent=1, default=str)
+        print(f"report -> {out_path}")
     return 1 if failures else 0
 
 

@@ -118,6 +118,7 @@ def main(names: list[str]) -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     targets = names or [n for n in qs if n in oracles]
     failures = []
+    report = {}
     for name in targets:
         t0 = time.time()
         try:
@@ -129,26 +130,41 @@ def main(names: list[str]) -> int:
             drows = cur.fetchall()
         except Exception as e:
             failures.append(name)
+            report[name] = {"status": "ERROR", "detail": str(e)[:300]}
             print(f"FAIL {name}: error: {str(e)[:300]}")
             continue
         sn, sc = _normalize(srows, scols)
         dn, dc = _normalize(drows, dcols)
         if sc != dc:
             failures.append(name)
+            report[name] = {"status": "SCHEMA_MISMATCH"}
             print(f"FAIL {name}: SCHEMA {sc} vs {dc}")
         elif len(sn) != len(dn):
             failures.append(name)
+            report[name] = {"status": "ROWS_MISMATCH", "spark": len(sn), "duck": len(dn)}
             print(f"FAIL {name}: ROWS spark={len(sn)} duck={len(dn)}")
         elif sn != dn:
             failures.append(name)
             diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:2]
+            report[name] = {"status": "VALUES_MISMATCH"}
             print(f"FAIL {name}: VALUES {diffs}")
         else:
+            report[name] = {"status": "OK", "rows": len(sn)}
             print(f"OK   {name} ({len(sn)} rows, {time.time()-t0:.1f}s)")
     shutil.rmtree(out, ignore_errors=True)
     print(f"\n{len(targets) - len(failures)}/{len(targets)} clean under NULL injection")
     if failures:
         print("failing:", " ".join(failures))
+    out_path = os.environ.get("NULL_SWEEP_REPORT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump(
+                {"sf_dir": SRC, "n_clean": len(targets) - len(failures),
+                 "n_total": len(targets), "results": report},
+                fh, indent=1, default=str)
+        print(f"report -> {out_path}")
     return 1 if failures else 0
 
 
