@@ -4172,20 +4172,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gap_fill_linear, rfm_segments). The 20 r9 occupants rotate out
     # with green r9 driver rows and stay bit-exact-mirrored per rule 3.
     #
-    # R11 ROTATION GUIDANCE: lead with whatever changes in r11, then
-    # continue the never-windowed mirror-only pool in VERDICT r9 item
-    # 3's order: agg_pricing_summary, win_rolling_frame, cube_rollup, pivot_status,
-    # window_tumbling_7d, shipping_priority, regional_revenue,
-    # funnel_3step, small_qty_revenue, big_orders,
-    # range_join_shipments, multi_res_rollup, snapshot_diff,
-    # profile_table, tech_indicators, drawdown_cumret, sessionize,
-    # stats_moments, repetition_stats, sample_per_group, plus the seven
-    # NEW r10 queries (amihud_illiquidity, underwater_spells,
-    # turn_of_month, lexical_diversity, calendar_coverage,
-    # volume_profile, lang_confusion). EPS
-    # queries (rolling_beta, unigram_logprob, source_kl,
-    # autocorrelation, dsir_weights, nb_self_loglik) stay out per rule
-    # 4 — their _fx twins carry the driver-grade evidence.
+    # R11 ROTATION (executed — see the slot 31-50 comment below): the
+    # four r10-ADVICE-touched queries lead, then agg_pricing_summary,
+    # the three remaining never-windowed r10 queries, then 12 pool
+    # fills (win_rolling_frame .. snapshot_diff). EPS queries
+    # (rolling_beta, unigram_logprob, source_kl, autocorrelation,
+    # dsir_weights, nb_self_loglik) stay out per rule 4 — their
+    # hash-exact twins carry the driver-grade evidence (COVERAGE.md
+    # r11 EPS ledger maps each pair).
+    #
+    # R12 ROTATION GUIDANCE (full-rotation protocol — COVERAGE.md r11
+    # "Invariant check"): anchors JOIN the rotation so all 50 slots
+    # turn over; each round seats the 50 STALEST oracled queries by the
+    # rotation ledger (changed-this-round still preempts). The 7
+    # remaining never-windowed pool names go first: profile_table,
+    # tech_indicators, drawdown_cumret, sessionize, stats_moments,
+    # repetition_stats, sample_per_group; then the r3/r4-last-hashed
+    # tail from the ledger. SURVEY §2 op evidence moves to "covering
+    # query driver-hashed <= 4 rounds ago + committed per-round mirror".
     return {
         "wmy_gold_pipeline": q_wmy_gold_pipeline,
         "wmy_weekly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "W"),
