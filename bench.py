@@ -170,6 +170,14 @@ def main() -> None:
         # adjudicable from spread), per-query + total shuffle bytes (the
         # rig's deterministic signal), and load averages bracketing the
         # run (idle-rig evidence).
+        load_end_raw = [round(x, 2) for x in os.getloadavg()]
+        # A 32-thread local Spark run RAISES 1-min loadavg by itself, so
+        # the raw end sample can never show "idle" — it conflates the
+        # bench's own executors with background contention. Settle 60s
+        # (one 1-min-load decay constant, e^-1 = 0.37x) with the JVM
+        # quiescent, then resample: load_avg_end_settled isolates the
+        # BACKGROUND load, which is what idle-rig adjudication needs.
+        time.sleep(60)
         full = {
             "metric": "total_query_wall_clock",
             "value": total,
@@ -177,7 +185,8 @@ def main() -> None:
             "sf": sf,
             "repeat": repeat,
             "load_avg_start": [round(x, 2) for x in load_start],
-            "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+            "load_avg_end": load_end_raw,
+            "load_avg_end_settled": [round(x, 2) for x in os.getloadavg()],
             "sweep_totals": [
                 round(sum(ts[i] for ts in runs.values()), 1)
                 for i in range(repeat)

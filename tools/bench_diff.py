@@ -90,11 +90,17 @@ def main() -> int:
     print(f"total shuffle MB: {sum(old['shuffle_mb'].values()):.0f} -> "
           f"{sum(new['shuffle_mb'].values()):.0f}")
     for art, tag in ((old, "old"), (new, "new")):
-        ls, le = art.get("load_avg_start"), art.get("load_avg_end")
+        ls = art.get("load_avg_start")
+        # prefer the settled end sample (r11+): the raw end load includes
+        # the bench's OWN 32-thread executors, so only the post-decay
+        # sample isolates background contention.
+        le = art.get("load_avg_end_settled") or art.get("load_avg_end")
         if ls and le and max(ls[0], le[0]) >= 2.0:
+            settled = "settled " if "load_avg_end_settled" in art else ""
             print(f"LOAD warning ({tag}): rig not idle end-to-end "
-                  f"(start {ls[0]:.2f}, end {le[0]:.2f}) — walls in this "
-                  f"artifact are weather-contaminated; trust bytes/min-sweep")
+                  f"(start {ls[0]:.2f}, {settled}end {le[0]:.2f}) — walls "
+                  f"in this artifact are weather-contaminated; trust "
+                  f"bytes/min-sweep")
     expected = []
     for k, o, n in sorted(byte_movers, key=lambda t: t[1] - t[2]):
         trade = EXPECTED_TRADES.get(k)
