@@ -986,3 +986,56 @@ def test_volume_profile_single_hour_and_zero_total(spark):
     for h in (9, 15):
         assert out[h].dollar_volume == 0.0
         assert out[h].volume_share is None
+
+
+def test_amihud_tiebreak_cols_frame_without_event_id(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        amihud_illiquidity,
+    )
+
+    # r10 ADVICE: the daily-close tiebreak used to hardcode event_id and
+    # threw AnalysisException on frames lacking that column. A frame
+    # with a seq column instead must work via tiebreak_cols, and the
+    # last-in-tiebreak-order bar must win the daily close.
+    rows = [
+        # day 1: closes at 100 (seq 2 wins over seq 1's 90)
+        (1, dt.datetime(2024, 1, 1, 10), 1, 90.0),
+        (1, dt.datetime(2024, 1, 1, 10), 2, 100.0),
+        # day 2: close 110 -> +10% return, dollar vol 110
+        (1, dt.datetime(2024, 1, 2, 10), 3, 110.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, seq long, value double"
+    )
+    out = amihud_illiquidity(df, tiebreak_cols=("ts", "seq")).collect()
+    assert len(out) == 1 and out[0].n_days == 1
+    # |ret_bp| = 1000; dvol_c = 30000 - wait, dvol sums ALL bars of day 2
+    # = 11000 cents; amihud_e6 = 1000 * 1e10 div 11000 / 1e6 = 909.0909
+    assert abs(out[0].amihud - 909.090909) < 1e-6
+
+
+def test_turn_of_month_labels_follow_edge_days(spark):
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        turn_of_month_effect,
+    )
+
+    # r10 ADVICE: edge_days=5 must emit first5/last5, not first3/last3
+    rows = []
+    c, eid = 100.0, 0
+    for d in range(1, 21):
+        rows.append((1, eid, dt.datetime(2024, 1, d, 12), c))
+        eid += 1
+        c *= 1.01
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {
+        r.month_bucket: r
+        for r in turn_of_month_effect(daily_close(df), edge_days=5).collect()
+    }
+    assert set(out) == {"first5", "middle", "last5"}
+    # 20 trading days, day 1 has no return: first5 = days 2-5 (4 obs),
+    # last5 = days 16-20 (5 obs), middle = days 6-15 (10 obs)
+    assert out["first5"].n_obs == 4
+    assert out["middle"].n_obs == 10
+    assert out["last5"].n_obs == 5
