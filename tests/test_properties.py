@@ -774,3 +774,139 @@ def test_underwater_spells_matches_pandas_oracle(rows):
         assert got[u].n_spells == spells, (u, uw)
         assert got[u].longest_spell == longest, (u, uw)
     assert set(got) == set(daily["u"])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([1, 2]),
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=23),
+            st.floats(min_value=0.5, max_value=1000.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SLOW
+def test_volume_profile_conserves_dollars_and_shares(rows):
+    """r11: volume_profile_by_hour conserves total (floored) dollars
+    across hours, keeps every share in [0, 1], and the shares sum to <=
+    1 with deficit bounded by the per-hour flooring (24 * 1e-6). Events
+    land at arbitrary hours to exercise every clock bucket."""
+    import math
+
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        volume_profile_by_hour,
+    )
+
+    spark = _get_spark()
+    bars = [
+        (u, i, dt.datetime(2024, 1, 1, hour, 5) + dt.timedelta(days=day), float(v))
+        for i, (u, day, hour, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        bars, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = volume_profile_by_hour(df).collect()
+    assert len(out) <= 24
+    # per-hour floored-cents oracle
+    cents = {}
+    for u, day, hour, v in rows:
+        cents[hour] = cents.get(hour, 0) + math.floor(v * 100 + 0.5)
+    total_dollars = sum(c // 100 for c in cents.values())
+    assert {r.hour_of_day for r in out} == set(cents)
+    for r in out:
+        want_c = cents[r.hour_of_day]
+        assert r.n_events == sum(1 for _, _, h, _ in rows if h == r.hour_of_day)
+        assert r.dollar_volume == math.floor(want_c / 100.0 * 1e4 + 0.5) / 1e4
+        if total_dollars == 0:
+            assert r.volume_share is None
+        else:
+            assert 0.0 <= r.volume_share <= 1.0
+    if total_dollars > 0:
+        s = sum(r.volume_share for r in out)
+        assert s <= 1.0 + 1e-9 and s >= 1.0 - 24e-6 - 1e-9, s
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([1, 2, 3]),
+            st.integers(min_value=0, max_value=90),
+            st.floats(min_value=0.5, max_value=1000.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SLOW
+def test_calendar_coverage_bounds(rows):
+    """r11: trading_calendar_coverage keeps 0 < coverage <= 1,
+    n_days <= n_expected, n_expected <= |market calendar|, and a
+    single-bar entity is always complete (span 1/1)."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        trading_calendar_coverage,
+    )
+    from global_stock_data_warehouse_spark.operators.timeseries import daily_close
+
+    spark = _get_spark()
+    bars = [
+        (u, i, dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=day), float(v))
+        for i, (u, day, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        bars, "user_id long, event_id long, ts timestamp, value double"
+    )
+    n_cal = len({(day) for _, day, _ in rows})
+    days_per_user = {}
+    for u, day, _ in rows:
+        days_per_user.setdefault(u, set()).add(day)
+    out = {r.user_id: r for r in trading_calendar_coverage(daily_close(df)).collect()}
+    assert set(out) == set(days_per_user)
+    for u, r in out.items():
+        assert r.n_days == len(days_per_user[u])
+        assert r.n_days <= r.n_expected <= n_cal
+        assert 0.0 < r.coverage <= 1.0
+        if r.n_days == r.n_expected:
+            assert r.coverage == 1.0 and r.is_complete == 1
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([1, 2]),
+            st.integers(min_value=0, max_value=90),
+            st.floats(min_value=0.5, max_value=1000.0, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@SLOW
+def test_turn_of_month_partitions_return_days(rows):
+    """r11: turn_of_month buckets partition the return-day population —
+    bucket n_obs sums to the total number of (entity, day) legs with a
+    positive previous close, and up_share stays in [0, 1]."""
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        turn_of_month_effect,
+    )
+    from global_stock_data_warehouse_spark.operators.timeseries import daily_close
+
+    spark = _get_spark()
+    bars = [
+        (u, i, dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=day), float(v))
+        for i, (u, day, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        bars, "user_id long, event_id long, ts timestamp, value double"
+    )
+    days_per_user = {}
+    for u, day, _ in rows:
+        days_per_user.setdefault(u, set()).add(day)
+    n_return_days = sum(len(d) - 1 for d in days_per_user.values())
+    out = turn_of_month_effect(daily_close(df)).collect()
+    assert sum(r.n_obs for r in out) == n_return_days
+    for r in out:
+        assert r.month_bucket in {"first3", "last3", "middle"}
+        assert 0.0 <= r.up_share <= 1.0
