@@ -910,3 +910,72 @@ def test_turn_of_month_partitions_return_days(rows):
     for r in out:
         assert r.month_bucket in {"first3", "last3", "middle"}
         assert 0.0 <= r.up_share <= 1.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([1, 2]),
+            st.integers(min_value=0, max_value=60),
+            st.floats(min_value=0.5, max_value=1000.0, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@SLOW
+def test_amihud_matches_pandas_oracle(rows):
+    """r11: amihud_illiquidity == a pandas recomputation of the same
+    fixed-point pipeline (max_by daily close, floored-cents dollar
+    volume, winsorized basis-point returns, one bigint floor-division
+    per day) on arbitrary small bar sets — every intermediate is an
+    exact integer, so the match must be bit-exact."""
+    import math
+
+    from global_stock_data_warehouse_spark.operators.pricing import (
+        amihud_illiquidity,
+    )
+
+    spark = _get_spark()
+    bars = [
+        (u, i, dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=day), float(v))
+        for i, (u, day, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        bars, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {r.user_id: r for r in amihud_illiquidity(df).collect()}
+
+    # pandas-free oracle: pure-python recomputation
+    per_user_day = {}
+    for u, eid, ts, v in bars:
+        d = ts.date()
+        rec = per_user_day.setdefault((u, d), {"close": None, "key": None, "cents": 0})
+        if rec["key"] is None or (ts, eid) > rec["key"]:
+            rec["key"], rec["close"] = (ts, eid), v
+        rec["cents"] += math.floor(v * 100 + 0.5)
+    want = {}
+    by_user = {}
+    for (u, d), rec in per_user_day.items():
+        by_user.setdefault(u, []).append((d, rec))
+    for u, recs in by_user.items():
+        recs.sort()
+        legs = []
+        prev = None
+        for d, rec in recs:
+            if prev is not None and prev > 0 and rec["cents"] > 0:
+                ret_bp = math.floor((rec["close"] / prev - 1.0) * 1e4 + 0.5)
+                ret_bp = max(-10_000, min(10_000, ret_bp))
+                legs.append(abs(ret_bp) * 10_000_000_000 // rec["cents"])
+            prev = rec["close"]
+        if legs:
+            want[u] = (
+                len(legs),
+                math.floor(sum(legs) / len(legs) / 1e6 * 1e6 + 0.5) / 1e6,
+                math.floor(max(legs) / 1e6 * 1e6 + 0.5) / 1e6,
+            )
+    assert set(got) == set(want)
+    for u, (n, mean_a, worst_a) in want.items():
+        assert got[u].n_days == n
+        assert got[u].amihud == mean_a, (u, rows)
+        assert got[u].amihud_worst_day == worst_a, (u, rows)
