@@ -4181,7 +4181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-exact twins carry the driver-grade evidence (COVERAGE.md
     # r11 EPS ledger maps each pair).
     #
-    # R12 ROTATION GUIDANCE (full-rotation protocol — COVERAGE.md r11
+    # R12 ROTATION (executed — see the window comment below): the
+    # rotation ledger's proposed window seated verbatim. Original
+    # guidance (COVERAGE.md r11
     # "Invariant check"): anchors JOIN the rotation so all 50 slots
     # turn over; each round seats the 50 STALEST oracled queries by the
     # rotation ledger (changed-this-round still preempts). The 7
@@ -4191,6 +4193,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail from the ledger. SURVEY §2 op evidence moves to "covering
     # query driver-hashed <= 4 rounds ago + committed per-round mirror".
     return {
+        # --- R12 WINDOW (slots 1-50): the rotation ledger's proposal,
+        # seated VERBATIM (tools/rotation_ledger.py, r11 run committed in
+        # COVERAGE.md): the 50 STALEST oracled queries, changed-first —
+        # nothing changed this round, so pure staleness order: the 7
+        # never-windowed r3 cohort, then r4 (10), r5 (19), r6 (14).
+        # Under the full-rotation protocol the former anchors join the
+        # rotation; every one of the 50 r11 occupants rotates out with a
+        # green r11 driver row and stays bit-exact-mirrored per rule 3.
+        "drawdown_cumret": q_drawdown_cumret,
+        "profile_table": q_profile_table,
+        "repetition_stats": q_repetition_stats,
+        "sample_per_group": q_sample_per_group,
+        "sessionize": q_sessionize,
+        "stats_moments": q_stats_moments,
+        "tech_indicators": q_tech_indicators,
+        "basket_rules": q_basket_rules,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "cdc_apply": q_cdc_apply,
+        "market_share": q_market_share,
+        "max_concurrency": q_max_concurrency,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
+        "scd2_history": q_scd2_history,
+        "source_overlap": q_source_overlap,
+        "tfidf_topterms": q_tfidf_topterms,
+        "trend_ols": q_trend_ols,
+        "attribution_last_touch": q_attribution_last_touch,
+        "cohort_retention": q_cohort_retention,
+        "collocations_topk": q_collocations_topk,
+        "duplicate_spans": q_duplicate_spans,
+        "event_transitions": q_event_transitions,
+        "forecast_revenue": q_forecast_revenue,
+        "gap_fill": q_gap_fill,
+        "latency_percentiles": q_latency_percentiles,
+        "ngram_topk_sketch": q_ngram_topk_sketch,
+        "order_priority_exists": q_order_priority_exists,
+        "product_profit": q_product_profit,
+        "quantile_summary": q_quantile_summary,
+        "record_linkage": q_record_linkage,
+        "returned_top_customers": q_returned_top_customers,
+        "rolling_distinct_users": q_rolling_distinct_users,
+        "session_paths": q_session_paths,
+        "vocab_growth": q_vocab_growth,
+        "volume_shipping": q_volume_shipping,
+        "waiting_suppliers": q_waiting_suppliers,
+        "autocorrelation_fx": q_autocorrelation_fx,
+        "contamination_report": q_contamination_report,
+        "dedup_funnel": q_dedup_funnel,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dormant_rich_customers": q_dormant_rich_customers,
+        "equi_depth_hist": q_equi_depth_hist,
+        "hopping_window": q_hopping_window,
+        "leakage_safe_split": q_leakage_safe_split,
+        "mad_outliers": q_mad_outliers,
+        "min_cost_supplier": q_min_cost_supplier,
+        "multimodal_features": q_multimodal_features,
+        "nation_revenue_share": q_nation_revenue_share,
+        "rolling_beta_fx": q_rolling_beta_fx,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        # --- oracled but beyond the driver's 50-row check window; all
+        # hold green driver rows from the round tagged below and are
+        # re-verified bit-exact each round via tools/check_correctness.py
+        # (rule 3). Ordered freshest-first so the stalest names sit
+        # nearest the window for the r13 rotation. ---
+        # last driver-hashed r11
         "wmy_gold_pipeline": q_wmy_gold_pipeline,
         "wmy_weekly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "W"),
         "wmy_monthly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "M"),
@@ -4221,24 +4287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
-        # --- r11 rotated window slots (31-50) ---
-        # Risk order per rule 2: changed this round FIRST — the four
-        # r10-ADVICE-touched queries (amihud_illiquidity: tiebreak_cols
-        # parameterized like daily_close; turn_of_month: bucket labels
-        # derived from edge_days; lexical_diversity and
-        # calendar_coverage: threshold fixed-point moved from bare
-        # int() truncation to the floor(x*scale+0.5) idiom — all four
-        # value-identical at the defaults, re-verified CHECK_EXACT=1 at
-        # sf0.001 AND sf0.01 post-change, MIRROR_r11 reports) > then
-        # the VERDICT-r10-item-1 queue in its exact order:
-        # agg_pricing_summary first, the remaining three never-windowed
-        # r10 queries (underwater_spells, volume_profile,
-        # lang_confusion), then 12 pool fills continuing VERDICT r9
-        # item 3's order (win_rolling_frame .. snapshot_diff). The 20
-        # r10 occupants rotate out with green r10 driver rows and stay
-        # bit-exact-mirrored per rule 3. Remaining never-windowed pool
-        # for r12: profile_table, tech_indicators, drawdown_cumret,
-        # sessionize, stats_moments, repetition_stats, sample_per_group.
         "amihud_illiquidity": q_amihud_illiquidity,
         "turn_of_month": q_turn_of_month,
         "lexical_diversity": q_lexical_diversity,
@@ -4259,10 +4307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_shipments": q_range_join_shipments,
         "multi_res_rollup": q_multi_res_rollup,
         "snapshot_diff": q_snapshot_diff,
-        # --- oracled but beyond the driver's 50-row check window; verified
-        # locally via tools/check_correctness.py ---
-        # rotated out r11 (all 20 hold green driver-hash rows from r10;
-        # code unchanged this round, bit-exact-mirrored per rule 3)
+        # last driver-hashed r10
         "liquidity_screen": q_liquidity_screen,
         "stale_price_runs": q_stale_price_runs,
         "range_position": q_range_position,
@@ -4283,15 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": q_keyword_search,
         "gap_fill_linear": q_gap_fill_linear,
         "rfm_segments": q_rfm_segments,
-        # displaced from the r9 window by the three NEW r9 queries above
-        # (rule 2: new-this-round outranks pool fill); all three hold the
-        # bit-exact local mirror
-        "max_concurrency": q_max_concurrency,
-        "tfidf_topterms": q_tfidf_topterms,
-        "bpe_merge_candidates": q_bpe_merge_candidates,
-        # rotated out r10 (all 20 hold green driver-hash rows from r9;
-        # drift_alert_report and the 19 below are code-unchanged this
-        # round and stay bit-exact-mirrored per rule 3)
+        # last driver-hashed r9
         "drift_alert_report": q_drift_alert_report,
         "gopher_quality_flags": q_gopher_quality_flags,
         "mixture_epoch_plan": q_mixture_epoch_plan,
@@ -4311,17 +4348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "novelty_timeline": q_novelty_timeline,
         "zipf_slope": q_zipf_slope,
-        # displaced from the r9 window by the seven new r9 queries above
-        # (rule 2); all hold the bit-exact local mirror
-        "remove_duplicate_spans": q_remove_duplicate_spans,
-        "basket_rules": q_basket_rules,
-        "source_overlap": q_source_overlap,
-        "trend_ols": q_trend_ols,
-        "market_share": q_market_share,
-        "scd2_history": q_scd2_history,
-        "cdc_apply": q_cdc_apply,
-        # rotated out r9 (all 20 hold green driver-hash rows from r8;
-        # none changed this round)
+        # last driver-hashed r8
         "length_ks_drift": q_length_ks_drift,
         "bigram_prob_score": q_bigram_prob_score,
         "dup_source_matrix": q_dup_source_matrix,
@@ -4342,8 +4369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap_brand": q_vwap_brand,
         "market_breadth": q_market_breadth,
         "repeat_purchase_rate": q_repeat_purchase_rate,
-        # rotated out r8 (all 18 hold green driver-hash rows from r7;
-        # none changed this round)
+        # last driver-hashed r7
         "benford_audit": q_benford_audit,
         "llm_gold_pipeline": q_llm_gold_pipeline,
         "important_stock": q_important_stock,
@@ -4362,52 +4388,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_linestatus": q_priority_linestatus,
         "custdist": q_custdist,
         "promo_revenue_share": q_promo_revenue_share,
-        # rotated out r7 (unchanged code, all driver-hashed green in r6)
-        "autocorrelation_fx": q_autocorrelation_fx,
-        "rolling_beta_fx": q_rolling_beta_fx,
+        # last driver-hashed r6
         "source_chi2_drift": q_source_chi2_drift,
         "unigram_prob_score": q_unigram_prob_score,
-        "multimodal_features": q_multimodal_features,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "leakage_safe_split": q_leakage_safe_split,
-        "dedup_keep_best": q_dedup_keep_best,
         "source_mix_report": q_source_mix_report,
-        "contamination_report": q_contamination_report,
-        "dedup_funnel": q_dedup_funnel,
-        "min_cost_supplier": q_min_cost_supplier,
-        "nation_revenue_share": q_nation_revenue_share,
-        "dormant_rich_customers": q_dormant_rich_customers,
-        "hopping_window": q_hopping_window,
-        "mad_outliers": q_mad_outliers,
-        "equi_depth_hist": q_equi_depth_hist,
         "triangle_count": q_triangle_count,
-        # rotated out r6 (unchanged code, all previously driver-hashed r5)
-        "record_linkage": q_record_linkage,
-        "duplicate_spans": q_duplicate_spans,
-        "waiting_suppliers": q_waiting_suppliers,
-        "collocations_topk": q_collocations_topk,
-        "vocab_growth": q_vocab_growth,
-        "ngram_topk_sketch": q_ngram_topk_sketch,
-        "latency_percentiles": q_latency_percentiles,
-        "session_paths": q_session_paths,
-        "order_priority_exists": q_order_priority_exists,
-        "forecast_revenue": q_forecast_revenue,
-        "volume_shipping": q_volume_shipping,
-        "product_profit": q_product_profit,
-        "returned_top_customers": q_returned_top_customers,
-        "cohort_retention": q_cohort_retention,
-        "event_transitions": q_event_transitions,
-        "attribution_last_touch": q_attribution_last_touch,
-        "rolling_distinct_users": q_rolling_distinct_users,
-        "quantile_summary": q_quantile_summary,
-        "gap_fill": q_gap_fill,
-        "profile_table": q_profile_table,
-        "tech_indicators": q_tech_indicators,
-        "drawdown_cumret": q_drawdown_cumret,
-        "sessionize": q_sessionize,
-        "stats_moments": q_stats_moments,
-        "repetition_stats": q_repetition_stats,
-        "sample_per_group": q_sample_per_group,
+        # --- EPS queries (rule 4: engine-order-sensitive rounded floats;
+        # never windowed BY DESIGN — their hash-exact fixed-point twins
+        # carry the driver-grade evidence; see README "EPS queries") ---
         "rolling_beta": q_rolling_beta,
         "unigram_logprob": q_unigram_logprob,
         "source_kl": q_source_kl,
@@ -4435,7 +4423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": q_training_prep,
         "pca_variance": q_pca_variance,
         "incremental_minhash": q_incremental_minhash,
-        # rows-only by design (xxhash64 bitmap; superset-of-exact pytest)
         "bloom_decontaminate": q_bloom_decontaminate,
     }
 

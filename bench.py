@@ -1,9 +1,12 @@
 """Benchmark harness: runs every declared query at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"sf": ..., "repeat": N, "shuffle_mb": {name: mb}, "queries": {name: sec}}.
-`queries` (seconds) is deliberately LAST: the driver truncates the tail of
-the line, and the per-query seconds are what must survive truncation.
+"sf": ..., "repeat": N, "shuffle_mb": {name: mb}, "queries": {name: sec},
+"min_sweep_top": {name: min_sec}}. The driver keeps only the LAST ~2 KB
+of the line, so `queries` (median seconds) sits second-to-last with its
+heaviest entries last, and the only field after it is the size-bounded
+`min_sweep_top` (quiet-rig min-sweep walls for the ~24 heaviest queries
+— the adjudication metric of the bytes -> min-sweep -> median protocol).
 Each query is forced with a noop write (full execution, no driver collect —
 measures the engine, not py4j serialization). ``shuffle_mb`` is the
 per-query shuffle-WRITE megabytes (Spark REST stage metrics diffed around
@@ -24,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import re
 import statistics
@@ -175,9 +179,21 @@ def main() -> None:
         # the raw end sample can never show "idle" — it conflates the
         # bench's own executors with background contention. Settle 60s
         # (one 1-min-load decay constant, e^-1 = 0.37x) with the JVM
-        # quiescent, then resample: load_avg_end_settled isolates the
-        # BACKGROUND load, which is what idle-rig adjudication needs.
+        # quiescent, then resample. One decay constant still leaves
+        # ~37% of the bench's own load in the sample (r11 ADVICE), so
+        # SUBTRACT the expected residual of the raw end load
+        # (raw * e^-1) from the 1-min figure before recording;
+        # load_avg_end_settled then isolates BACKGROUND load even after
+        # a heavy run, and the raw sample + residual stay in the
+        # artifact so the subtraction is auditable.
         time.sleep(60)
+        settled_raw = [round(x, 2) for x in os.getloadavg()]
+        residual = round(load_end_raw[0] * math.exp(-1), 2)
+        settled = [
+            round(max(0.0, settled_raw[0] - residual), 2),
+            settled_raw[1],
+            settled_raw[2],
+        ]
         full = {
             "metric": "total_query_wall_clock",
             "value": total,
@@ -186,7 +202,9 @@ def main() -> None:
             "repeat": repeat,
             "load_avg_start": [round(x, 2) for x in load_start],
             "load_avg_end": load_end_raw,
-            "load_avg_end_settled": [round(x, 2) for x in os.getloadavg()],
+            "load_avg_end_settled": settled,
+            "load_avg_end_settled_raw": settled_raw,
+            "settle_residual_subtracted": residual,
             "sweep_totals": [
                 round(sum(ts[i] for ts in runs.values()), 1)
                 for i in range(repeat)
@@ -199,12 +217,27 @@ def main() -> None:
         with open(args.out, "w") as fh:
             json.dump(full, fh, indent=1)
         print(f"full artifact -> {args.out}", file=sys.stderr)
-    # FIELD ORDER IS LOAD-BEARING: the driver's capture truncates the TAIL
-    # of this line, so `queries` (per-query SECONDS — the adjudication
-    # metric) must be the LAST dict. Round 5 serialized shuffle_mb after
-    # queries and the driver's BENCH artifact kept megabytes instead of
-    # seconds (VERDICT r5 item 1). shuffle_mb goes first; never append a
-    # new dict after `queries`.
+    # Driver-artifact self-adjudication (VERDICT r11 item 6): the
+    # repo's regression protocol is bytes -> MIN-sweep -> median, but
+    # the driver's tail capture only kept medians, so every apparent
+    # wall mover needed the local --out twin to adjudicate. Record the
+    # min-sweep for the HEAVIEST ~24 queries (the only ones whose wall
+    # moves ever need adjudication) as a compact dict. Bounded to ~700
+    # bytes so the median tail above it still survives the ~2 KB
+    # driver capture.
+    heaviest = list(timings)[-24:]
+    min_sweep_top = {k: round(min(runs[k]), 3) for k in heaviest}
+    min_sweep_top = dict(sorted(min_sweep_top.items(), key=lambda kv: kv[1]))
+    # FIELD ORDER IS LOAD-BEARING: the driver's capture keeps only the
+    # LAST ~2 KB of this line. `queries` (per-query median SECONDS — the
+    # headline metric) goes second-to-last with its heaviest entries
+    # last; `min_sweep_top` (the quiet-rig walls of exactly those
+    # heaviest queries — the adjudication metric) is the one dict
+    # allowed AFTER `queries`, because it is size-bounded. Round 5
+    # serialized the unbounded shuffle_mb after queries and the driver's
+    # BENCH artifact kept megabytes instead of seconds (VERDICT r5
+    # item 1). shuffle_mb goes first; never append an UNBOUNDED dict
+    # after `queries`.
     print(
         json.dumps(
             {
@@ -223,6 +256,7 @@ def main() -> None:
                 ],
                 "shuffle_mb": shuffle_mb,
                 "queries": timings,
+                "min_sweep_top": min_sweep_top,
             }
         )
     )

@@ -1009,8 +1009,8 @@ def test_amihud_tiebreak_cols_frame_without_event_id(spark):
     )
     out = amihud_illiquidity(df, tiebreak_cols=("ts", "seq")).collect()
     assert len(out) == 1 and out[0].n_days == 1
-    # |ret_bp| = 1000; dvol_c = 30000 - wait, dvol sums ALL bars of day 2
-    # = 11000 cents; amihud_e6 = 1000 * 1e10 div 11000 / 1e6 = 909.0909
+    # |ret_bp| = 1000; dvol_c sums ALL bars of day 2 = 11000 cents;
+    # amihud_e6 = 1000 * 1e10 div 11000 / 1e6 = 909.090909
     assert abs(out[0].amihud - 909.090909) < 1e-6
 
 

@@ -151,6 +151,62 @@ def test_absent_state_expires_after_cap(spark, tmp_path):
     assert sym1_batches == [0, 1, 2, 3]
 
 
+def test_soak_churn_universe_ledger_stays_bounded(spark, tmp_path):
+    """Soak (VERDICT r11 item 8): 100 micro-batches over a CHURNING
+    symbol universe — 18 symbols, each live for a 15-batch window
+    staggered by 5, then gone forever. Every symbol is FLAT (worst
+    case: every live batch extends a streak, every dead batch would
+    page forever without expiry). With max_absent_batches=5 the
+    ledger must stay bounded by construction:
+
+      per symbol: state rows == live_span + cap (15 + 5 = 20),
+      alerts    == (live_span + cap) - min_flat + 1 (18),
+      and NOTHING more than cap batches after the symbol's death —
+    i.e. total cardinality is symbols x (span + cap), not
+    batches x all-time universe (the unbounded-ledger failure mode
+    the r10 expiry fix closed)."""
+    src, state, alerts, ckpt = (
+        str(tmp_path / p) for p in ("src", "st", "al", "ck")
+    )
+    t = dt.datetime(2024, 1, 1, 9, 0)
+    n_sym, span, stagger, cap, min_flat = 18, 15, 5, 5, 3
+    n_batches = (n_sym - 1) * stagger + span  # == 100, coverage gapless
+    assert n_batches == 100
+    for b in range(n_batches):
+        rows = [
+            (s, t + dt.timedelta(minutes=b), 100.0 * (s + 1))
+            for s in range(n_sym)
+            if s * stagger <= b < s * stagger + span
+        ]
+        _write_file(spark, src, rows)
+    stream = read_bar_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = stale_feed_sink(
+        stream, state, alerts, ckpt, grid=1.0, min_flat_batches=min_flat,
+        max_absent_batches=cap,
+    ).start()
+    q.awaitTermination(900)
+
+    st = spark.read.parquet(state).collect()
+    al = spark.read.parquet(alerts).collect()
+    state_per_sym = {}
+    last_state_batch = {}
+    for r in st:
+        state_per_sym[r.sym] = state_per_sym.get(r.sym, 0) + 1
+        last_state_batch[r.sym] = max(last_state_batch.get(r.sym, -1), r._batch_id)
+    alerts_per_sym = {}
+    for r in al:
+        alerts_per_sym[r.sym] = alerts_per_sym.get(r.sym, 0) + 1
+    for s in range(n_sym):
+        death = s * stagger + span  # first absent batch
+        trailing = min(cap, n_batches - death)  # last symbol: 0
+        assert state_per_sym[s] == span + trailing, s
+        assert alerts_per_sym[s] == span + trailing - min_flat + 1, s
+        # nothing later than cap batches after death — dead symbols
+        # go SILENT, they don't ride the ledger to batch 99
+        assert last_state_batch[s] == death + trailing - 1, s
+    assert len(st) == sum(state_per_sym.values()) == (n_sym - 1) * (span + cap) + span
+
+
 def test_reappearing_symbol_starts_fresh_after_expiry(spark, tmp_path):
     src, state, alerts, ckpt = (
         str(tmp_path / p) for p in ("src", "st", "al", "ck")

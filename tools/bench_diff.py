@@ -50,11 +50,11 @@ EXPECTED_TRADES = {
 }
 
 
-def _walls(artifact: dict) -> dict[str, float]:
-    """Quiet-rig wall per query: MIN over sweeps when the artifact
-    recorded them (r10+), else the median ``queries`` value."""
+def _walls(artifact: dict, use_sweeps: bool) -> dict[str, float]:
+    """Quiet-rig wall per query: MIN over sweeps when ``use_sweeps``
+    (r10+ artifacts), else the median ``queries`` value."""
     sweeps = artifact.get("sweeps")
-    if sweeps:
+    if use_sweeps and sweeps:
         return {k: min(v) for k, v in sweeps.items() if v}
     return dict(artifact.get("queries", {}))
 
@@ -72,12 +72,20 @@ def main() -> int:
         if abs(n - o) > max(0.5, 0.15 * o):
             byte_movers.append((k, o, n))
 
-    ow, nw = _walls(old), _walls(new)
-    basis = []
-    if "sweeps" in old:
-        basis.append("old=min-sweep")
-    if "sweeps" in new:
-        basis.append("new=min-sweep")
+    # comparing a MIN wall against a MEDIAN wall is biased by construction
+    # (min < median); when only one artifact recorded sweeps, fall back to
+    # median walls on BOTH sides and label the basis accordingly.
+    both_sweeps = bool(old.get("sweeps")) and bool(new.get("sweeps"))
+    ow = _walls(old, both_sweeps)
+    nw = _walls(new, both_sweeps)
+    if both_sweeps:
+        wall_basis = "min-sweep"
+        basis = ["old=min-sweep", "new=min-sweep"]
+    else:
+        wall_basis = "median"
+        basis = ["median walls both sides"]
+        if bool(old.get("sweeps")) != bool(new.get("sweeps")):
+            basis.append("basis mismatch: one artifact lacks sweeps")
     ratios = [
         nw[k] / ow[k]
         for k in shared
@@ -85,7 +93,7 @@ def main() -> int:
     ]
     drift = statistics.median(ratios) if ratios else 1.0
     print(f"shared queries: {len(shared)}  median wall ratio: {drift:.2f} "
-          f"[{', '.join(basis) or 'median walls (no sweeps recorded)'}] "
+          f"[{', '.join(basis)}] "
           f"(uniform shift = machine drift, not a regression)")
     print(f"total shuffle MB: {sum(old['shuffle_mb'].values()):.0f} -> "
           f"{sum(new['shuffle_mb'].values()):.0f}")
@@ -120,8 +128,9 @@ def main() -> int:
         and all(k != m[0] for m in byte_movers)
     ]
     for k, o, n in advisories:
-        print(f"WALL advisory (min-sweep moved with no byte move — check "
-              f"order-coupling / standalone first): {k}: {o:.2f}s -> {n:.2f}s")
+        print(f"WALL advisory ({wall_basis} wall moved with no byte move — "
+              f"check order-coupling / standalone first): "
+              f"{k}: {o:.2f}s -> {n:.2f}s")
     regressed = [
         m for m in byte_movers if m[2] > m[1] and m not in expected
     ]

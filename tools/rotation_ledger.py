@@ -78,8 +78,11 @@ def main() -> int:
     oracled = [q for q in qk if q in entrymod.oracle_sql()]
     rotatable = [q for q in oracled if q not in EPS]
 
+    # EPS queries are never driver-hashed BY DESIGN (rule 4; README
+    # "EPS queries") — keep them out of the staleness rows entirely so
+    # the ledger never reads them as a "never"-hashed backlog.
     by_round: dict[int, list[str]] = {}
-    for q in oracled:
+    for q in rotatable:
         by_round.setdefault(hist.get(q, 0), []).append(q)
 
     print(f"### Rotation ledger (as of CORRECTNESS_r{latest}; "
@@ -93,8 +96,8 @@ def main() -> int:
         print(f"| {tag} | {len(qs)} | {' '.join(qs)} |")
     eps_rows = " ".join(sorted(EPS & set(oracled)))
     if eps_rows:
-        print(f"| EPS (rule 4, twins carry evidence) | "
-              f"{len(EPS & set(oracled))} | {eps_rows} |")
+        print(f"| by design: EPS, never windowed (rule 4, twins carry "
+              f"evidence) | {len(EPS & set(oracled))} | {eps_rows} |")
 
     stale = sorted(
         q for q in rotatable if nxt - hist.get(q, 0) > MAX_AGE_ROUNDS
