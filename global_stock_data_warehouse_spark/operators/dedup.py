@@ -197,27 +197,49 @@ def ngram_jaccard_pairs(
     from BOTH index and verify arrays (approximate, recall-lowering; only
     needed when even verification arrays get hot at extreme corpus scale).
     """
+    from global_stock_data_warehouse_spark.operators.skew import fan_scan
+
+    # metadata-only count BEFORE the fan (a count through a repartition
+    # would execute the exchange; on the raw scan it reads the footer)
+    n_docs = df.count() if strategy in ("auto", "dense") else None
+    # tokenize/shingle is the CPU wall of every strategy: floor its
+    # parallelism at the session's core count (no-op at scale — see
+    # fan_scan), shuffling only the two columns the operator reads
+    sel = [id_col, tokens_col] if tokens_col else [id_col, text_col]
+    df = fan_scan(df.select(*sel))
     sh_expr = (
         shingles_from(F.col(tokens_col), n) if tokens_col else shingles(text_col, n)
     )
     if strategy == "auto":
         # Planner-stats probe folded into the artifact the dense path needs
-        # anyway: materialize the distinct-shingle vocab once; its count
-        # decides the strategy and the cached vocab is reused for the dense
-        # bitmap build (no separate sketch pass over the corpus).
-        vocab = df.select(F.explode(sh_expr).alias("s")).distinct().cache()
-        n_vocab = vocab.count()
-        n_docs = df.count()  # parquet metadata count — no scan
-        if n_vocab <= dense_max_vocab and n_docs <= dense_max_docs:
+        # anyway: ONE job collects the distinct shingle-hash vocab bounded
+        # at dense_max_vocab+1 rows (<= 64 KB of longs — safe at any corpus
+        # scale because the limit bounds the collect, not the data). Its
+        # size decides the strategy and the collected vocab IS the dense
+        # path's column index (r12: this replaces a cache + count + count
+        # job chain and the dense path's explode -> broadcast-join ->
+        # collect_set bitmap shuffle with a driver-side sorted array).
+        vocab_hashes: list[int] | None = None
+        if n_docs <= dense_max_docs:
+            rows = (
+                df.select(F.explode(sh_expr).alias("s"))
+                .select(F.xxhash64("s").alias("h"))
+                .distinct()
+                .limit(dense_max_vocab + 1)
+                .collect()
+            )
+            if len(rows) <= dense_max_vocab:
+                vocab_hashes = [r[0] for r in rows]
+        if vocab_hashes is not None:
             return _ngram_jaccard_dense(
                 df, text_col, id_col, n, threshold, block_size,
-                vocab=vocab, tokens_col=tokens_col,
+                vocab_hashes=vocab_hashes, tokens_col=tokens_col, n_docs=n_docs,
             )
-        vocab.unpersist()
         strategy = "sparse"
     if strategy == "dense":
         return _ngram_jaccard_dense(
-            df, text_col, id_col, n, threshold, block_size, tokens_col=tokens_col
+            df, text_col, id_col, n, threshold, block_size,
+            tokens_col=tokens_col, n_docs=n_docs,
         )
 
     sh = df.select(
@@ -276,6 +298,22 @@ def ngram_jaccard_pairs(
     )
 
 
+def _derive_pair_blocks(n_docs: int, block_size: int, spark) -> int:
+    """Block count for the blocked all-pairs paths, sized so that (a) a
+    block holds at most ``block_size`` docs — bounding per-task matrix
+    memory regardless of corpus size — and (b) the B(B+1)/2 block pairs
+    can occupy every core: pair count IS the parallelism of the matmul
+    stage, and its FLOPs are uniform across pairs. (b) only lifts B for
+    small corpora (where replication bytes are trivial); at scale (a)
+    dominates and the derived count is unchanged."""
+    b_mem = max(1, -(-n_docs // max(1, block_size)))
+    cores = spark.sparkContext.defaultParallelism
+    b_par = 1
+    while b_par * (b_par + 1) // 2 < cores:
+        b_par += 1
+    return max(b_mem, min(b_par, n_docs))
+
+
 def _ngram_jaccard_dense(
     df: DataFrame,
     text_col: str,
@@ -283,58 +321,68 @@ def _ngram_jaccard_dense(
     n: int,
     threshold: float,
     block_size: int,
-    vocab: DataFrame | None = None,
+    vocab_hashes: list[int] | None = None,
     tokens_col: str | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Dense-regime exact Jaccard: blocked binary-matrix multiply.
 
-    1. Build the exact global vocab (small by regime precondition) with
-       contiguous indices; broadcast-join it onto exploded shingles.
-    2. Per doc: sorted vocab-index array; hash docs into B blocks.
-    3. Cross-join the B(B+1)/2 block pairs (tiny: B rows of packed struct
-       arrays on each side, non-equi ``blk_a <= blk_b``).
-    4. One ``mapInPandas`` task per block pair: unpack to 0/1 float32
+    1. Map-only: per doc, the distinct shingle xxhash64 array (same 64-bit
+       shingle identity the sparse path uses).
+    2. The vocab — all distinct shingle hashes, <= dense_max_vocab by the
+       regime gate, so <= 64 KB of longs — is collected once (by the auto
+       probe, or here) and shipped SORTED in the task closure; each task
+       maps hashes to contiguous column indices with one vectorized
+       ``np.searchsorted`` per doc. (r12: this replaces the former
+       explode -> broadcast-join -> per-doc collect_set chain — two wide
+       shuffles plus a single-partition vocab window — with zero jobs.)
+    3. Docs hash into B blocks; ONE shuffle packs each block into a row.
+    4. The B(B+1)/2 upper-triangle block pairs are formed by an explode +
+       equi-join of the packed rows (never a theta-join CartesianProduct)
+       and ROUND-ROBIN repartitioned one pair per task: pair rows are tiny
+       in BYTES but carry the stage's entire quadratic FLOP volume, the
+       exact shape AQE's byte-based coalescing mis-sizes (guide §2.2/§2.5
+       — measured 4 post-AQE tasks for 15 pairs at sf0.1, a 4x parallelism
+       loss on the bench's hottest stage).
+    5. One ``mapInPandas`` block pair per task: unpack to 0/1 float32
        matrices, ``inter = A @ B.T`` (BLAS sgemm), jaccard =
        inter / (|A| + |B| - inter); only PASSING pairs become rows.
        Counts < 2^24 are exact in float32; rounding replicates F.round's
        HALF_UP so results are bit-identical to the sparse path / oracle.
 
-    Block replication cost: each block's packed vectors ship to B tasks, so
-    shuffled bytes ~ 2·B·(corpus vector bytes) — the regime preconditions
-    (docs <= dense_max_docs) keep that bounded; beyond it the sparse path
-    wins and auto-selection takes it.
+    Block replication cost: each block's packed arrays ship to B tasks, so
+    shuffled bytes ~ 2·B·(corpus shingle-hash bytes) — the regime
+    preconditions (docs <= dense_max_docs) keep that bounded; beyond it
+    the sparse path wins and auto-selection takes it.
     """
-    import math
-
     import numpy as np
     import pandas as pd
 
-    n_docs = max(1, df.count())  # parquet metadata count — no scan
-    n_blocks = max(1, math.ceil(n_docs / max(1, block_size)))
+    spark = df.sparkSession
+    if n_docs is None:
+        n_docs = df.count()
+    n_docs = max(1, n_docs)
+    n_blocks = _derive_pair_blocks(n_docs, block_size, spark)
 
     sh_expr = (
         shingles_from(F.col(tokens_col), n) if tokens_col else shingles(text_col, n)
     )
-    sh = df.select(F.col(id_col).alias("id"), sh_expr.alias("sh"))
-    # cached: read twice (vocab build unless pre-supplied + bitmap build),
-    # and re-tokenizing/shingling the corpus is the expensive part
-    inv = sh.select("id", F.explode("sh").alias("s")).cache()
-    # Exact contiguous vocab ids; single-partition window is safe because
-    # the dense regime precondition bounds the vocab.
-    if vocab is None:
-        vocab = inv.select("s").distinct()
-    vocab = vocab.coalesce(1).withColumn(
-        "vix", F.row_number().over(Window.orderBy("s")) - 1
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(sh_expr, lambda s: F.xxhash64(s)).alias("sh"),
     )
+    if vocab_hashes is None:
+        vocab_hashes = [
+            r[0] for r in sh.select(F.explode("sh").alias("h")).distinct().collect()
+        ]
+    vocab = np.sort(np.asarray(vocab_hashes, dtype=np.int64))
+
     blocks = (
-        inv.join(F.broadcast(vocab), "s")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_set("vix")).alias("vixs"))
-        .withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
+        sh.withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)).cast("int"))
         .groupBy("blk")
-        .agg(F.collect_list(F.struct("id", "vixs")).alias("docs"))
+        .agg(F.collect_list(F.struct("id", "sh")).alias("docs"))
         # both sides of the block-pair join read this (tiny: B rows of
-        # packed arrays); cut so the bitmap build runs once, not twice
+        # packed arrays); cut so the shingle build runs once, not twice
         .localCheckpoint(eager=True)
     )
     # Upper-triangle block pairs as an EQUI-join: each block explodes its
@@ -347,33 +395,37 @@ def _ngram_jaccard_dense(
         F.col("docs").alias("docs_a"),
         F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("blk_b"),
     )
-    block_pairs = lhs.join(
-        blocks.select(F.col("blk").alias("blk_b"), F.col("docs").alias("docs_b")),
-        "blk_b",
-    ).select("blk_a", "blk_b", "docs_a", "docs_b")
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    block_pairs = (
+        lhs.join(
+            blocks.select(F.col("blk").alias("blk_b"), F.col("docs").alias("docs_b")),
+            "blk_b",
+        )
+        .select("blk_a", "blk_b", "docs_a", "docs_b")
+        # round-robin: exactly one compute-heavy pair row per task (hash
+        # partitioning on the pair key would collide pairs onto shared
+        # tasks and leave others empty — guide §2.5)
+        .repartition(n_pairs)
+    )
 
-    def to_matrix(docs) -> tuple[np.ndarray, np.ndarray, int]:
+    def to_matrix(docs) -> tuple[np.ndarray, np.ndarray]:
         ids = np.fromiter((d["id"] for d in docs), dtype=np.int64, count=len(docs))
-        width = 1 + max((int(d["vixs"][-1]) for d in docs if len(d["vixs"])), default=0)
-        mat = np.zeros((len(docs), width), dtype=np.float32)
+        mat = np.zeros((len(docs), len(vocab)), dtype=np.float32)
         for i, d in enumerate(docs):
-            mat[i, np.asarray(d["vixs"], dtype=np.int64)] = 1.0
-        return ids, mat, width
+            hs = np.asarray(d["sh"], dtype=np.int64)
+            if hs.size:
+                mat[i, np.searchsorted(vocab, hs)] = 1.0
+        return ids, mat
 
     def run(batches) -> "pd.DataFrame":
         for pdf in batches:
             for _, row in pdf.iterrows():
                 same = row["blk_a"] == row["blk_b"]
-                ids_a, mat_a, wa = to_matrix(row["docs_a"])
+                ids_a, mat_a = to_matrix(row["docs_a"])
                 if same:
-                    ids_b, mat_b, wb = ids_a, mat_a, wa
+                    ids_b, mat_b = ids_a, mat_a
                 else:
-                    ids_b, mat_b, wb = to_matrix(row["docs_b"])
-                w = max(wa, wb)
-                if wa < w:
-                    mat_a = np.pad(mat_a, ((0, 0), (0, w - wa)))
-                if wb < w:
-                    mat_b = np.pad(mat_b, ((0, 0), (0, w - wb)))
+                    ids_b, mat_b = to_matrix(row["docs_b"])
                 inter = (mat_a @ mat_b.T).astype(np.float64)
                 sz_a = mat_a.sum(axis=1, dtype=np.float64)
                 sz_b = mat_b.sum(axis=1, dtype=np.float64)

@@ -48,7 +48,14 @@ def _union_find_components(rows: list, spark) -> DataFrame:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)  # root = smaller id
-    out = [(n, find(n)) for n in parent]
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"id": list(parent), "comp": [find(n) for n in parent]}, dtype="int64"
+    )
+    # Arrow-path createDataFrame: one record batch, no pickled-row
+    # parallelize job (the row-based form cost ~0.7s of 32-task pickle
+    # scatter per call — measured r12, guide §6 Arrow-for-driver-transfers)
     return spark.createDataFrame(out, "id long, comp long")
 
 
@@ -64,23 +71,34 @@ def connected_components(
     Isolated nodes don't appear (no edges -> their component is
     themselves; union them in at the call site if needed).
 
-    Stats-dispatched like the near-dup operators: the symmetrized edge
-    count (free — the frame is already checkpointed) routes small graphs
-    (<= ``driver_max_edges`` directed edges; the 200k default costs tens
-    of MB of driver heap once Row/int boxing is counted, well inside any
-    real driver) to a driver-side union-find, and big ones to distributed
-    hash-to-min. Identical labels either way.
+    Stats-dispatched like the near-dup operators: a bounded limit-collect
+    on the materialized directed edge list (never more than
+    ``driver_max_edges``+1 rows cross to the driver, at any graph scale;
+    the 200k default costs tens of MB of driver heap once Row/int boxing
+    is counted, well inside any real driver) routes small graphs to a
+    driver-side union-find, and big ones to distributed hash-to-min —
+    which is the only path that pays the symmetrize shuffle. Identical
+    labels either way.
     """
-    sym = (
+    # Materialize the DIRECTED edge list once; the dispatch probe is a
+    # bounded limit-collect on it (r12: one job instead of the former
+    # symmetrize-shuffle + count + collect chain — union-find needs no
+    # symmetrization, and the size gate on directed edges is the same
+    # dispatch semantics at half the row count).
+    e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    probe = e.limit(driver_max_edges + 1).collect()
+    if len(probe) <= driver_max_edges:
+        return _union_find_components(
+            [(r[0], r[1]) for r in probe], edges.sparkSession
+        )
+    sym = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if sym.count() <= driver_max_edges:
-        return _union_find_components(
-            [(r[0], r[1]) for r in sym.collect()], edges.sparkSession
-        )
     labels = (
         sym.select(F.col("s").alias("id"))
         .distinct()

@@ -245,7 +245,15 @@ def embedding_neardup(
         n_docs = corpus.count()
         strategy = "exact" if n_docs <= exact_max_docs else "lsh"
         if strategy == "exact" and n_blocks is None:
-            n_blocks = _derive_n_blocks(n_docs, block_rows)
+            # parallelism-floored block derivation (r12): pair count is the
+            # matmul stage's parallelism, so small corpora get enough
+            # blocks to occupy every core; at scale the memory bound
+            # (block_rows) dominates and the count is unchanged
+            from global_stock_data_warehouse_spark.operators.dedup import (
+                _derive_pair_blocks,
+            )
+
+            n_blocks = _derive_pair_blocks(n_docs, block_rows, corpus.sparkSession)
         if strategy == "lsh" and (planes is None or tables is None):
             d_planes, d_tables = _derive_lsh_params(
                 n_docs, threshold, probe_bits=probe_bits or 0
@@ -282,71 +290,85 @@ def _embedding_neardup_exact(
     round(cos, 6) >= threshold) — fully distributed, NO driver collect.
 
     Blocked all-pairs: every vector hashes to one of ``n_blocks`` blocks;
-    the n*(n+1)/2 unordered block pairs form a tiny broadcast dim; each
-    corpus row is replicated into the block-pair groups where it plays the
-    A side (its block == pa) or the B side (its block == pb), and each
-    (pa, pb) group computes ONE |A| x |B| BLAS matmul inside
-    ``applyInPandas``, emitting only above-threshold pairs. Replication is
-    ~n_blocks x and per-task memory is O((|corpus|/n_blocks)^2 / dim)
-    scores — ``embedding_neardup`` derives n_blocks from corpus stats via
-    ``_derive_n_blocks`` so a block fits executor memory; the O(n^2)
-    score count is inherent to EXACT all-pairs (for sub-quadratic scale
-    use ``embedding_neardup_lsh``, which trades recall for candidates).
+    ONE shuffle packs each block's (id, vec) structs into a single row;
+    the n*(n+1)/2 upper-triangle block pairs are formed by an explode +
+    equi-join of the packed rows and ROUND-ROBIN repartitioned one pair
+    per task (r12: pair rows are tiny in bytes but carry the stage's
+    whole quadratic FLOP volume — the shape AQE's byte-based coalescing
+    mis-sizes; the former per-row replication join + applyInPandas
+    grouping also paid two pickled-``createDataFrame`` broadcast builds
+    per run, ~0.7 s each, now zero). Each task computes ONE |A| x |B|
+    BLAS matmul, emitting only above-threshold pairs. Per-task memory is
+    O((block_rows)^2) scores — ``embedding_neardup`` derives n_blocks so
+    a block fits executor memory; the O(n^2) score count is inherent to
+    EXACT all-pairs (for sub-quadratic scale use
+    ``embedding_neardup_lsh``, which trades recall for candidates).
     """
-    spark = corpus.sparkSession
-    src = _vecs(corpus, vec_col).select(id_col, vec_col)
-    blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int")
-    pairs_dim = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "pa int, pb int"
+    src = _vecs(corpus, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    as_a = src.withColumn("pa", blk).join(F.broadcast(pairs_dim), "pa").withColumn(
-        "side", F.lit("A")
+    blocks = (
+        src.withColumn("blk", F.pmod(F.hash(F.col("id")), F.lit(n_blocks)).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "vec")).alias("docs"))
+        # both sides of the block-pair join read this (tiny: <= n_blocks
+        # rows of packed arrays); cut so the pack shuffle runs once
+        .localCheckpoint(eager=True)
     )
-    # diagonal groups (pa == pb) self-pair from the A side alone; only
-    # off-diagonal groups need the B-side copy
-    as_b = (
-        src.withColumn("pb", blk)
-        .join(F.broadcast(pairs_dim.filter(F.col("pa") != F.col("pb"))), "pb")
-        .withColumn("side", F.lit("B"))
+    lhs = blocks.select(
+        F.col("blk").alias("blk_a"),
+        F.col("docs").alias("docs_a"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("blk_b"),
     )
-    staged = as_a.select("pa", "pb", "side", id_col, vec_col).unionByName(
-        as_b.select("pa", "pb", "side", id_col, vec_col)
-    )
-
-    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
-        {"id_a": np.int64, "id_b": np.int64, "cosine_sim": np.float64}
-    )
-
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        # each unordered cross-block pair {x, y} meets in EXACTLY one group
-        # (min(bx,by), max(bx,by)) with x and y on opposite sides, so
-        # emitting every above-threshold hit with (min_id, max_id) yields
-        # each pair once; diagonal groups self-pair (id_a < id_b dedups)
-        diag = pdf["pa"].iat[0] == pdf["pb"].iat[0]
-        a = pdf[pdf["side"] == "A"]
-        b = a if diag else pdf[pdf["side"] == "B"]
-        if a.empty or b.empty:
-            return empty
-        a_ids = a[id_col].to_numpy(dtype=np.int64)
-        b_ids = b[id_col].to_numpy(dtype=np.int64)
-        sims = _normalize(_stack(a[vec_col])) @ _normalize(_stack(b[vec_col])).T
-        rounded = np.round(sims, 6)
-        mask = rounded >= threshold
-        if diag:
-            mask &= a_ids[:, None] < b_ids[None, :]
-        ai, bj = np.nonzero(mask)
-        if ai.size == 0:
-            return empty
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(a_ids[ai], b_ids[bj]),
-                "id_b": np.maximum(a_ids[ai], b_ids[bj]),
-                "cosine_sim": rounded[ai, bj],
-            }
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    block_pairs = (
+        lhs.join(
+            blocks.select(F.col("blk").alias("blk_b"), F.col("docs").alias("docs_b")),
+            "blk_b",
         )
+        .select("blk_a", "blk_b", "docs_a", "docs_b")
+        # round-robin: one compute-heavy pair row per task (hashing the
+        # pair key would collide pairs onto shared tasks — guide §2.5)
+        .repartition(n_pairs)
+    )
 
-    return staged.groupBy("pa", "pb").applyInPandas(
-        score, schema="id_a long, id_b long, cosine_sim double"
+    def unpack(docs) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.fromiter((d["id"] for d in docs), dtype=np.int64, count=len(docs))
+        return ids, _normalize(np.stack([np.asarray(d["vec"], dtype=np.float64) for d in docs]))
+
+    def run(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                # each unordered cross-block pair {x, y} meets in EXACTLY
+                # one pair row (min(bx,by), max(bx,by)), so emitting every
+                # above-threshold hit with (min_id, max_id) yields each
+                # pair once; diagonal rows self-pair (id_a < id_b dedups)
+                diag = row["blk_a"] == row["blk_b"]
+                a_ids, a_mat = unpack(row["docs_a"])
+                if diag:
+                    b_ids, b_mat = a_ids, a_mat
+                else:
+                    b_ids, b_mat = unpack(row["docs_b"])
+                if a_ids.size == 0 or b_ids.size == 0:
+                    continue
+                sims = a_mat @ b_mat.T
+                rounded = np.round(sims, 6)
+                mask = rounded >= threshold
+                if diag:
+                    mask &= a_ids[:, None] < b_ids[None, :]
+                ai, bj = np.nonzero(mask)
+                if ai.size == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.minimum(a_ids[ai], b_ids[bj]),
+                        "id_b": np.maximum(a_ids[ai], b_ids[bj]),
+                        "cosine_sim": rounded[ai, bj],
+                    }
+                )
+
+    return block_pairs.mapInPandas(
+        run, schema="id_a long, id_b long, cosine_sim double"
     )
 
 

@@ -97,3 +97,33 @@ def salted_agg(
             raise ValueError(f"salted_agg: non-algebraic fn {fn!r}")
     part = salted.groupBy(*keys, "_salt").agg(*phase1)
     return part.groupBy(*keys).agg(*merge)
+
+
+def fan_scan(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Parallelism floor for CPU-heavy per-row chains (tokenize, regex,
+    codecs, distance functions): when the upstream plan yields FEWER
+    partitions than the session's parallelism — a single small parquet
+    file, a one-row-group input, a coalesced intermediate — fan it out to
+    ``defaultParallelism * multiplier`` with a round-robin exchange so the
+    chain runs on every core instead of one.
+
+    At scale this is a structural NO-OP: a 100 TB scan arrives in
+    thousands of splits (>= cores) and the input df is returned untouched,
+    so no query pays an extra exchange where the scan already parallelizes.
+    The guard is derived from the actual physical partitioning (guide §2:
+    scale-adaptive partitioning, never a constant), which also makes the
+    fan idempotent — a chain that already fanned upstream skips it.
+
+    Round-robin (no key) gives perfectly balanced partitions; Spark's
+    sort-before-repartition keeps task retries deterministic. Only use
+    ahead of ORDER-INSENSITIVE work (per-row maps, integer/min-max
+    aggregates, keyed windows with total ordering): a float SUM whose
+    partial-aggregation grouping changes is not bit-stable across
+    partitionings.
+    """
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism * max(1, multiplier)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -233,10 +233,14 @@ def test_embedding_neardup_auto_dispatch(spark):
     lsh_routed = embedding_neardup(
         vecs, threshold=0.95, strategy="auto", exact_max_docs=2
     )
-    # the exact path groups block-pairs through applyInPandas; the LSH path
-    # has no grouped pandas stage — the plans are distinguishable
-    assert "FlatMapGroupsInPandas" in exact_plan._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" not in lsh_routed._jdf.queryExecution().executedPlan().toString()
+    # the exact path runs packed block-pairs through its mapInPandas
+    # scorer `run` (r12: formerly applyInPandas/FlatMapGroupsInPandas);
+    # the LSH path's pandas stage is the `add_buckets` bucketer — the
+    # executed plans name their Python stages, so they are distinguishable
+    exact_str = exact_plan._jdf.queryExecution().executedPlan().toString()
+    lsh_str = lsh_routed._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas run(" in exact_str and "add_buckets(" not in exact_str
+    assert "add_buckets(" in lsh_str and "MapInPandas run(" not in lsh_str
     # LSH keeps precision (exact verify step): results are a subset of exact
     exact_pairs = {(r.id_a, r.id_b) for r in exact_plan.collect()}
     lsh_pairs = {(r.id_a, r.id_b) for r in lsh_routed.collect()}

@@ -87,13 +87,10 @@ def test_cc_dispatch_boundary_equivalence(spark, monkeypatch):
     pairs = list({(rng.randrange(40), rng.randrange(40)) for _ in range(60)})
     pairs = [(a, b) for a, b in pairs if a != b]
     e = _edges(spark, pairs)
-    # symmetrized-distinct count is the dispatch statistic
-    sym_n = (
-        e.selectExpr("id_a s", "id_b d")
-        .union(e.selectExpr("id_b s", "id_a d"))
-        .distinct()
-        .count()
-    )
+    # r12: the dispatch statistic is the DIRECTED edge count (the probe is
+    # a bounded limit-collect on the materialized edge list; union-find
+    # needs no symmetrization)
+    sym_n = len(pairs)
 
     calls = []
     real_uf = g._union_find_components
@@ -122,14 +119,15 @@ def test_cc_dispatch_boundary_equivalence(spark, monkeypatch):
 
 
 def test_cc_200k_edge_crossover_takes_distributed_path(spark, monkeypatch):
-    """The DEFAULT crossover, exercised for real: 100,001 disjoint-pair
-    undirected edges symmetrize to 200,002 directed edges — one over the
-    200,000 default — so the distributed hash-to-min must run (spy
-    asserts the driver union-find is never invoked) and its labels must
-    equal the driver path's on the identical graph."""
+    """The DEFAULT crossover, exercised for real: 200,001 disjoint-pair
+    directed edges — one over the 200,000 default cap (r12: the gate
+    statistic is the directed edge count) — so the distributed
+    hash-to-min must run (spy asserts the driver union-find is never
+    invoked) and its labels must equal the driver path's on the
+    identical graph."""
     import global_stock_data_warehouse_spark.operators.graph as g
 
-    n_pairs = 100_001
+    n_pairs = 200_001
     e = spark.range(n_pairs).selectExpr(
         "id * 2 as id_a", "id * 2 + 1 as id_b"
     )
@@ -145,7 +143,7 @@ def test_cc_200k_edge_crossover_takes_distributed_path(spark, monkeypatch):
 
     dist = g.connected_components(e)  # default driver_max_edges=200_000
     dist_rows = {r.id: r.comp for r in dist.collect()}
-    assert calls == []  # distributed path taken at 200,002 > 200,000
+    assert calls == []  # distributed path taken at 200,001 > 200,000
     assert len(dist_rows) == 2 * n_pairs
     # every pair labels to its even (min) node
     assert all(
@@ -160,7 +158,7 @@ def test_cc_200k_edge_crossover_takes_distributed_path(spark, monkeypatch):
             e, driver_max_edges=300_000
         ).collect()
     }
-    assert calls and calls[0] == 200_002
+    assert calls and calls[0] == n_pairs
     assert drv == dist_rows
 
 
