@@ -2057,7 +2057,14 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    store = minhash_store(docs.filter(F.col("doc_id") % 3 == 0))
+    # materialize the ledger once (r12): the probe reads the store frame
+    # three times (param guard, bucket join, band-0 signature lookup) —
+    # against the REAL contract (a persisted parquet ledger) those are
+    # three pruned scans, so the entry simulates the ledger with one
+    # eager checkpoint instead of re-running the signature kernel 3x
+    store = minhash_store(docs.filter(F.col("doc_id") % 3 == 0)).localCheckpoint(
+        eager=True
+    )
     batch = docs.filter(F.col("doc_id") % 3 != 0)
     return incremental_minhash_dedup(batch, store, threshold=0.5).orderBy("doc_id")
 

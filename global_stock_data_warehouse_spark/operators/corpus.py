@@ -46,6 +46,19 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Parallelism floor for the CPU-heavy tokenize/gram/hash chains of
+    this module: a single-file scan yields one task and serializes the
+    chain on one core. Structural no-op once the scan yields >=
+    core-count partitions — see skew.fan_scan. Only used ahead of
+    order-insensitive work (per-row outputs, integer/fixed-point/min/max
+    aggregates, or EPS-compared float-log sums whose tolerance dwarfs
+    reorder drift)."""
+    from global_stock_data_warehouse_spark.operators.skew import fan_scan
+
+    return fan_scan(df)
+
+
 def word_ngrams(toks: Column, n: int) -> Column:
     """Sliding word n-grams (space-joined) from a token array; docs shorter
     than ``n`` tokens yield an empty array.
@@ -90,12 +103,14 @@ def decontaminate(
     # ``train_tokens_col`` reuses a pre-materialized token array (the
     # plans/llm_gold.py single-tokenize contract) instead of re-splitting.
     t_toks = F.col(train_tokens_col) if train_tokens_col else tokens(text_col)
-    t_grams = train.select(
+    t_src = train.select(id_col, train_tokens_col or text_col)
+    t_grams = _fan(t_src).select(
         id_col,
         F.explode(F.array_distinct(word_ngrams(t_toks, n))).alias("gram"),
     )
     e_grams = (
-        eval_set.select(F.explode(word_ngrams(tokens(text_col), n)).alias("gram"))
+        _fan(eval_set.select(text_col))
+        .select(F.explode(word_ngrams(tokens(text_col), n)).alias("gram"))
         .distinct()
     )
     hits = (
@@ -264,7 +279,12 @@ def duplicate_spans(
     millions of docs while ``n_docs`` keeps the true spread. The span
     explode runs twice (once per phase) — map-side recomputation, cheaper
     at scale than materializing the exploded corpus."""
-    spans = df.select(
+    from global_stock_data_warehouse_spark.operators.skew import fan_scan
+
+    # tokenize + span explode runs twice (once per phase), inside the
+    # scanning tasks: floor the parallelism at the core count
+    # (structural no-op at scale — see fan_scan)
+    spans = fan_scan(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(tokens(text_col), n))).alias("span"),
     )
@@ -628,7 +648,9 @@ def ngram_topk(
     partial aggregation before the single shuffle; (count DESC, gram ASC)
     is a total order, so top-k is deterministic and compiles to
     TakeOrderedAndProject."""
-    grams = df.select(F.explode(word_ngrams(tokens(text_col), n)).alias("gram"))
+    grams = _fan(df.select(text_col)).select(
+        F.explode(word_ngrams(tokens(text_col), n)).alias("gram")
+    )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     return (
         counts.filter(F.col("n") >= min_count)
@@ -665,7 +687,9 @@ def unigram_logprob(
     comparison carries a one-last-digit epsilon (EPS_QUERIES) instead of
     bit equality.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    toks = _fan(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("n_total"))
     vocab = counts.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(vocab_size)
@@ -780,7 +804,9 @@ def ngram_topk_sketch(
     """
     import pandas as pd
 
-    grams = df.select(F.explode(word_ngrams(tokens(text_col), n)).alias("gram"))
+    grams = _fan(df.select(text_col)).select(
+        F.explode(word_ngrams(tokens(text_col), n)).alias("gram")
+    )
 
     def _candidates(batches):
         counts = pd.Series(dtype="int64")
@@ -854,9 +880,15 @@ def remove_duplicate_spans(
     # checkpointed — at corpus scale re-exploding from the token arrays
     # is cheaper than materializing n_spans rows (same trade as
     # duplicate_spans).
-    toks = df.select(F.col(id_col), tokens(text_col).alias("t")).localCheckpoint(
-        eager=True
-    )
+    from global_stock_data_warehouse_spark.operators.skew import fan_scan
+
+    # fan BEFORE the checkpoint: the tokenize pass parallelizes AND the
+    # checkpointed frame keeps >= core-count partitions, so every
+    # downstream explode/join inherits the parallelism (a 1-partition
+    # checkpoint serializes the whole pipeline after it)
+    toks = fan_scan(df.select(id_col, text_col)).select(
+        F.col(id_col), tokens(text_col).alias("t")
+    ).localCheckpoint(eager=True)
     span_key = F.xxhash64("span") if hash_spans else F.col("span")
     # the raw span string is dead once the key exists — select it away so
     # the span-stats shuffle and the join carry ONE key column, not the
@@ -969,7 +1001,9 @@ def source_kl_divergence(
     mirror compares this query under EPS, not the hash.
     """
     counts = (
-        df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t"))
+        _fan(df.select(group_col, text_col)).select(
+            F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t")
+        )
         .groupBy("grp", "t")
         .agg(F.count(F.lit(1)).alias("n_gt"))
         .localCheckpoint(eager=True)
@@ -1012,7 +1046,9 @@ def source_overlap_exact(
     counts + one division -> bit-exact across engines.
     """
     items = (
-        df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t"))
+        _fan(df.select(group_col, text_col)).select(
+            F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t")
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1074,7 +1110,9 @@ def source_overlap_kmv(
 
     w = Window.partitionBy("grp").orderBy("h")
     sketches = (
-        df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t"))
+        _fan(df.select(group_col, text_col)).select(
+            F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t")
+        )
         .select("grp", F.xxhash64("t").alias("h"))
         .distinct()
         .withColumn("_rn", F.row_number().over(w))
@@ -1129,7 +1167,7 @@ def collocations(
     globally.
     """
     w = Window.partitionBy(id_col).orderBy("pos")
-    toks = df.select(
+    toks = _fan(df.select(id_col, text_col)).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )
     leads = toks.select(
@@ -1231,7 +1269,9 @@ def source_chi2_drift(
     the oracle twin.
     """
     counts = (
-        df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t"))
+        _fan(df.select(group_col, text_col)).select(
+            F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t")
+        )
         .groupBy("grp", "t")
         .agg(F.count(F.lit(1)).alias("n_gt"))
         .localCheckpoint(eager=True)
@@ -1284,7 +1324,9 @@ def unigram_prob_score(
     exact-integer division. Same plan as the original: tiny vocab + total
     broadcast, corpus tokens re-derived map-side, one doc-keyed shuffle.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    toks = _fan(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("n_total"))
     vocab = counts.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(vocab_size)
@@ -1312,14 +1354,31 @@ def _hashed_gram_buckets(
     """(id, bucket) row per unigram+bigram instance — the hashed n-gram
     bag-of-features of DSIR (Xie et al., NeurIPS 2023). md5-derived
     buckets, not xxhash64, so any engine reproduces the feature map."""
+    return _hashed_gram_arrays(df, text_col, id_col, n_buckets).select(
+        F.col(id_col), F.explode("_bkts").alias("_bkt")
+    )
+
+
+def _hashed_gram_arrays(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, _bkts) with the doc's hashed-gram bucket ids packed as one
+    bigint ARRAY — the kernel-run boundary of the DSIR feature map: the
+    tokenize + per-gram md5 chain is the CPU wall, so a caller that needs
+    the gram stream more than once should checkpoint THIS frame (bytes ~
+    8B/gram, comparable to the text itself — never the exploded gram
+    rows) and explode per consumer. Fanned to the core count (structural
+    no-op at scale — see fan_scan)."""
+    from global_stock_data_warehouse_spark.operators.skew import fan_scan
+
     toks = tokens(text_col)
     grams = F.concat(toks, word_ngrams(toks, 2))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("_g").cast("binary")), 1, 8), 16, 10)
-        .cast("bigint") % n_buckets
+    bucket_of = lambda g: (  # noqa: E731
+        F.conv(F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
     )
-    return df.select(F.col(id_col), F.explode(grams).alias("_g")).select(
-        F.col(id_col), bucket.alias("_bkt")
+    return fan_scan(df.select(id_col, text_col)).select(
+        F.col(id_col), F.transform(grams, bucket_of).alias("_bkts")
     )
 
 
@@ -1362,14 +1421,20 @@ def dsir_weights(
     Seeded reproducibility without ``rand()``'s engine/partition
     nondeterminism.
     """
+    # the raw pool's gram stream has TWO consumers (model fit + scoring
+    # pass): materialize its packed bucket ARRAYS once (r12 — one
+    # tokenize+md5 kernel run, bytes ~ 8B/gram; the exploded gram ROWS
+    # stay unmaterialized) and explode per consumer. The target side has
+    # one consumer and stays a pure stream.
+    raw_arrays = _hashed_gram_arrays(raw, text_col, id_col, n_buckets).localCheckpoint(
+        eager=True
+    )
+    raw_grams = raw_arrays.select(F.col(id_col), F.explode("_bkts").alias("_bkt"))
     tb = (
         _hashed_gram_buckets(target, text_col, id_col, n_buckets)
         .groupBy("_bkt").agg(F.count(F.lit(1)).alias("_ct"))
     )
-    rb = (
-        _hashed_gram_buckets(raw, text_col, id_col, n_buckets)
-        .groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cr"))
-    )
+    rb = raw_grams.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cr"))
     nt = tb.agg(F.sum("_ct").alias("_nt"))
     nr = rb.agg(F.sum("_cr").alias("_nr"))
     pt = (F.coalesce(F.col("_ct"), F.lit(0)) + 1) / (F.col("_nt") + F.lit(n_buckets))
@@ -1385,7 +1450,7 @@ def dsir_weights(
         )
     )
     scores = (
-        _hashed_gram_buckets(raw, text_col, id_col, n_buckets)
+        raw_grams
         .join(F.broadcast(model), "_bkt")
         .groupBy(id_col)
         .agg(
@@ -1762,7 +1827,7 @@ def term_class_chi2(
     # leaving NULL-source docs inside N but outside every class — a
     # quiet chi2 distortion. One filter makes the contract uniform.
     df = df.filter(F.col(class_col).isNotNull())
-    pres = df.select(
+    pres = _fan(df.select(class_col, text_col)).select(
         F.col(class_col).alias("cls"),
         F.explode(F.array_distinct(tokens(text_col))).alias("term"),
     )
@@ -1846,7 +1911,7 @@ def bloom_gram_bitmap(
     ``xxhash64(gram, seed_i) mod m`` (independent per seed column)."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
-    grams = docs.select(
+    grams = _fan(docs.select(text_col)).select(
         F.explode(word_ngrams(tokens(text_col), n)).alias("gram")
     )
     positions = grams.select(
@@ -1899,7 +1964,7 @@ def bloom_decontaminate(
     property vs the exact path is pytest-enforced."""
     bitmap = bloom_gram_bitmap(eval_set, n, m_bits, k_hashes, text_col)
     t_toks = F.col(train_tokens_col) if train_tokens_col else tokens(text_col)
-    probe = train.select(
+    probe = _fan(train.select(id_col, train_tokens_col or text_col)).select(
         id_col,
         F.explode(F.array_distinct(word_ngrams(t_toks, n))).alias("gram"),
     )
@@ -1973,7 +2038,7 @@ def bigram_prob_score(
     (slice+transform, no self-join, no window); the two model frames are
     re-aggregations of that stream; scoring is two broadcast left joins
     + one doc-keyed shuffle."""
-    grams = df.select(
+    grams = _fan(df.select(id_col, text_col)).select(
         F.col(id_col), tokens(text_col).alias("_t")
     ).select(
         id_col,

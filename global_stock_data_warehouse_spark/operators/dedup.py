@@ -488,7 +488,13 @@ def minhash_signatures(
     import numpy as np
     import pandas as pd
 
-    hashed = df.select(
+    from global_stock_data_warehouse_spark.operators.skew import fan_scan
+
+    # tokenize -> shingle -> hash -> numpy minhash is the CPU wall of the
+    # whole LSH pipeline and runs inside the scanning task: floor its
+    # parallelism at the session's core count (structural no-op at scale
+    # — see fan_scan), shuffling only the two columns the kernel reads
+    hashed = fan_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.transform(shingles(text_col, ngram), lambda s: F.xxhash64(s)).alias("hs"),
     )
@@ -774,7 +780,12 @@ def simhash_signatures(
     import numpy as np
     import pandas as pd
 
-    hashed = df.select(
+    from global_stock_data_warehouse_spark.operators.skew import fan_scan
+
+    # same parallelism floor as minhash_signatures: the tokenize+hash
+    # chain and the per-bit majority kernel otherwise run inside however
+    # few tasks the scan yields (one, for a single-file input)
+    hashed = fan_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs"),
     )
@@ -1072,10 +1083,19 @@ def record_linkage(
                 "null/default key) instead of launching a runaway quadratic. "
                 "Pass max_block_rows=None to explicitly opt out."
             )
-    left = df.select(
-        *[F.col(c).alias(f"b_{c}") for c in block_cols],
-        F.col(id_col).alias("id_a"),
-        F.col(name_col).alias("name_a"),
+    from global_stock_data_warehouse_spark.operators.skew import fan_scan
+
+    # The banded-DP Levenshtein in the join condition is the CPU wall and
+    # runs in the STREAM side's tasks (the build side broadcasts): floor
+    # the stream side's parallelism at the core count so a single-file
+    # input doesn't serialize the whole quadratic onto one task
+    # (structural no-op at scale — see fan_scan).
+    left = fan_scan(
+        df.select(
+            *[F.col(c).alias(f"b_{c}") for c in block_cols],
+            F.col(id_col).alias("id_a"),
+            F.col(name_col).alias("name_a"),
+        )
     )
     right = df.select(
         *[F.col(c).alias(f"b_{c}") for c in block_cols],
@@ -1167,24 +1187,23 @@ def incremental_dedup(
     )
 
 
-def _banded_signatures(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_hashes: int,
-    bands: int,
-    ngram: int,
+def _packed_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, ngram: int
 ) -> DataFrame:
-    """(id, sig, band, bucket) banded-LSH frame — the shared layout of
-    the batch path (``minhash_neardup``) and the incremental store/probe
-    pair below. Signatures are map-side (``minhash_signatures``); the
-    band explode is the only fan-out (x``bands``). Docs with zero
-    shingles emit no row."""
-    r = num_hashes // bands
+    """(id, sig) with the signature packed as one array — the kernel-run
+    boundary: everything downstream of this frame is cheap JVM array
+    slicing, so a caller that needs the signatures more than once should
+    checkpoint HERE (one kernel run) rather than any exploded frame."""
     sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
-    packed = sig.select(
+    return sig.select(
         "id", F.array(*[F.col(f"mh{k}") for k in range(num_hashes)]).alias("sig")
     )
+
+
+def _band_explode(packed: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig, band, bucket) from a packed-signature frame — the
+    x``bands`` fan-out, pure codegen (xxhash64 over array slices)."""
+    r = num_hashes // bands
     return packed.select(
         "id",
         "sig",
@@ -1201,6 +1220,26 @@ def _banded_signatures(
         ).alias("bb"),
     ).select(
         "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    ngram: int,
+) -> DataFrame:
+    """(id, sig, band, bucket) banded-LSH frame — the shared layout of
+    the batch path (``minhash_neardup``) and the incremental store/probe
+    pair below. Signatures are map-side (``minhash_signatures``); the
+    band explode is the only fan-out (x``bands``). Docs with zero
+    shingles emit no row."""
+    return _band_explode(
+        _packed_signatures(df, text_col, id_col, num_hashes, ngram),
+        num_hashes,
+        bands,
     )
 
 
@@ -1293,14 +1332,19 @@ def incremental_minhash_dedup(
             f"num_hashes={num_hashes}: the ledger was built with different "
             "parameters; rebuild it or probe with the store's parameters"
         )
-    banded = _banded_signatures(batch, text_col, id_col, num_hashes, bands, ngram)
-    b_sig = banded.filter(F.col("band") == 0).select("id", "sig").localCheckpoint(
-        eager=True
-    )
+    # Checkpoint at the PACKED level (r12): the signature kernel
+    # (tokenize -> shingle hash -> numpy minhash) runs exactly ONCE for
+    # the batch; b_sig IS that frame (band 0 of the explode is the packed
+    # row) and b_band derives from it by pure codegen band-slicing —
+    # formerly each checkpoint re-ran the kernel.
+    b_sig = _packed_signatures(
+        batch, text_col, id_col, num_hashes, ngram
+    ).localCheckpoint(eager=True)
     spark = batch.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     b_band = (
-        banded.select("id", "band", "bucket")
+        _band_explode(b_sig, num_hashes, bands)
+        .select("id", "band", "bucket")
         .repartition(n_shuffle, "band", "bucket")
         .localCheckpoint(eager=True)
     )

@@ -516,10 +516,15 @@ def _k_core_driver(rows: list, k: int, spark, node_type: str) -> DataFrame:
     for a, b in und:
         out[a] = out.get(a, 0) + 1
         out[b] = out.get(b, 0) + 1
-    df = spark.createDataFrame(
-        sorted(out.items(), key=lambda t: (-t[1], t[0])),
-        schema=f"node {node_type}, core_degree bigint",
+    import pandas as pd
+
+    items = sorted(out.items(), key=lambda t: (-t[1], t[0]))
+    # Arrow-path createDataFrame (r12): one record batch, no pickled-row
+    # parallelize job — same as _union_find_components
+    pdf = pd.DataFrame(
+        {"node": [n for n, _ in items], "core_degree": [d for _, d in items]}
     )
+    df = spark.createDataFrame(pdf, schema=f"node {node_type}, core_degree bigint")
     return df.orderBy(F.col("core_degree").desc(), F.col("node").asc())
 
 
@@ -556,9 +561,13 @@ def k_core(
     overhead); big ones run the distributed loop.
     """
     und = _canonical_undirected(edges, src, dst)
-    if und.count() <= driver_max_edges:
+    # bounded limit-collect probe (r12, same shape as connected_components):
+    # one job decides the dispatch AND delivers the driver path's input —
+    # never more than driver_max_edges+1 rows cross to the driver
+    probe = und.limit(driver_max_edges + 1).collect()
+    if len(probe) <= driver_max_edges:
         return _k_core_driver(
-            [(r[0], r[1]) for r in und.collect()],
+            [(r[0], r[1]) for r in probe],
             k,
             edges.sparkSession,
             und.schema["a"].dataType.simpleString(),

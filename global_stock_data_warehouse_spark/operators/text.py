@@ -152,7 +152,8 @@ def chunk_documents(
     last_start = F.when(n > chunk_tokens, ((n - F.lit(overlap) - 1) / stride).cast("long") * stride + 1).otherwise(F.lit(1))
     starts = F.sequence(F.lit(1).cast("long"), last_start.cast("long"), F.lit(stride).cast("long"))
     return (
-        df.select(F.col(id_col), toks.alias("_toks"), F.posexplode(starts).alias("chunk_idx", "_start"))
+        _fan(df.select(id_col, text_col))
+        .select(F.col(id_col), toks.alias("_toks"), F.posexplode(starts).alias("chunk_idx", "_start"))
         .select(
             id_col,
             "chunk_idx",
@@ -184,7 +185,9 @@ def winnow_fingerprints(
     transform lambdas reference a bound column, not a re-evaluated
     subexpression (inlining the split inside the lambda makes codegen
     re-tokenize per element — O(n^2))."""
-    stage = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    stage = _fan(df.select(id_col, text_col)).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
     m = F.size("_toks") - (k - 1)  # number of shingles
     stage = stage.select(
         id_col,
@@ -205,6 +208,20 @@ def winnow_fingerprints(
     return stage.select(F.col(id_col), F.explode(fp).alias("fingerprint"))
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Parallelism floor for the CPU-heavy per-row text batteries
+    (regex tokenize, per-gram hashing, per-bit/char scans): a single-file
+    scan yields one task and serializes the whole battery on one core.
+    Structural no-op once the scan yields >= core-count partitions (100 TB
+    inputs arrive in thousands of splits) — see skew.fan_scan.  Only
+    applied ahead of order-insensitive work: per-row outputs and integer/
+    min/max aggregates, never float sums whose partial-agg grouping the
+    repartition would change."""
+    from global_stock_data_warehouse_spark.operators.skew import fan_scan
+
+    return fan_scan(df)
+
+
 def text_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -221,7 +238,7 @@ def text_stats(
     filters on the stats and then needs the text avoids a corpus-wide
     join back onto the source (one exchange instead of two)."""
     toks = F.col(tokens_col) if tokens_col else None
-    return df.select(
+    return _fan(df).select(
         F.col(id_col),
         *[F.col(c) for c in passthrough],
         char_count(text_col).alias("n_chars_actual"),
@@ -251,7 +268,9 @@ def repetition_stats(
     at corpus scale this beats per-row O(len^2) array self-counting."""
     # tokens bound to a column first — inlining the split inside the
     # transform lambda re-tokenizes per element (O(len^2) codegen)
-    staged = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    staged = _fan(df.select(id_col, text_col)).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
     m = F.size("_toks") - (n - 1)
     grams = F.when(
         m >= 1,
@@ -371,7 +390,7 @@ def gopher_quality_flags(
         n_lines > 0, _fx(n_ell_lines * 1.0 / safe_lines)
     ).otherwise(F.lit(0.0))
 
-    out = df.select(
+    out = _fan(df.select(id_col, text_col)).select(
         F.col(id_col),
         n_words.alias("n_words"),
         mean_word_len.alias("mean_word_len"),
@@ -428,7 +447,7 @@ def lang_confusion(
     """
     declared = F.coalesce(F.col(lang_col), F.lit("und"))
     return (
-        df.groupBy(
+        _fan(df.select(lang_col, text_col)).groupBy(
             declared.alias("declared"),
             lang_id(text_col).alias("detected"),
         )

@@ -60,7 +60,15 @@ def llm_gold_pipeline(
     # consumer reuses them (tokens_col hooks). At cluster scale this
     # checkpoint would be a parquet stage dir; the trade is ~2x bytes
     # held once vs 3x tokenize CPU re-run per consumer.
-    toked = docs.select(
+    from ..operators.skew import fan_scan
+
+    # fan BEFORE the tokenize+checkpoint (r12): the regex-tokenize pass
+    # parallelizes and the checkpointed frame keeps >= core-count
+    # partitions, so text_stats, the gram joins, and the near-dup
+    # shingle build all inherit the parallelism instead of running in
+    # however few tasks the scan yields (structural no-op at scale —
+    # see fan_scan)
+    toked = fan_scan(docs.select(id_col, "text")).select(
         F.col(id_col), F.col("text"), tokens("text").alias("_toks")
     ).localCheckpoint(eager=True)
     st = text_stats(toked, tokens_col="_toks")
