@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from global_stock_data_warehouse_spark.operators.corpus import _fx_floor
+from global_stock_data_warehouse_spark.operators.skew import fan_scan
 from global_stock_data_warehouse_spark.operators.text import tokens
 
 
@@ -60,19 +61,39 @@ def _class_token_counts(
     total. The vocabulary is chosen corpus-wide (count desc, token asc —
     deterministic), NOT per class, so every class scores over the same
     feature set."""
-    toks = df.select(
+    # Parallelism floor (guide §2.5 input skew): a single-file corpus scan
+    # yields ONE task, and every broadcast-build consumer (vocab, votes,
+    # class_stats) re-derives this tokenize chain inside its own 1-task
+    # job — the whole training pass serialized on one core. Fanning the
+    # doc frame (tiny rows) parallelizes every re-derivation; counts and
+    # fixed-point vote sums are order-insensitive, and the one float
+    # consumer (nb_self_loglik's ln-sum) is EPS-compared by design.
+    toks = fan_scan(df).select(
         F.col(id_col), F.col(label_col), F.explode(tokens(text_col)).alias("tok")
     )
+    # ONE training pass over the corpus (guide §2.4): aggregate straight
+    # to per-(token, class) counts — map-side partials absorb the token
+    # stream — then derive everything else from that bounded table:
+    # corpus-wide token totals (vocab ranking) are its per-token sums,
+    # the in-vocab restriction is a broadcast join of two aggregates, and
+    # per-class totals are its per-class sums. The r11 shape paid a
+    # separate tokenize -> shuffle pass for the vocab ranking AND
+    # re-executed the tokenize -> vocab-join -> count lineage inside
+    # every broadcast build that referenced ctc/class_stats (votes,
+    # classes, n_classes — four ~1 s token-level jobs in the r12
+    # profile). ctc is <= vocab_size x C rows — localCheckpoint cuts the
+    # lineage so every consumer reads the 1e3-row table, not the corpus.
+    # All counts are integers: identical under any partitioning.
+    all_ctc = toks.groupBy("tok", label_col).agg(F.count(F.lit(1)).alias("ctc"))
     vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
+        all_ctc.groupBy("tok")
+        .agg(F.sum("ctc").alias("c"))
         .orderBy(F.col("c").desc(), F.col("tok").asc())
         .limit(vocab_size)
         .select("tok")
     )
-    vtoks = toks.join(broadcast(vocab), "tok")
-    ctc = vtoks.groupBy("tok", label_col).agg(F.count(F.lit(1)).alias("ctc"))
-    class_stats = vtoks.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_c"))
+    ctc = all_ctc.join(broadcast(vocab), "tok").localCheckpoint(eager=True)
+    class_stats = ctc.groupBy(label_col).agg(F.sum("ctc").alias("n_c"))
     return toks, ctc, class_stats
 
 
