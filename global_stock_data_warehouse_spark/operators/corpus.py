@@ -53,7 +53,16 @@ def _fan(df: DataFrame) -> DataFrame:
     core-count partitions — see skew.fan_scan. Only used ahead of
     order-insensitive work (per-row outputs, integer/fixed-point/min/max
     aggregates, or EPS-compared float-log sums whose tolerance dwarfs
-    reorder drift)."""
+    reorder drift).
+
+    Site policy (r12, A/B-measured per call site at sf0.1): the fan pays
+    off where the chain is re-derived by several consumers/broadcast
+    builds or feeds an Arrow kernel (decontaminate, bloom bitmap/probe,
+    duplicate_spans); a SINGLE tokenize -> map-side-partial-agg pass is
+    cheaper un-fanned — the exchange + stage sync costs more than the
+    one-core partial-agg saves — so those sites call the chain directly.
+    Either way the plan is identical at 100 TB (the fan is a structural
+    no-op once the scan yields >= core-count splits)."""
     from global_stock_data_warehouse_spark.operators.skew import fan_scan
 
     return fan_scan(df)
@@ -648,7 +657,7 @@ def ngram_topk(
     partial aggregation before the single shuffle; (count DESC, gram ASC)
     is a total order, so top-k is deterministic and compiles to
     TakeOrderedAndProject."""
-    grams = _fan(df.select(text_col)).select(
+    grams = df.select(text_col).select(
         F.explode(word_ngrams(tokens(text_col), n)).alias("gram")
     )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
@@ -687,7 +696,7 @@ def unigram_logprob(
     comparison carries a one-last-digit epsilon (EPS_QUERIES) instead of
     bit equality.
     """
-    toks = _fan(df.select(id_col, text_col)).select(
+    toks = df.select(id_col, text_col).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
@@ -804,7 +813,7 @@ def ngram_topk_sketch(
     """
     import pandas as pd
 
-    grams = _fan(df.select(text_col)).select(
+    grams = df.select(text_col).select(
         F.explode(word_ngrams(tokens(text_col), n)).alias("gram")
     )
 
@@ -1001,7 +1010,7 @@ def source_kl_divergence(
     mirror compares this query under EPS, not the hash.
     """
     counts = (
-        _fan(df.select(group_col, text_col)).select(
+        df.select(group_col, text_col).select(
             F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t")
         )
         .groupBy("grp", "t")
@@ -1110,7 +1119,7 @@ def source_overlap_kmv(
 
     w = Window.partitionBy("grp").orderBy("h")
     sketches = (
-        _fan(df.select(group_col, text_col)).select(
+        df.select(group_col, text_col).select(
             F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t")
         )
         .select("grp", F.xxhash64("t").alias("h"))
@@ -1167,7 +1176,7 @@ def collocations(
     globally.
     """
     w = Window.partitionBy(id_col).orderBy("pos")
-    toks = _fan(df.select(id_col, text_col)).select(
+    toks = df.select(id_col, text_col).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )
     leads = toks.select(
@@ -1269,7 +1278,7 @@ def source_chi2_drift(
     the oracle twin.
     """
     counts = (
-        _fan(df.select(group_col, text_col)).select(
+        df.select(group_col, text_col).select(
             F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t")
         )
         .groupBy("grp", "t")
@@ -1324,7 +1333,7 @@ def unigram_prob_score(
     exact-integer division. Same plan as the original: tiny vocab + total
     broadcast, corpus tokens re-derived map-side, one doc-keyed shuffle.
     """
-    toks = _fan(df.select(id_col, text_col)).select(
+    toks = df.select(id_col, text_col).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
@@ -1367,17 +1376,14 @@ def _hashed_gram_arrays(
     tokenize + per-gram md5 chain is the CPU wall, so a caller that needs
     the gram stream more than once should checkpoint THIS frame (bytes ~
     8B/gram, comparable to the text itself — never the exploded gram
-    rows) and explode per consumer. Fanned to the core count (structural
-    no-op at scale — see fan_scan)."""
-    from global_stock_data_warehouse_spark.operators.skew import fan_scan
-
+    rows) and explode per consumer."""
     toks = tokens(text_col)
     grams = F.concat(toks, word_ngrams(toks, 2))
     bucket_of = lambda g: (  # noqa: E731
         F.conv(F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10).cast("bigint")
         % n_buckets
     )
-    return fan_scan(df.select(id_col, text_col)).select(
+    return df.select(id_col, text_col).select(
         F.col(id_col), F.transform(grams, bucket_of).alias("_bkts")
     )
 
@@ -1827,7 +1833,7 @@ def term_class_chi2(
     # leaving NULL-source docs inside N but outside every class — a
     # quiet chi2 distortion. One filter makes the contract uniform.
     df = df.filter(F.col(class_col).isNotNull())
-    pres = _fan(df.select(class_col, text_col)).select(
+    pres = df.select(class_col, text_col).select(
         F.col(class_col).alias("cls"),
         F.explode(F.array_distinct(tokens(text_col))).alias("term"),
     )
@@ -2038,7 +2044,7 @@ def bigram_prob_score(
     (slice+transform, no self-join, no window); the two model frames are
     re-aggregations of that stream; scoring is two broadcast left joins
     + one doc-keyed shuffle."""
-    grams = _fan(df.select(id_col, text_col)).select(
+    grams = df.select(id_col, text_col).select(
         F.col(id_col), tokens(text_col).alias("_t")
     ).select(
         id_col,
