@@ -53,9 +53,15 @@ def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
 def test_corpus_clean_single_scan_whole_stage_codegen(spark, sf_dir):
     plan = _plan(entry.q_corpus_clean(spark, sf_dir))
     # the whole score -> gate -> dedup pipeline: one scan of documents and
-    # exactly one exchange (the fingerprint window) — nothing else shuffles
+    # exactly one KEYED exchange (the fingerprint window) — nothing else
+    # shuffles by key. A single ROUND-ROBIN exchange is the r12
+    # parallelism floor (fan_scan) on a single-split test input; it is
+    # structurally absent once the scan yields >= core-count partitions,
+    # so it must never be keyed and there must never be more than one.
     assert plan.count("FileScan parquet") == 1
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    rr = plan.count("Exchange RoundRobinPartitioning")
+    assert plan.count("Exchange") == 1 + rr and rr <= 1, plan
 
 
 def test_profile_has_no_expand_either_mode(spark, sf_dir):
