@@ -4199,18 +4199,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # repetition_stats, sample_per_group; then the r3/r4-last-hashed
     # tail from the ledger. SURVEY §2 op evidence moves to "covering
     # query driver-hashed <= 4 rounds ago + committed per-round mirror".
+    #
+    # R13 ROTATION (executed — see the window comment below): VERDICT
+    # r12 item 3 — changed-first over the 38 oracled queries the r12
+    # optimization phase rewrote (classify family, jaccard/embedding
+    # dense paths, components, llm_gold_pipeline, fan_scan sites), then
+    # the stalest remainder per a FRESH rotation-ledger run that reads
+    # CORRECTNESS_r12.json (the COVERAGE.md-committed proposal predated
+    # that artifact and its tail repeated just-hashed names).
     return {
-        # --- R12 WINDOW (slots 1-50): the rotation ledger's proposal,
-        # seated VERBATIM (tools/rotation_ledger.py, r11 run committed in
-        # COVERAGE.md): the 50 STALEST oracled queries, changed-first —
-        # nothing changed this round, so pure staleness order: the 7
-        # never-windowed r3 cohort, then r4 (10), r5 (19), r6 (14).
-        # Under the full-rotation protocol the former anchors join the
-        # rotation; every one of the 50 r11 occupants rotates out with a
-        # green r11 driver row and stays bit-exact-mirrored per rule 3.
+        # --- R13 WINDOW (slots 1-50): tools/rotation_ledger.py
+        # --next-round 13 proposal seated verbatim (re-run against the
+        # committed CORRECTNESS_r12.json, which postdates the proposal
+        # embedded in COVERAGE.md r12 — the fresh run replaces that
+        # tail's just-r12-hashed names with the genuinely stalest).
+        # Slots 1-38: the r12 optimization-phase changed queries (rule
+        # 2, changed-first — VERDICT r12 item 3); slots 39-50: the
+        # stalest remainder (source_mix_report r6; 11 r7 names). Every
+        # r12 occupant rotates out with a green r12 driver row and
+        # stays bit-exact-mirrored per rule 3.
+        "token_vote_classify": q_token_vote_classify,
+        "classifier_confusion": q_classifier_confusion,
+        "classifier_calibration": q_classifier_calibration,
+        "ngram_topk": q_ngram_topk,
+        "ngram_topk_sketch": q_ngram_topk_sketch,
+        "collocations_topk": q_collocations_topk,
+        "source_chi2_drift": q_source_chi2_drift,
+        "unigram_prob_score": q_unigram_prob_score,
+        "term_chi2": q_term_chi2,
+        "bigram_prob_score": q_bigram_prob_score,
+        "dsir_select": q_dsir_select,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
+        "duplicate_spans": q_duplicate_spans,
+        "decontaminate": q_decontaminate,
+        "contamination_report": q_contamination_report,
+        "source_overlap": q_source_overlap,
+        "repetition_stats": q_repetition_stats,
+        "text_stats": q_text_stats,
+        "chunk_documents": q_chunk_documents,
+        "gopher_quality_flags": q_gopher_quality_flags,
+        "lang_confusion": q_lang_confusion,
+        "corpus_clean": q_corpus_clean,
+        "pii_scrub": q_pii_scrub,
+        "paragraph_dedup": q_paragraph_dedup,
+        "record_linkage": q_record_linkage,
+        "dedup_components": q_dedup_components,
+        "dedup_funnel": q_dedup_funnel,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dup_cluster_stats": q_dup_cluster_stats,
+        "dup_source_matrix": q_dup_source_matrix,
+        "neardup_consensus": q_neardup_consensus,
+        "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+        "embedding_neardup": q_embedding_neardup,
+        "leakage_safe_split": q_leakage_safe_split,
+        "llm_gold_pipeline": q_llm_gold_pipeline,
+        "packed_sequences": q_packed_sequences,
+        "triangle_count": q_triangle_count,
+        "link_prediction": q_link_prediction,
+        "source_mix_report": q_source_mix_report,
+        "benford_audit": q_benford_audit,
+        "custdist": q_custdist,
+        "embedding_moments": q_embedding_moments,
+        "important_stock": q_important_stock,
+        "incremental_dedup": q_incremental_dedup,
+        "priority_linestatus": q_priority_linestatus,
+        "promo_revenue_share": q_promo_revenue_share,
+        "rebalance_sample": q_rebalance_sample,
+        "shard_shuffle": q_shard_shuffle,
+        "split_assign": q_split_assign,
+        "temperature_sample": q_temperature_sample,
+        # --- oracled but beyond the driver's 50-row check window; all
+        # hold green driver rows from the round tagged below and are
+        # re-verified bit-exact each round via tools/check_correctness.py
+        # (rule 3). ---
+        # last driver-hashed r12
         "drawdown_cumret": q_drawdown_cumret,
         "profile_table": q_profile_table,
-        "repetition_stats": q_repetition_stats,
         "sample_per_group": q_sample_per_group,
         "sessionize": q_sessionize,
         "stats_moments": q_stats_moments,
@@ -4220,24 +4284,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "market_share": q_market_share,
         "max_concurrency": q_max_concurrency,
-        "remove_duplicate_spans": q_remove_duplicate_spans,
         "scd2_history": q_scd2_history,
-        "source_overlap": q_source_overlap,
         "tfidf_topterms": q_tfidf_topterms,
         "trend_ols": q_trend_ols,
         "attribution_last_touch": q_attribution_last_touch,
         "cohort_retention": q_cohort_retention,
-        "collocations_topk": q_collocations_topk,
-        "duplicate_spans": q_duplicate_spans,
         "event_transitions": q_event_transitions,
         "forecast_revenue": q_forecast_revenue,
         "gap_fill": q_gap_fill,
         "latency_percentiles": q_latency_percentiles,
-        "ngram_topk_sketch": q_ngram_topk_sketch,
         "order_priority_exists": q_order_priority_exists,
         "product_profit": q_product_profit,
         "quantile_summary": q_quantile_summary,
-        "record_linkage": q_record_linkage,
         "returned_top_customers": q_returned_top_customers,
         "rolling_distinct_users": q_rolling_distinct_users,
         "session_paths": q_session_paths,
@@ -4245,24 +4303,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,
         "waiting_suppliers": q_waiting_suppliers,
         "autocorrelation_fx": q_autocorrelation_fx,
-        "contamination_report": q_contamination_report,
-        "dedup_funnel": q_dedup_funnel,
-        "dedup_keep_best": q_dedup_keep_best,
         "dormant_rich_customers": q_dormant_rich_customers,
         "equi_depth_hist": q_equi_depth_hist,
         "hopping_window": q_hopping_window,
-        "leakage_safe_split": q_leakage_safe_split,
         "mad_outliers": q_mad_outliers,
         "min_cost_supplier": q_min_cost_supplier,
         "multimodal_features": q_multimodal_features,
         "nation_revenue_share": q_nation_revenue_share,
         "rolling_beta_fx": q_rolling_beta_fx,
         "semantic_decontaminate": q_semantic_decontaminate,
-        # --- oracled but beyond the driver's 50-row check window; all
-        # hold green driver rows from the round tagged below and are
-        # re-verified bit-exact each round via tools/check_correctness.py
-        # (rule 3). Ordered freshest-first so the stalest names sit
-        # nearest the window for the r13 rotation. ---
         # last driver-hashed r11
         "wmy_gold_pipeline": q_wmy_gold_pipeline,
         "wmy_weekly_resample_returns": lambda s, d: _wmy_resample_returns(s, d, "W"),
@@ -4286,14 +4335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_coverage": q_summary_coverage,
         "asof_join_bars": q_asof_join_bars,
         "set_ops": q_set_ops,
-        "text_stats": q_text_stats,
-        "chunk_documents": q_chunk_documents,
-        "corpus_clean": q_corpus_clean,
         "dedup_exact": q_dedup_exact,
-        "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
-        "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
-        "embedding_neardup": q_embedding_neardup,
         "amihud_illiquidity": q_amihud_illiquidity,
         "turn_of_month": q_turn_of_month,
         "lexical_diversity": q_lexical_diversity,
@@ -4301,7 +4344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "underwater_spells": q_underwater_spells,
         "volume_profile": q_volume_profile,
-        "lang_confusion": q_lang_confusion,
         "win_rolling_frame": q_win_rolling_frame,
         "cube_rollup": q_cube_rollup,
         "pivot_status": q_pivot_status,
@@ -4323,13 +4365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "beta_vs_index": q_beta_vs_index,
         "calendar_anomalies": q_calendar_anomalies,
         "market_regime_streaks": q_market_regime_streaks,
-        "dup_cluster_stats": q_dup_cluster_stats,
         "packing_efficiency": q_packing_efficiency,
         "decile_spread": q_decile_spread,
         "risk_summary": q_risk_summary,
-        "paragraph_dedup": q_paragraph_dedup,
-        "decontaminate": q_decontaminate,
-        "pii_scrub": q_pii_scrub,
         "bm25_score": q_bm25_score,
         "pack_sequences": q_pack_sequences,
         "keyword_search": q_keyword_search,
@@ -4337,13 +4375,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         # last driver-hashed r9
         "drift_alert_report": q_drift_alert_report,
-        "gopher_quality_flags": q_gopher_quality_flags,
         "mixture_epoch_plan": q_mixture_epoch_plan,
         "stratified_quota_split": q_stratified_quota_split,
         "asof_join_tolerance": q_asof_join_tolerance,
         "sessionize_skewsafe": q_sessionize_skewsafe,
         "pps_weighted_sample": q_pps_weighted_sample,
-        "ngram_topk": q_ngram_topk,
         "price_distribution": q_price_distribution,
         "skew_report": q_skew_report,
         "class_centroids": q_class_centroids,
@@ -4357,13 +4393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         # last driver-hashed r8
         "length_ks_drift": q_length_ks_drift,
-        "bigram_prob_score": q_bigram_prob_score,
-        "dup_source_matrix": q_dup_source_matrix,
         "snapshot_diff_wide": q_snapshot_diff_wide,
         "agg_maintain": q_agg_maintain,
-        "classifier_calibration": q_classifier_calibration,
         "decay_weighted": q_decay_weighted,
-        "term_chi2": q_term_chi2,
         "top_revenue_supplier": q_top_revenue_supplier,
         "supplier_part_counts": q_supplier_part_counts,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -4376,30 +4408,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap_brand": q_vwap_brand,
         "market_breadth": q_market_breadth,
         "repeat_purchase_rate": q_repeat_purchase_rate,
-        # last driver-hashed r7
-        "benford_audit": q_benford_audit,
-        "llm_gold_pipeline": q_llm_gold_pipeline,
-        "important_stock": q_important_stock,
-        "link_prediction": q_link_prediction,
-        "incremental_dedup": q_incremental_dedup,
-        "dsir_select": q_dsir_select,
-        "token_vote_classify": q_token_vote_classify,
-        "classifier_confusion": q_classifier_confusion,
-        "packed_sequences": q_packed_sequences,
-        "shard_shuffle": q_shard_shuffle,
-        "embedding_moments": q_embedding_moments,
-        "neardup_consensus": q_neardup_consensus,
-        "rebalance_sample": q_rebalance_sample,
-        "temperature_sample": q_temperature_sample,
-        "split_assign": q_split_assign,
-        "priority_linestatus": q_priority_linestatus,
-        "custdist": q_custdist,
-        "promo_revenue_share": q_promo_revenue_share,
-        # last driver-hashed r6
-        "source_chi2_drift": q_source_chi2_drift,
-        "unigram_prob_score": q_unigram_prob_score,
-        "source_mix_report": q_source_mix_report,
-        "triangle_count": q_triangle_count,
         # --- EPS queries (rule 4: engine-order-sensitive rounded floats;
         # never windowed BY DESIGN — their hash-exact fixed-point twins
         # carry the driver-grade evidence; see README "EPS queries") ---
