@@ -38,7 +38,7 @@ is task-mandated LLM-pipeline surface (quality scoring family, alongside
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -211,17 +211,30 @@ def token_vote_classify(
             F.count(F.lit(1)).alias("n_scored"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("score_fx").desc(), F.col("_cls").asc()
-    )
+    # Argmax as a two-level min_by aggregate (r13; guide §2.3/§2.4): the
+    # former row_number window needed a full exchange of |docs| x C score
+    # rows plus a per-doc sort; min_by's partial aggregation collapses
+    # each doc to ONE row map-side, so the post-join exchange ships
+    # |docs| rows (C x narrower) and the sort disappears. Tie-break
+    # equivalence: row_number over (score_fx DESC, _cls ASC) picks the
+    # lexicographic minimum of (-score_fx, _cls) — exactly min_by's
+    # ordering struct; keys are distinct within a doc (one row per class)
+    # so the min is unique and bit-stable (score_fx is BIGINT; negation
+    # cannot overflow — votes are positive 1e12-grid fixed point).
+    # Proven bit-identical to the window form on sf0.1 before the switch.
     best = (
-        scores.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        scores.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct("_cls", "score_fx", "n_scored"),
+                F.struct((-F.col("score_fx")).alias("_ns"), F.col("_cls")),
+            ).alias("_b")
+        )
         .select(
             id_col,
-            F.col("_cls").alias("pred_" + label_col),
-            "score_fx",
-            "n_scored",
+            F.col("_b._cls").alias("pred_" + label_col),
+            F.col("_b.score_fx").alias("score_fx"),
+            F.col("_b.n_scored").alias("n_scored"),
         )
     )
     return (
