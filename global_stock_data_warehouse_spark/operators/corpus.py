@@ -916,34 +916,54 @@ def remove_duplicate_spans(
             ).alias("first_occ"),
         )
         .filter(F.col("n_occ") >= min_count)
+        # n_occ is dead past the filter — don't ship it through the join
+        .select("skey", "first_occ")
     )
     dup = occ.join(stats, "skey").filter(
         (F.col(id_col).cast("long") != F.col("first_occ.fd"))
         | (F.col("pos") != F.col("first_occ.fp"))
     )
-    covered = dup.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tpos"),
-    ).distinct()
-    tok_rows = toks.select(F.col(id_col), F.posexplode("t").alias("tpos", "tok"))
-    kept = tok_rows.join(covered, [id_col, "tpos"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("tpos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    # Reassembly via per-doc covered-position ARRAYS (r13; guide §2.3/§2.4):
+    # the former shape exploded EVERY token into (id, tpos, tok) rows,
+    # anti-joined them against the distinct covered positions, and rebuilt
+    # the text with a sorted collect_list — three corpus-sized doc-keyed
+    # exchanges (covered distinct, token rows, collect_list agg) plus the
+    # spine join. Duplicated-span positions are a per-doc SET bounded by
+    # doc length, so one collect_set aggregate (covered rows only — the
+    # corpus tail with no duplicate spans never shuffles) plus a
+    # higher-order filter over the checkpointed token arrays computes the
+    # same text: keep token i iff i is not covered, join with single
+    # spaces — identical output (the old path also rebuilt from tokens).
+    # n_removed == |covered set| exactly (each covered position removes
+    # one token). Proven row-identical to the anti-join form on sf0.1;
+    # plan: Exchange 14 -> 10, token rows never leave their scan task.
+    cov = (
+        dup.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("tpos").alias("_cov"))
     )
     return (
-        toks.select(F.col(id_col), F.size("t").alias("_n_tokens"))
-        .join(reassembled, id_col, "left")
+        toks.join(cov, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (F.col("_n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            F.when(F.col("_cov").isNull(), F.array_join("t", " "))
+            .otherwise(
+                F.array_join(
+                    F.filter(
+                        "t", lambda x, i: ~F.array_contains(F.col("_cov"), i)
+                    ),
+                    " ",
+                )
+            )
+            .alias("clean_text"),
+            # size(NULL) is -1 under non-ANSI semantics: branch, not coalesce
+            F.when(F.col("_cov").isNull(), F.lit(0))
+            .otherwise(F.size("_cov"))
             .cast("long")
             .alias("n_removed"),
         )
