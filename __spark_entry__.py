@@ -901,8 +901,18 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Late" = shipped >60 days after order date (the synthetic lineitem has
     no commit/receipt dates; reference shape preserved, predicate
     adapted)."""
+    from global_stock_data_warehouse_spark.operators.skew import fan_keyed
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # parallelism floor on the join key (r13; guide §2.5): the join, the
+    # (order, supplier) dedup aggregate, and the per-order aggregate all
+    # cluster on l_orderkey, so ONE pinned-wide exchange (AQE coalesces
+    # the tiny-bytes shuffle to 1-3 compute-heavy tasks otherwise) serves
+    # all three; structural no-op at scale (fan_keyed guard). Integer
+    # counts/max only -> identical under any partitioning. A/B-measured
+    # 2.10 -> 1.49 s warm at sf0.1.
+    li = fan_keyed(li, "l_orderkey")
     per_supp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
@@ -2258,6 +2268,11 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r13 NOTE: a pinned-wide keyed exchange on l_orderkey (fan_keyed) was
+    # A/B-measured ~neutral on every graph consumer warm (k_core -0.02,
+    # pagerank +0.09, triangle +0.02, link_prediction +0.02) — the raw-row
+    # exchange cancels the wide-aggregate gain at this scale; left on the
+    # AQE-managed plan.
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )

@@ -443,6 +443,10 @@ def basket_rules(
     is a single division of exact integer counts — engine-exact at 6dp.
     """
     basket_items = (
+        # r13 NOTE: a pinned-wide keyed exchange here (fan_keyed) was
+        # A/B-measured SLOWER (0.84 -> 1.39 s warm at sf0.1): the 32-way
+        # exchange of the raw (basket, item) rows costs more than the
+        # narrow aggregate it widens saves. Left on the AQE-managed plan.
         baskets.select(F.col(basket_col).alias("bid"), F.col(item_col).alias("item"))
         .groupBy("bid")
         .agg(F.sort_array(F.collect_set("item")).alias("items"))

@@ -226,4 +226,10 @@ def synth_media_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(synth, schema=MEDIA_SCHEMA)
+    # parallelism floor (r13; guide §2.5/§4): a single-file id scan runs
+    # the synth AND the downstream decode+featurize kernels in ONE task;
+    # per-row closed-form output is order-insensitive and the fan is a
+    # structural no-op at scale (fan_scan guard)
+    from global_stock_data_warehouse_spark.operators.skew import fan_scan
+
+    return fan_scan(df.select(id_col)).mapInPandas(synth, schema=MEDIA_SCHEMA)

@@ -127,3 +127,35 @@ def fan_scan(df: DataFrame, multiplier: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def fan_keyed(df: DataFrame, *cols: str) -> DataFrame:
+    """Keyed sibling of :func:`fan_scan` for CPU-heavy KEYED chains
+    (groupBy -> in-array pair expansion, agg -> window on the same key):
+    when the upstream scan yields fewer partitions than the session's
+    parallelism, hash-repartition on ``cols`` with an EXPLICIT pinned
+    partition count.
+
+    Why pinned: AQE's byte-based coalescing sizes post-shuffle partitions
+    by bytes, so a tiny-bytes/compute-dense aggregate collapses to 1-3
+    tasks of 32 (guide §2.5 — exactly the shape byte-based coalescing
+    mis-sizes); an explicit count is exempt from coalescing, and every
+    downstream operator clustered on a PREFIX of ``cols`` (the same-key
+    aggregate, a window partitioned by it, a join on it) reuses the one
+    exchange instead of adding its own.
+
+    At scale this is a structural NO-OP (same guard as fan_scan: the
+    guard reads the actual physical partitioning of the scan-side input,
+    so a 100 TB scan arriving in >= cores splits returns the input
+    untouched and the downstream aggregate plans its normal AQE-managed
+    exchange). Only use where the keyed work is order-insensitive
+    (integer/fixed-point aggregates, sorted collect_set, keyed windows
+    with total ordering) — the partial-aggregation step the explicit
+    repartition bypasses also changes float-sum grouping.
+    """
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols)
