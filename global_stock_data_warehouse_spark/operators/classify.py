@@ -84,6 +84,13 @@ def _class_token_counts(
     # profile). ctc is <= vocab_size x C rows — localCheckpoint cuts the
     # lineage so every consumer reads the 1e3-row table, not the corpus.
     # All counts are integers: identical under any partitioning.
+    # C-scaling note (r12 ADVICE): the one training shuffle carries
+    # distinct_tokens x C keys (the old two-pass shape shipped
+    # distinct_tokens, then V x C after the broadcast filter) — a
+    # deliberate trade that wins for small label cardinality (bench: C=20)
+    # because map-side partials absorb the token stream either way; a
+    # high-cardinality label column would grow this shuffle ~C-fold and
+    # should revisit the two-pass form.
     all_ctc = toks.groupBy("tok", label_col).agg(F.count(F.lit(1)).alias("ctc"))
     vocab = (
         all_ctc.groupBy("tok")
@@ -92,6 +99,15 @@ def _class_token_counts(
         .limit(vocab_size)
         .select("tok")
     )
+    # NOTE (r12 ADVICE, documented contract): eager=True means BUILDING a
+    # classifier DataFrame (including explain/plan dumps) runs the full
+    # tokenize+aggregate training job at construction time, and a pipeline
+    # calling both classifiers pays the corpus pass twice (each call
+    # trains its own ctc); the checkpointed block is also unrecoverable on
+    # executor loss (lineage cut — acceptable for a bounded <=V x C
+    # table). Kept eager deliberately: the r13 A/B of eager=False measured
+    # no wall win (the first broadcast build materializes it anyway) and
+    # eager keeps the training job attributable in profiles.
     ctc = all_ctc.join(broadcast(vocab), "tok").localCheckpoint(eager=True)
     class_stats = ctc.groupBy(label_col).agg(F.sum("ctc").alias("n_c"))
     return toks, ctc, class_stats

@@ -61,8 +61,13 @@ def _fan(df: DataFrame) -> DataFrame:
     duplicate_spans); a SINGLE tokenize -> map-side-partial-agg pass is
     cheaper un-fanned — the exchange + stage sync costs more than the
     one-core partial-agg saves — so those sites call the chain directly.
-    Either way the plan is identical at 100 TB (the fan is a structural
-    no-op once the scan yields >= core-count splits)."""
+    ``_hashed_gram_arrays`` looks like a multi-consumer exception but is
+    NOT: its eager checkpoint collapses dsir's two consumers to a single
+    kernel run, so it falls under the single-pass REMOVE rule (and the
+    r13 re-A/B confirmed: fanned 2.15/2.70 s vs un-fanned 1.47/1.65 s for
+    dsir_select/dsir_weights). Either way the plan is identical at 100 TB
+    (the fan is a structural no-op once the scan yields >= core-count
+    splits)."""
     from global_stock_data_warehouse_spark.operators.skew import fan_scan
 
     return fan_scan(df)

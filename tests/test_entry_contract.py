@@ -7,6 +7,8 @@ DuckDB oracle runs in tools/check_correctness.py at sf0.01.
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 
@@ -64,6 +66,10 @@ def test_entry_runs_and_returns_rows(spark):
     assert df.count() > 0
 
 
+@pytest.mark.slow  # full-surface sweep (~2.5 min): the driver itself runs
+# every declared query (bench + oracle steps) and the per-round
+# CHECK_EXACT mirror artifacts cover the same ground; slow tier keeps it
+# runnable standalone
 def test_every_query_runs_at_sf0001(spark, sf_dir):
     failures = {}
     for name, fn in entrymod.queries().items():
@@ -76,6 +82,9 @@ def test_every_query_runs_at_sf0001(spark, sf_dir):
     assert not failures, failures
 
 
+@pytest.mark.slow  # full-surface sweep (~1.5 min): representative empty-
+# input pins stay in tests/test_empty_mirror.py and the 155-query sweep
+# is the committed tools/empty_sweep.py artifact (EMPTY_SWEEP_r11.json)
 def test_every_query_is_total_on_empty_tables(spark, tmp_path, sf_dir):
     """Totality gate: all declared queries must run (returning 0+ rows,
     never raising) against schemally-identical but EMPTY input tables —

@@ -59,9 +59,22 @@ def test_corpus_clean_single_scan_whole_stage_codegen(spark, sf_dir):
     # structurally absent once the scan yields >= core-count partitions,
     # so it must never be keyed and there must never be more than one.
     assert plan.count("FileScan parquet") == 1
+    # count explicit exchange KINDS separately (r12 ADVICE): the bare
+    # "Exchange" substring also matches BroadcastExchange and any future
+    # variant, which would fail the arithmetic with a confusing message
+    # instead of pinpointing the new node.
     assert plan.count("Exchange hashpartitioning") == 1
     rr = plan.count("Exchange RoundRobinPartitioning")
-    assert plan.count("Exchange") == 1 + rr and rr <= 1, plan
+    assert rr <= 1, plan
+    keyed_or_rr = plan.count("Exchange hashpartitioning") + rr
+    bcast = plan.count("BroadcastExchange")
+    reused = plan.count("ReusedExchange")
+    range_x = plan.count("Exchange rangepartitioning")
+    single = plan.count("Exchange SinglePartition")
+    assert (
+        plan.count("Exchange") == keyed_or_rr + bcast + reused + range_x + single
+    ), plan
+    assert range_x == 0 and single == 0, plan
 
 
 def test_profile_has_no_expand_either_mode(spark, sf_dir):

@@ -12,6 +12,10 @@ import os
 
 import pytest
 
+# in-suite scale SWEEP (1x/4x slope gates): slow tier — the full-scale
+# evidence lives in SCALE.md / tools/scale_slope.py runs
+pytestmark = pytest.mark.slow
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from global_stock_data_warehouse_spark.streaming.pipeline import (
     read_bar_stream,
     stale_feed_sink,
@@ -151,6 +153,9 @@ def test_absent_state_expires_after_cap(spark, tmp_path):
     assert sym1_batches == [0, 1, 2, 3]
 
 
+@pytest.mark.slow  # 10+ min soak; default tier keeps the per-scenario
+# ledger/expiry tests above, and the soak ran green in the r13 full-tier
+# run (OPTIMIZATION_r13.md "Test-suite wall time")
 def test_soak_churn_universe_ledger_stays_bounded(spark, tmp_path):
     """Soak (VERDICT r11 item 8): 100 micro-batches over a CHURNING
     symbol universe — 18 symbols, each live for a 15-batch window
